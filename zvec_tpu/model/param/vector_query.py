@@ -1,0 +1,38 @@
+"""VectorQuery — one per-field vector similarity query.
+
+Parity with reference `python/zvec/model/param/vector_query.py:40-103`:
+query by explicit vector OR by document id (vector fetched at execute time);
+providing both is an error.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+from ..doc import VectorType
+from .param import FlatQueryParam, HnswQueryParam, IVFQueryParam
+
+__all__ = ["VectorQuery"]
+
+
+@dataclass(frozen=True)
+class VectorQuery:
+    field_name: str
+    id: Optional[str] = None
+    vector: VectorType = None
+    param: Optional[Union[HnswQueryParam, IVFQueryParam, FlatQueryParam]] = None
+
+    def has_id(self) -> bool:
+        return self.id is not None
+
+    def has_vector(self) -> bool:
+        return self.vector is not None and len(self.vector) > 0
+
+    def _validate(self) -> None:
+        if self.field_name is None:
+            raise ValueError("Field name cannot be empty")
+        if self.id and self.vector is not None and len(self.vector) > 0:
+            raise ValueError("Cannot provide both id and vector")
+        if not self.has_id() and not self.has_vector():
+            raise ValueError("VectorQuery requires either id or vector")

@@ -1,0 +1,126 @@
+"""Blockwise fused scan + top-k.
+
+The TPU-native replacement for the reference's flat-scan hot loop
+(`src/core/algorithm/flat/flat_searcher_context.h:237-314`: template-unrolled
+query batches x SIMD distance matrix x bounded heap): here one `lax.scan` walks
+code blocks, each step scores a (Q, BLOCK) tile on the MXU, fuses the filter
+mask as a large-negative select, and folds the block into a running per-query
+top-k via `lax.top_k` — no heap, no branches, one compiled program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..typing.enum import MetricType
+from .distance import similarity_matrix
+from .runtime import NEG_INF
+
+__all__ = ["blockwise_topk_search", "merge_topk", "apply_mask"]
+
+
+def apply_mask(sim: jax.Array, mask: jax.Array | None) -> jax.Array:
+    """Fuse a validity mask into similarity scores. mask: (N,) bool (True=keep)."""
+    if mask is None:
+        return sim
+    return jnp.where(mask[None, :], sim, NEG_INF)
+
+
+@partial(jax.jit, static_argnames=("metric", "topk", "block_size"))
+def blockwise_topk_search(
+    q: jax.Array,
+    codes: jax.Array,
+    metric: MetricType,
+    topk: int,
+    mask: jax.Array | None = None,
+    x_sq_norms: jax.Array | None = None,
+    block_size: int = 65536,
+):
+    """Exact top-k scan of `codes` for each query.
+
+    Args:
+      q: (Q, D) float queries.
+      codes: (N, D) codes; N must be a multiple of block_size (pad + mask the tail).
+      metric: MetricType (similarity is larger-is-better internally).
+      topk: k.
+      mask: optional (N,) bool; False rows can never enter the top-k.
+      x_sq_norms: optional (N,) precomputed squared norms (L2/COSINE epilogues).
+      block_size: rows scored per scan step.
+
+    Returns:
+      (sims, indices): (Q, topk) similarity (desc) and global row indices.
+      Padded/masked slots come back with similarity ~= NEG_INF and index -1
+      only if fewer than topk valid rows exist... callers must treat
+      sim <= NEG_INF/2 as invalid.
+    """
+    n = codes.shape[0]
+    if n % block_size != 0:
+        # Fall back to a single-block scan for small/ragged inputs.
+        block_size = n
+    num_blocks = n // block_size
+    nq = q.shape[0]
+    q = q.astype(jnp.float32)
+
+    codes_b = codes.reshape(num_blocks, block_size, *codes.shape[1:])
+    norms_b = (
+        x_sq_norms.reshape(num_blocks, block_size)
+        if x_sq_norms is not None
+        else None
+    )
+    mask_b = mask.reshape(num_blocks, block_size) if mask is not None else None
+
+    init = (
+        jnp.full((nq, topk), NEG_INF, dtype=jnp.float32),
+        jnp.full((nq, topk), -1, dtype=jnp.int32),
+    )
+
+    def step(carry, inputs):
+        (cs, ci), (block_idx, block, bnorms, bmask) = carry, inputs
+        sim = similarity_matrix(q, block, metric, bnorms)
+        sim = apply_mask(sim, bmask)
+        gidx = block_idx * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, (nq, block_size), 1
+        )
+        all_s = jnp.concatenate([cs, sim], axis=1)
+        all_i = jnp.concatenate([ci, gidx], axis=1)
+        new_s, sel = jax.lax.top_k(all_s, topk)
+        new_i = jnp.take_along_axis(all_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    xs = (
+        jnp.arange(num_blocks, dtype=jnp.int32),
+        codes_b,
+        norms_b if norms_b is not None else jnp.zeros((num_blocks, 0)),
+        mask_b if mask_b is not None else jnp.zeros((num_blocks, 0), dtype=bool),
+    )
+
+    def step_wrap(carry, inputs):
+        block_idx, block, bnorms, bmask = inputs
+        bn = bnorms if norms_b is not None else None
+        bm = bmask if mask_b is not None else None
+        return step(carry, (block_idx, block, bn, bm))
+
+    (sims, idx), _ = jax.lax.scan(step_wrap, init, xs)
+    idx = jnp.where(sims > NEG_INF / 2, idx, -1)
+    return sims, idx
+
+
+@partial(jax.jit, static_argnames=("topk",))
+def merge_topk(sims_list, idx_list, topk: int):
+    """Merge per-shard/per-segment top-k results: lists of (Q, k_i) arrays."""
+    all_s = jnp.concatenate(sims_list, axis=1)
+    all_i = jnp.concatenate(idx_list, axis=1)
+    # Invalid slots (idx == -1) must lose every comparison.
+    all_s = jnp.where(all_i < 0, NEG_INF, all_s)
+    k = min(topk, all_s.shape[1])
+    new_s, sel = jax.lax.top_k(all_s, k)
+    new_i = jnp.take_along_axis(all_i, sel, axis=1)
+    if k < topk:
+        pad = topk - k
+        new_s = jnp.pad(new_s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        new_i = jnp.pad(new_i, ((0, 0), (0, pad)), constant_values=-1)
+    new_i = jnp.where(new_s > NEG_INF / 2, new_i, -1)
+    return new_s, new_i
