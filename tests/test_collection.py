@@ -1,0 +1,225 @@
+"""End-to-end Collection tests (reference analog: `python/tests/test_collection.py`
+and `python/tests/detail/` DML/DQL/open suites)."""
+
+import numpy as np
+import pytest
+
+import zvec_tpu
+from zvec_tpu import (
+    CollectionSchema,
+    DataType,
+    Doc,
+    FieldSchema,
+    FlatIndexParam,
+    MetricType,
+    StatusCode,
+    VectorQuery,
+    VectorSchema,
+    ZvecError,
+)
+
+
+@pytest.fixture
+def schema():
+    return CollectionSchema(
+        "test",
+        fields=[
+            FieldSchema("title", DataType.STRING, nullable=True),
+            FieldSchema("price", DataType.DOUBLE, nullable=True),
+            FieldSchema("count", DataType.INT64, nullable=True),
+        ],
+        vectors=[
+            VectorSchema(
+                "emb", DataType.VECTOR_FP32, 16, FlatIndexParam(MetricType.L2)
+            )
+        ],
+    )
+
+
+@pytest.fixture
+def coll(tmp_path, schema):
+    c = zvec_tpu.create_and_open(str(tmp_path / "col"), schema)
+    yield c
+    c._impl.close()
+
+
+def make_docs(rng, n, dim=16, start=0):
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    return [
+        Doc(
+            id=f"doc{start + i}",
+            vectors={"emb": vecs[i]},
+            fields={"title": f"t{start + i}", "price": float(i), "count": i},
+        )
+        for i in range(n)
+    ], vecs
+
+
+def test_insert_query_exact(coll, rng):
+    docs, vecs = make_docs(rng, 100)
+    statuses = coll.insert(docs)
+    assert all(s.is_ok() for s in statuses)
+    assert coll.stats.doc_count == 100
+
+    q = vecs[7]
+    result = coll.query(VectorQuery("emb", vector=q), topk=5)
+    assert result[0].id == "doc7"
+    # L2 score of self-match ~ 0
+    assert result[0].score == pytest.approx(0.0, abs=1e-4)
+    # oracle check of full ranking
+    d = ((q[None, :] - vecs) ** 2).sum(1)
+    expect = [f"doc{i}" for i in np.argsort(d)[:5]]
+    assert [r.id for r in result] == expect
+    scores = np.sort(d)[:5]
+    np.testing.assert_allclose([r.score for r in result], scores, rtol=1e-4, atol=1e-4)
+
+
+def test_insert_duplicate(coll, rng):
+    docs, _ = make_docs(rng, 3)
+    coll.insert(docs)
+    st = coll.insert(docs[0])
+    assert st.code == StatusCode.ALREADY_EXISTS
+
+
+def test_fetch_and_output_fields(coll, rng):
+    docs, vecs = make_docs(rng, 10)
+    coll.insert(docs)
+    fetched = coll.fetch(["doc3", "missing"])
+    assert set(fetched.keys()) == {"doc3"}
+    assert fetched["doc3"].field("title") == "t3"
+    np.testing.assert_allclose(fetched["doc3"].vector("emb"), vecs[3], rtol=1e-6)
+
+    result = coll.query(
+        VectorQuery("emb", vector=vecs[0]), topk=1, output_fields=["price"]
+    )
+    assert "price" in result[0].fields and "title" not in result[0].fields
+    assert result[0].vectors == {}
+
+    result = coll.query(VectorQuery("emb", vector=vecs[0]), topk=1, include_vector=True)
+    np.testing.assert_allclose(result[0].vector("emb"), vecs[0], rtol=1e-6)
+
+
+def test_delete(coll, rng):
+    docs, vecs = make_docs(rng, 10)
+    coll.insert(docs)
+    st = coll.delete("doc0")
+    assert st.is_ok()
+    assert coll.stats.doc_count == 9
+    result = coll.query(VectorQuery("emb", vector=vecs[0]), topk=3)
+    assert "doc0" not in [r.id for r in result]
+    st = coll.delete("doc0")
+    assert st.code == StatusCode.NOT_FOUND
+    assert coll.fetch("doc0") == {}
+
+
+def test_update_merges_fields(coll, rng):
+    docs, vecs = make_docs(rng, 5)
+    coll.insert(docs)
+    st = coll.update(Doc(id="doc2", fields={"price": 99.5}))
+    assert st.is_ok()
+    d = coll.fetch("doc2")["doc2"]
+    assert d.field("price") == 99.5
+    assert d.field("title") == "t2"  # merged, not lost
+    np.testing.assert_allclose(d.vector("emb"), vecs[2], rtol=1e-6)
+    # update nonexistent
+    st = coll.update(Doc(id="nope", fields={"price": 1.0}))
+    assert st.code == StatusCode.NOT_FOUND
+
+
+def test_upsert_replaces(coll, rng):
+    docs, vecs = make_docs(rng, 5)
+    coll.insert(docs)
+    newvec = rng.standard_normal(16).astype(np.float32)
+    st = coll.upsert(Doc(id="doc1", vectors={"emb": newvec}, fields={"title": "new"}))
+    assert st.is_ok()
+    d = coll.fetch("doc1")["doc1"]
+    assert d.field("title") == "new"
+    assert d.field("price") is None  # upsert replaces whole doc, no merge
+    np.testing.assert_allclose(d.vector("emb"), newvec, rtol=1e-6)
+    assert coll.stats.doc_count == 5
+
+
+def test_query_by_id(coll, rng):
+    docs, vecs = make_docs(rng, 20)
+    coll.insert(docs)
+    result = coll.query(VectorQuery("emb", id="doc5"), topk=3)
+    assert result[0].id == "doc5"
+
+
+def test_query_validation(coll, rng):
+    docs, vecs = make_docs(rng, 5)
+    coll.insert(docs)
+    with pytest.raises(ValueError):
+        coll.query(VectorQuery("emb", id="a", vector=vecs[0]), topk=3)
+    with pytest.raises(ValueError):
+        coll.query(VectorQuery("nope", vector=vecs[0]), topk=3)
+    with pytest.raises(ValueError):
+        coll.query(VectorQuery("emb", vector=vecs[0][:4]), topk=3)
+
+
+def test_dimension_mismatch_insert(coll):
+    st = coll.insert(Doc(id="bad", vectors={"emb": np.zeros(8, np.float32)}))
+    assert st.code == StatusCode.INVALID_ARGUMENT
+
+
+def test_flush_and_reopen(tmp_path, schema, rng):
+    path = str(tmp_path / "col2")
+    c = zvec_tpu.create_and_open(path, schema)
+    docs, vecs = make_docs(rng, 50)
+    c.insert(docs)
+    c.delete("doc0")
+    c.flush()
+    c._impl.close()
+
+    c2 = zvec_tpu.open(path)
+    assert c2.stats.doc_count == 49
+    result = c2.query(VectorQuery("emb", vector=vecs[1]), topk=2)
+    assert result[0].id == "doc1"
+    assert c2.fetch("doc3")["doc3"].field("title") == "t3"
+    c2._impl.close()
+
+
+def test_wal_recovery_without_flush(tmp_path, schema, rng):
+    path = str(tmp_path / "col3")
+    c = zvec_tpu.create_and_open(path, schema)
+    docs, vecs = make_docs(rng, 30)
+    c.insert(docs)
+    c.update(Doc(id="doc4", fields={"price": 123.0}))
+    c.delete("doc5")
+    # simulate crash: no flush, just drop the handle
+    c._impl.close()
+
+    c2 = zvec_tpu.open(path)
+    assert c2.stats.doc_count == 29
+    assert c2.fetch("doc4")["doc4"].field("price") == 123.0
+    assert c2.fetch("doc5") == {}
+    result = c2.query(VectorQuery("emb", vector=vecs[2]), topk=1)
+    assert result[0].id == "doc2"
+    c2._impl.close()
+
+
+def test_reopen_locked(tmp_path, schema, rng):
+    path = str(tmp_path / "col4")
+    c = zvec_tpu.create_and_open(path, schema)
+    with pytest.raises(ZvecError):
+        zvec_tpu.open(path)
+    c._impl.close()
+
+
+def test_create_on_nonempty_path(tmp_path, schema):
+    path = tmp_path / "col5"
+    path.mkdir()
+    (path / "junk").write_text("x")
+    with pytest.raises(ZvecError):
+        zvec_tpu.create_and_open(str(path), schema)
+
+
+def test_destroy(tmp_path, schema, rng):
+    import os
+
+    path = str(tmp_path / "col6")
+    c = zvec_tpu.create_and_open(path, schema)
+    docs, _ = make_docs(rng, 3)
+    c.insert(docs)
+    c.destroy()
+    assert not os.path.exists(path)

@@ -1,0 +1,130 @@
+"""Engine interface + factory.
+
+Conceptual port of the reference's module contracts
+(`src/include/zvec/core/framework/index_streamer.h:36-51`: init -> open ->
+add/search -> flush -> close; `index_searcher.h:42-50` for immutable load+search)
+re-shaped for TPU: engines are *array transformations* — data lives in a host
+matrix, is streamed to device HBM once, and every search is a batched jit'd
+program. Incremental "add" is an append to the host matrix + device cache
+invalidation (rebuild-on-flush replaces in-place graph mutation).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..model.param.param import QueryParam, VectorIndexParam
+from ..typing.enum import IndexType, MetricType, QuantizeType
+
+__all__ = ["VectorIndexEngine", "create_engine", "register_engine"]
+
+
+class VectorIndexEngine:
+    """One vector column's search engine over a single segment's codes.
+
+    Subclasses implement `_search_impl`. Data access is pull-based: the engine
+    holds a `data_fn` returning the current (N, D) host matrix and a version
+    counter; device state is rebuilt lazily when the version moves.
+    """
+
+    index_type: IndexType = IndexType.UNDEFINED
+
+    def __init__(
+        self,
+        metric: MetricType,
+        dimension: int,
+        params: Optional[VectorIndexParam] = None,
+    ):
+        self.metric = MetricType(metric)
+        self.dimension = dimension
+        self.params = params
+        self._data_fn: Optional[Callable[[], np.ndarray]] = None
+        self._version_fn: Optional[Callable[[], int]] = None
+        self._built_version = -1
+
+    # ---- wiring ----
+    def bind_data(
+        self, data_fn: Callable[[], np.ndarray], version_fn: Callable[[], int]
+    ) -> None:
+        self._data_fn = data_fn
+        self._version_fn = version_fn
+
+    def _ensure_fresh(self) -> None:
+        v = self._version_fn() if self._version_fn else 0
+        if v != self._built_version:
+            self._rebuild(self._data_fn())
+            self._built_version = v
+
+    # ---- to implement ----
+    def _rebuild(self, data: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def _search_impl(
+        self,
+        queries: np.ndarray,
+        topk: int,
+        mask: Optional[np.ndarray],
+        param: Optional[QueryParam],
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    # ---- public ----
+    def search(
+        self,
+        queries: np.ndarray,
+        topk: int,
+        mask: Optional[np.ndarray] = None,
+        param: Optional[QueryParam] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched top-k: returns (similarity (Q,k) desc, local indices (Q,k);
+        invalid slots have index -1)."""
+        self._ensure_fresh()
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        return self._search_impl(queries, topk, mask, param)
+
+    # ---- persistence hooks (index-specific auxiliary state, e.g. HNSW graph) ----
+    def dump_aux(self, directory: str, prefix: str) -> Dict[str, Any]:
+        """Persist auxiliary structures; returns a descriptor dict stored in the
+        segment manifest. Flat engines need none."""
+        return {}
+
+    def load_aux(self, directory: str, descriptor: Dict[str, Any]) -> None:
+        pass
+
+
+_REGISTRY: Dict[IndexType, type] = {}
+
+
+def register_engine(index_type: IndexType):
+    def deco(cls):
+        _REGISTRY[index_type] = cls
+        cls.index_type = index_type
+        return cls
+
+    return deco
+
+
+def create_engine(
+    params: VectorIndexParam, dimension: int, *, force_flat: bool = False
+) -> VectorIndexEngine:
+    """Factory: engine from index params (string-keyed plugin registry in the
+    reference; enum-keyed here)."""
+    # Imports deferred to avoid import cycles; importing registers the engines.
+    from . import flat  # noqa: F401
+
+    try:
+        from . import hnsw  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import ivf  # noqa: F401
+    except ImportError:
+        pass
+
+    itype = IndexType.FLAT if force_flat else params.index_type
+    cls = _REGISTRY.get(itype)
+    if cls is None:
+        raise ValueError(f"no engine registered for {itype}")
+    return cls(params.metric_type, dimension, params)

@@ -1,0 +1,797 @@
+"""CollectionImpl: the database engine behind the public Collection API.
+
+Reference equivalent: `src/db/collection.cc` (CollectionImpl) — create/open/
+recovery, single-writer DML loop, segment rotation, query dispatch over all
+segments, fetch via IDMap, flush/versioning, destroy.
+
+TPU-native layout: host owns durability (WAL + Arrow forward stores + JSON
+manifest) and the pk/tombstone maps; every vector search runs as a batched
+device program per segment with the delete/filter mask fused in, and
+per-segment top-k results are merged on host (the reference merges per-segment
+Acero streams, `query_planner.cc:344-448`).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..model.doc import Doc
+from ..model.param.param import (
+    QueryParam,
+    VectorIndexParam,
+)
+from ..model.schema import CollectionSchema, CollectionStats
+from ..ops.distance import similarity_to_score
+from ..typing.enum import StatusCode
+from ..typing.status import Status, ZvecError
+from . import codec
+from .delete_store import DeleteStore
+from .forward_store import ForwardStore
+from .idmap import IdMap
+from .segment import FORWARD_FILE, Segment
+from .validate import validate_doc
+from .version import SegmentMeta, Version, VersionManager
+from .wal import WalFile
+
+__all__ = ["CollectionImpl", "MAX_WRITE_BATCH_SIZE"]
+
+# reference `src/db/common/constants.h:62`
+MAX_WRITE_BATCH_SIZE = 1024
+
+_IDMAP_FILE = "idmap.arrow"
+_DELETE_FILE = "deletes.npy"
+_LOCK_FILE = ".lock"
+
+
+class CollectionImpl:
+    def __init__(self, path: str, schema: CollectionSchema, read_only: bool = False):
+        self.path = os.path.abspath(path)
+        self.schema = schema
+        self.read_only = read_only
+        self._lock = threading.RLock()
+        self._lock_fh = None
+        self.idmap = IdMap()
+        self.deletes = DeleteStore()
+        self.versions = VersionManager(self.path)
+        self.segments: List[Segment] = []  # sealed, ascending doc_id_start
+        self.writing: Optional[Segment] = None
+        self._next_doc_id = 0
+        self._next_segment_id = 0
+        self._version_id = 0
+        self._closed = False
+
+    # ================= lifecycle =================
+    @classmethod
+    def create_and_open(
+        cls, path: str, schema: CollectionSchema, read_only: bool = False
+    ) -> "CollectionImpl":
+        path = os.path.abspath(path)
+        if os.path.exists(path) and os.listdir(path):
+            raise ZvecError(
+                StatusCode.ALREADY_EXISTS, f"collection path '{path}' is not empty"
+            )
+        os.makedirs(path, exist_ok=True)
+        impl = cls(path, schema, read_only)
+        impl._acquire_file_lock()
+        impl._rotate_writing_segment(first=True)
+        impl._commit_version()
+        return impl
+
+    @classmethod
+    def open(cls, path: str, read_only: bool = False) -> "CollectionImpl":
+        path = os.path.abspath(path)
+        vm = VersionManager(path)
+        if not vm.has_current():
+            raise ZvecError(StatusCode.NOT_FOUND, f"no collection at '{path}'")
+        version = vm.load_current()
+        schema = CollectionSchema.from_dict(version.schema_dict)
+        impl = cls(path, schema, read_only)
+        impl._acquire_file_lock()
+        impl._recover(version)
+        return impl
+
+    def _acquire_file_lock(self) -> None:
+        """Single-process guard (reference `collection.cc:1819`)."""
+        import fcntl
+
+        lock_path = os.path.join(self.path, _LOCK_FILE)
+        self._lock_fh = open(lock_path, "a")
+        try:
+            mode = fcntl.LOCK_SH if self.read_only else fcntl.LOCK_EX
+            fcntl.flock(self._lock_fh.fileno(), mode | fcntl.LOCK_NB)
+        except OSError:
+            self._lock_fh.close()
+            self._lock_fh = None
+            raise ZvecError(
+                StatusCode.PERMISSION_DENIED,
+                f"collection at '{self.path}' is locked by another process",
+            )
+
+    def _recover(self, version: Version) -> None:
+        """Reference `collection.cc:1632-1690`: load manifest state, then
+        replay the writing segment's WAL on top of its checkpoint."""
+        self._version_id = version.version_id
+        self._next_doc_id = version.next_doc_id
+        self._next_segment_id = version.next_segment_id
+        if version.idmap_snapshot:
+            self.idmap = IdMap.load(os.path.join(self.path, version.idmap_snapshot))
+        if version.delete_snapshot:
+            self.deletes = DeleteStore.load(
+                os.path.join(self.path, version.delete_snapshot)
+            )
+        for meta in version.segments:
+            if meta.state == "sealed":
+                self.segments.append(Segment.open_sealed(self.path, meta, self.schema))
+            else:
+                seg = Segment.open_writing(self.path, meta, self.schema)
+                # load the flush checkpoint (if any), then WAL on top
+                fwd = os.path.join(seg.directory, FORWARD_FILE)
+                if meta.doc_count > 0 and os.path.exists(fwd):
+                    seg.store = _load_writable(self.schema, fwd)
+                    seg.meta.doc_count = seg.store.count
+                self.writing = seg
+                self._replay_wal(seg)
+        if self.writing is None:
+            self._rotate_writing_segment()
+            self._commit_version()
+
+    def _replay_wal(self, seg: Segment) -> None:
+        wal = WalFile(os.path.join(seg.directory, "wal.log"))
+        for payload in wal.replay():
+            op, pk, fields, vectors = codec.decode_record(payload)
+            if op == codec.OP_INSERT:
+                self._apply_insert(pk, fields, vectors)
+            elif op == codec.OP_UPDATE:
+                self._apply_update(pk, fields, vectors)
+            elif op == codec.OP_UPSERT:
+                self._apply_upsert(pk, fields, vectors)
+            elif op == codec.OP_DELETE:
+                self._apply_delete(pk)
+        seg.wal.open_for_append()
+
+    # ================= DML =================
+    def insert(self, docs: Sequence[Doc]) -> List[Status]:
+        return self._write_batch(codec.OP_INSERT, docs)
+
+    def update(self, docs: Sequence[Doc]) -> List[Status]:
+        return self._write_batch(codec.OP_UPDATE, docs)
+
+    def upsert(self, docs: Sequence[Doc]) -> List[Status]:
+        return self._write_batch(codec.OP_UPSERT, docs)
+
+    def delete(self, pks: Sequence[str]) -> List[Status]:
+        self._check_writable()
+        if len(pks) > MAX_WRITE_BATCH_SIZE:
+            raise ZvecError(
+                StatusCode.INVALID_ARGUMENT,
+                f"write batch size {len(pks)} exceeds {MAX_WRITE_BATCH_SIZE}",
+            )
+        statuses: List[Status] = []
+        with self._lock:
+            to_sync = False
+            for pk in pks:
+                if not isinstance(pk, str) or not pk:
+                    statuses.append(
+                        Status.error(StatusCode.INVALID_ARGUMENT, "invalid pk")
+                    )
+                    continue
+                if not self.idmap.has(pk):
+                    statuses.append(
+                        Status.error(StatusCode.NOT_FOUND, f"pk '{pk}' not found")
+                    )
+                    continue
+                self.writing.append_wal(codec.encode_record(codec.OP_DELETE, pk))
+                to_sync = True
+                self._apply_delete(pk)
+                statuses.append(Status.ok())
+            if to_sync:
+                self.writing.wal_sync()
+        return statuses
+
+    def delete_by_filter(self, filter_str: str) -> None:
+        """Run a filter-only query and delete every match
+        (reference `collection.cc:1536`)."""
+        self._check_writable()
+        with self._lock:
+            doc_ids = self._filter_only_doc_ids(filter_str)
+            pks = []
+            for doc_id in doc_ids:
+                seg = self._segment_for_doc_id(doc_id)
+                if seg is not None:
+                    pks.append(seg.store.pk(doc_id - seg.doc_id_start))
+            for batch_start in range(0, len(pks), MAX_WRITE_BATCH_SIZE):
+                self.delete(pks[batch_start : batch_start + MAX_WRITE_BATCH_SIZE])
+
+    def _write_batch(self, op: int, docs: Sequence[Doc]) -> List[Status]:
+        self._check_writable()
+        if len(docs) > MAX_WRITE_BATCH_SIZE:
+            raise ZvecError(
+                StatusCode.INVALID_ARGUMENT,
+                f"write batch size {len(docs)} exceeds {MAX_WRITE_BATCH_SIZE}",
+            )
+        statuses: List[Status] = []
+        partial = op == codec.OP_UPDATE
+        with self._lock:
+            to_sync = False
+            for doc in docs:
+                fields, vectors, st = validate_doc(self.schema, doc, partial=partial)
+                if not st:
+                    statuses.append(st)
+                    continue
+                pk = doc.id
+                exists = self.idmap.has(pk)
+                if op == codec.OP_INSERT and exists:
+                    statuses.append(
+                        Status.error(
+                            StatusCode.ALREADY_EXISTS, f"pk '{pk}' already exists"
+                        )
+                    )
+                    continue
+                if op == codec.OP_UPDATE and not exists:
+                    statuses.append(
+                        Status.error(StatusCode.NOT_FOUND, f"pk '{pk}' not found")
+                    )
+                    continue
+                self._maybe_rotate()
+                payload = codec.encode_record(op, pk, fields, vectors)
+                self.writing.append_wal(payload)
+                to_sync = True
+                if op == codec.OP_INSERT:
+                    self._apply_insert(pk, fields, vectors)
+                elif op == codec.OP_UPDATE:
+                    self._apply_update(pk, fields, vectors)
+                else:
+                    self._apply_upsert(pk, fields, vectors)
+                statuses.append(Status.ok())
+            if to_sync:
+                self.writing.wal_sync()
+        return statuses
+
+    # ---- apply fns (also used by WAL replay; must be deterministic) ----
+    def _apply_insert(self, pk, fields, vectors) -> int:
+        doc_id = self.writing.apply_insert(pk, fields, vectors)
+        assert doc_id == self._next_doc_id, "doc_id allocation out of sync"
+        self._next_doc_id += 1
+        self.idmap.upsert(pk, doc_id)
+        return doc_id
+
+    def _apply_update(self, pk, fields, vectors) -> None:
+        """Merge partial doc into existing: reference fetch+merge+tombstone+
+        reinsert (`collection.cc:1412-1419`, `doc.h merge`)."""
+        old_id = self.idmap.get(pk)
+        seg = self._segment_for_doc_id(old_id)
+        _, old_fields, old_vectors = seg.row_by_doc_id(old_id)
+        merged_fields = dict(old_fields)
+        merged_fields.update(fields)
+        merged_vectors = {
+            name: np.asarray(vec) if not isinstance(vec, dict) else vec
+            for name, vec in old_vectors.items()
+        }
+        merged_vectors.update(vectors)
+        self.deletes.mark(old_id)
+        self._maybe_rotate()
+        doc_id = self.writing.apply_insert(pk, merged_fields, merged_vectors)
+        assert doc_id == self._next_doc_id
+        self._next_doc_id += 1
+        self.idmap.upsert(pk, doc_id)
+
+    def _apply_upsert(self, pk, fields, vectors) -> None:
+        old_id = self.idmap.get(pk)
+        if old_id is not None:
+            self.deletes.mark(old_id)
+        self._apply_insert(pk, fields, vectors)
+
+    def _apply_delete(self, pk) -> None:
+        doc_id = self.idmap.get(pk)
+        if doc_id is not None:
+            self.deletes.mark(doc_id)
+            self.idmap.remove(pk)
+
+    # ---- segment rotation ----
+    def _maybe_rotate(self) -> None:
+        if (
+            self.writing is not None
+            and self.writing.doc_count >= self.schema.max_doc_count_per_segment
+        ):
+            self._seal_writing_segment()
+
+    def _seal_writing_segment(self) -> None:
+        """Seal current writing segment + start a new one + commit version
+        (reference `collection.cc:1476-1515`)."""
+        old = self.writing
+        old.flush()
+        old.meta.state = "sealed"
+        self.segments.append(old)
+        self._rotate_writing_segment()
+        self._snapshot_maps()
+        self._commit_version()
+        old.seal()
+        # auto-build the schema's index on the sealed segment
+        self._build_indexes_for(old)
+        self._commit_version()
+
+    def _build_indexes_for(self, seg: Segment) -> None:
+        from ..typing.enum import IndexType
+
+        for vs in self.schema.vectors:
+            if vs.data_type.is_sparse_vector:
+                continue  # sparse engines arrive with the sparse phase
+            if vs.index_param.index_type != IndexType.FLAT:
+                seg.build_index(vs.name, vs.index_param)
+
+    def _rotate_writing_segment(self, first: bool = False) -> None:
+        meta = SegmentMeta(
+            segment_id=self._next_segment_id,
+            doc_id_start=self._next_doc_id,
+            state="writing",
+        )
+        self._next_segment_id += 1
+        self.writing = Segment.create(self.path, meta, self.schema)
+
+    # ================= durability =================
+    def flush(self) -> None:
+        """Durability checkpoint (reference `segment.cc:2079-2177`): persist the
+        writing segment's forward store + map snapshots, commit a version, then
+        drop the WAL."""
+        self._check_writable()
+        with self._lock:
+            self.writing.flush()
+            self._snapshot_maps()
+            self._commit_version()
+            self.writing.drop_wal()
+
+    def _snapshot_maps(self) -> None:
+        self.idmap.snapshot(os.path.join(self.path, _IDMAP_FILE))
+        self.deletes.snapshot(os.path.join(self.path, _DELETE_FILE))
+
+    def _commit_version(self) -> None:
+        self._version_id += 1
+        metas = [s.meta for s in self.segments]
+        if self.writing is not None:
+            metas = metas + [self.writing.meta]
+        version = Version(
+            self._version_id,
+            self.schema.to_dict(),
+            metas,
+            self._next_doc_id,
+            self._next_segment_id,
+            delete_snapshot=_DELETE_FILE
+            if os.path.exists(os.path.join(self.path, _DELETE_FILE))
+            else None,
+            idmap_snapshot=_IDMAP_FILE
+            if os.path.exists(os.path.join(self.path, _IDMAP_FILE))
+            else None,
+        )
+        self.versions.commit(version)
+
+    # ================= DQL =================
+    def query_field(
+        self,
+        field_name: str,
+        queries: np.ndarray,
+        topk: int,
+        filter_str: Optional[str] = None,
+        param: Optional[QueryParam] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Search one vector field over all segments.
+        Returns (similarity (Q, topk) desc, doc_ids (Q, topk), -1 invalid)."""
+        vs = self.schema.vector(field_name)
+        if vs is None:
+            raise ZvecError(
+                StatusCode.INVALID_ARGUMENT, f"unknown vector field '{field_name}'"
+            )
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        with self._lock:
+            segs = list(self.segments) + ([self.writing] if self.writing else [])
+        all_sims, all_ids = [], []
+        for seg in segs:
+            if seg.doc_count == 0:
+                continue
+            alive = self.deletes.alive_mask(seg.doc_id_start, seg.doc_count)
+            if filter_str:
+                fmask = self._filter_mask_for_segment(seg, filter_str)
+                alive = alive & fmask
+            sims, ids = seg.search(field_name, queries, topk, alive, param)
+            all_sims.append(sims)
+            all_ids.append(ids)
+        nq = queries.shape[0]
+        if not all_sims:
+            return (
+                np.full((nq, topk), -np.inf, np.float32),
+                np.full((nq, topk), -1, np.int64),
+            )
+        cat_s = np.concatenate(all_sims, axis=1)
+        cat_i = np.concatenate(all_ids, axis=1)
+        cat_s = np.where(cat_i >= 0, cat_s, -np.inf)
+        order = np.argsort(-cat_s, axis=1, kind="stable")[:, :topk]
+        out_s = np.take_along_axis(cat_s, order, axis=1)
+        out_i = np.take_along_axis(cat_i, order, axis=1)
+        if out_s.shape[1] < topk:
+            pad = topk - out_s.shape[1]
+            out_s = np.pad(out_s, ((0, 0), (0, pad)), constant_values=-np.inf)
+            out_i = np.pad(out_i, ((0, 0), (0, pad)), constant_values=-1)
+        return out_s, out_i
+
+    def query(
+        self,
+        field_name: str,
+        vector: np.ndarray,
+        topk: int = 10,
+        filter_str: Optional[str] = None,
+        include_vector: bool = False,
+        output_fields: Optional[List[str]] = None,
+        param: Optional[QueryParam] = None,
+    ) -> List[Doc]:
+        """Single-vector query returning ranked Docs."""
+        vs = self.schema.vector(field_name)
+        sims, ids = self.query_field(
+            field_name, np.asarray(vector)[None, :], topk, filter_str, param
+        )
+        metric = vs.index_param.metric_type
+        docs: List[Doc] = []
+        for sim, doc_id in zip(sims[0], ids[0]):
+            if doc_id < 0:
+                break
+            score = float(np.asarray(similarity_to_score(sim, metric)))
+            docs.append(
+                self._materialize_doc(int(doc_id), score, include_vector, output_fields)
+            )
+        return docs
+
+    def _materialize_doc(
+        self,
+        doc_id: int,
+        score: Optional[float],
+        include_vector: bool,
+        output_fields: Optional[List[str]],
+    ) -> Doc:
+        seg = self._segment_for_doc_id(doc_id)
+        pk, fields, vectors = seg.row_by_doc_id(doc_id)
+        if output_fields is not None:
+            fields = {k: v for k, v in fields.items() if k in output_fields}
+        return Doc(
+            id=pk,
+            score=score,
+            fields=fields,
+            vectors=vectors if include_vector else None,
+        )
+
+    def group_by_query(
+        self,
+        query,
+        group_by_field: str,
+        group_count: int = 10,
+        group_topk: int = 2,
+        filter_str: Optional[str] = None,
+        include_vector: bool = False,
+        output_fields: Optional[List[str]] = None,
+    ) -> List[Doc]:
+        """Group-by search (reference `sqlengine_impl.cc:93-121`,
+        `hnsw_algorithm.cc:102-104` expand_neighbors_by_group): overscan, then
+        keep the best `group_topk` docs of the `group_count` best groups,
+        groups ranked by their best similarity."""
+        if self.schema.field(group_by_field) is None:
+            raise ZvecError(
+                StatusCode.INVALID_ARGUMENT,
+                f"unknown group-by field '{group_by_field}'",
+            )
+        vs = self.schema.vector(query.field_name)
+        if vs is None:
+            raise ZvecError(
+                StatusCode.INVALID_ARGUMENT,
+                f"unknown vector field '{query.field_name}'",
+            )
+        overscan = max(group_count * group_topk * 4, 64)
+        sims, ids = self.query_field(
+            query.field_name,
+            np.asarray(query.vector, dtype=np.float32)[None, :],
+            overscan,
+            filter_str,
+            query.param,
+        )
+        metric = vs.index_param.metric_type
+        groups: Dict[Any, List[Tuple[float, int]]] = {}
+        group_order: List[Any] = []
+        for sim, doc_id in zip(sims[0], ids[0]):
+            if doc_id < 0:
+                break
+            seg = self._segment_for_doc_id(int(doc_id))
+            gval = seg.store.scalar_value(group_by_field, int(doc_id) - seg.doc_id_start)
+            key = gval if not isinstance(gval, (list, np.ndarray)) else str(gval)
+            if key not in groups:
+                groups[key] = []
+                group_order.append(key)
+            if len(groups[key]) < group_topk:
+                groups[key].append((float(sim), int(doc_id)))
+        docs: List[Doc] = []
+        for key in group_order[:group_count]:
+            for sim, doc_id in groups[key]:
+                score = float(np.asarray(similarity_to_score(sim, metric)))
+                docs.append(
+                    self._materialize_doc(doc_id, score, include_vector, output_fields)
+                )
+        return docs
+
+    def fetch(self, pks: Sequence[str]) -> Dict[str, Doc]:
+        out: Dict[str, Doc] = {}
+        for pk in pks:
+            doc_id = self.idmap.get(pk)
+            if doc_id is None or self.deletes.is_deleted(doc_id):
+                continue
+            out[pk] = self._materialize_doc(doc_id, None, True, None)
+        return out
+
+    def _segment_for_doc_id(self, doc_id: int) -> Optional[Segment]:
+        if self.writing is not None and self.writing.contains_doc_id(doc_id):
+            return self.writing
+        for seg in self.segments:
+            if seg.contains_doc_id(doc_id):
+                return seg
+        return None
+
+    # ---- filter hooks (implemented by the filter phase) ----
+    def _filter_mask_for_segment(self, seg: Segment, filter_str: str) -> np.ndarray:
+        from .filter import compile_filter
+
+        compiled = compile_filter(filter_str, self.schema)
+        return compiled.evaluate(seg)
+
+    def _filter_only_doc_ids(self, filter_str: str) -> List[int]:
+        with self._lock:
+            segs = list(self.segments) + ([self.writing] if self.writing else [])
+        out: List[int] = []
+        for seg in segs:
+            if seg.doc_count == 0:
+                continue
+            alive = self.deletes.alive_mask(seg.doc_id_start, seg.doc_count)
+            mask = alive & self._filter_mask_for_segment(seg, filter_str)
+            out.extend((np.nonzero(mask)[0] + seg.doc_id_start).tolist())
+        return out
+
+    # ================= DDL =================
+    def create_index(self, field_name: str, params, concurrency: int = 0) -> None:
+        self._check_writable()
+        from ..model.param.param import InvertIndexParam
+        from ..model.schema import FieldSchema, VectorSchema
+
+        with self._lock:
+            if isinstance(params, InvertIndexParam):
+                fs = self.schema.field(field_name)
+                if fs is None:
+                    raise ZvecError(
+                        StatusCode.INVALID_ARGUMENT,
+                        f"unknown scalar field '{field_name}'",
+                    )
+                self.schema._replace_field(
+                    field_name,
+                    FieldSchema(fs.name, fs.data_type, fs.nullable, params),
+                )
+            else:
+                vs = self.schema.vector(field_name)
+                if vs is None:
+                    raise ZvecError(
+                        StatusCode.INVALID_ARGUMENT,
+                        f"unknown vector field '{field_name}'",
+                    )
+                from ..typing.enum import IndexType
+
+                self.schema._replace_vector(field_name, vs._with_index_param(params))
+                for seg in self.segments:
+                    if params.index_type != IndexType.FLAT:
+                        seg.build_index(field_name, params)
+                    else:
+                        seg.drop_index(field_name)
+            self._commit_version()
+
+    def drop_index(self, field_name: str) -> None:
+        self._check_writable()
+        from ..model.param.param import FlatIndexParam
+        from ..model.schema import FieldSchema
+
+        with self._lock:
+            vs = self.schema.vector(field_name)
+            if vs is not None:
+                self.schema._replace_vector(
+                    field_name,
+                    vs._with_index_param(
+                        FlatIndexParam(vs.index_param.metric_type, vs.index_param.quantize_type)
+                    ),
+                )
+                for seg in self.segments:
+                    seg.drop_index(field_name)
+            else:
+                fs = self.schema.field(field_name)
+                if fs is None:
+                    raise ZvecError(
+                        StatusCode.INVALID_ARGUMENT, f"unknown field '{field_name}'"
+                    )
+                self.schema._replace_field(
+                    field_name, FieldSchema(fs.name, fs.data_type, fs.nullable, None)
+                )
+            self._commit_version()
+
+    def optimize(self, concurrency: int = 0) -> None:
+        """Compact: rotate the writing segment, then merge all sealed segments
+        into one with tombstones dropped (reference `collection.cc:786-920`)."""
+        self._check_writable()
+        with self._lock:
+            if self.writing.doc_count > 0:
+                self._seal_writing_segment()
+            if not self.segments:
+                return
+            self._compact_segments()
+
+    def _compact_segments(self) -> None:
+        """Merge all sealed segments into a fresh one, dropping deleted docs
+        (the MixedStreamerReducer role, `mixed_streamer_reducer.h:30-42`)."""
+        sources = self.segments
+        meta = SegmentMeta(
+            segment_id=self._next_segment_id,
+            doc_id_start=self._next_doc_id,
+            state="writing",
+        )
+        self._next_segment_id += 1
+        target = Segment.create(self.path, meta, self.schema)
+        remap: Dict[str, int] = {}
+        next_id = self._next_doc_id
+        for seg in sources:
+            alive = self.deletes.alive_mask(seg.doc_id_start, seg.doc_count)
+            for local in np.nonzero(alive)[0]:
+                pk, fields, vectors = seg.store.row(int(local))
+                target.apply_insert(pk, fields, vectors)
+                remap[pk] = next_id
+                next_id += 1
+        # swap: commit new version with target sealed, then destroy sources
+        target.flush()
+        target.meta.state = "sealed"
+        for seg in sources:
+            for d in range(seg.doc_id_start, seg.doc_id_start + seg.doc_count):
+                self.deletes.unmark(d)
+        self._next_doc_id = next_id
+        for pk, doc_id in remap.items():
+            self.idmap.upsert(pk, doc_id)
+        self.segments = [target]
+        self._snapshot_maps()
+        self._commit_version()
+        target.seal()
+        self._build_indexes_for(target)
+        self._commit_version()
+        for seg in sources:
+            seg.destroy()
+
+    # ---- column DDL ----
+    def add_column(self, field_schema, expression: str = "") -> None:
+        self._check_writable()
+        with self._lock:
+            self.schema._add_field(field_schema)
+            # existing rows get the expression value (constant or derived)
+            default_fn = None
+            if expression:
+                from .filter.expression import compile_value_expression
+
+                default_fn = compile_value_expression(expression, self.schema)
+            for seg in [*self.segments, self.writing]:
+                _add_column_to_segment(seg, field_schema, default_fn)
+            self._commit_version()
+
+    def drop_column(self, field_name: str) -> None:
+        self._check_writable()
+        with self._lock:
+            if self.schema.field(field_name) is None:
+                raise ZvecError(
+                    StatusCode.INVALID_ARGUMENT, f"unknown field '{field_name}'"
+                )
+            self.schema._drop_field(field_name)
+            for seg in [*self.segments, self.writing]:
+                seg.store.drop_column(field_name)
+                seg.schema = self.schema
+                if seg.meta.state == "sealed":
+                    _reseal(seg)
+            self._commit_version()
+
+    def alter_column(self, old_name: str, new_name: str = "", field_schema=None) -> None:
+        self._check_writable()
+        from ..model.schema import FieldSchema
+
+        with self._lock:
+            fs = self.schema.field(old_name)
+            if fs is None:
+                raise ZvecError(
+                    StatusCode.INVALID_ARGUMENT, f"unknown field '{old_name}'"
+                )
+            target_name = new_name or (field_schema.name if field_schema else old_name)
+            target_dt = field_schema.data_type if field_schema else fs.data_type
+            new_fs = FieldSchema(target_name, target_dt, fs.nullable, fs.index_param)
+            self.schema._replace_field(old_name, new_fs)
+            for seg in [*self.segments, self.writing]:
+                seg.store.rename_column(old_name, target_name)
+                seg.schema = self.schema
+                if seg.meta.state == "sealed":
+                    _reseal(seg)
+            self._commit_version()
+
+    # ================= stats / teardown =================
+    def stats(self) -> CollectionStats:
+        with self._lock:
+            total = sum(s.doc_count for s in self.segments)
+            if self.writing is not None:
+                total += self.writing.doc_count
+            alive = total - len(self.deletes)
+            completeness: Dict[str, float] = {}
+            from ..typing.enum import IndexType
+
+            for vs in self.schema.vectors:
+                if vs.index_param.index_type == IndexType.FLAT:
+                    completeness[vs.name] = 1.0
+                    continue
+                sealed = [s for s in self.segments if s.doc_count > 0]
+                if not sealed:
+                    completeness[vs.name] = 1.0
+                else:
+                    built = sum(1 for s in sealed if vs.name in s.meta.indexes)
+                    completeness[vs.name] = built / len(sealed)
+            return CollectionStats(alive, completeness)
+
+    def close(self) -> None:
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            if self._lock_fh is not None:
+                self._lock_fh.close()
+                self._lock_fh = None
+
+    def destroy(self) -> None:
+        import shutil
+
+        with self._lock:
+            self.close()
+            shutil.rmtree(self.path, ignore_errors=True)
+
+    def _check_writable(self) -> None:
+        if self.read_only:
+            raise ZvecError(StatusCode.PERMISSION_DENIED, "collection is read-only")
+        if self._closed:
+            raise ZvecError(StatusCode.FAILED_PRECONDITION, "collection is closed")
+
+
+def _load_writable(schema: CollectionSchema, path: str) -> ForwardStore:
+    """Load a flush checkpoint back into a writable store (writing-segment
+    recovery base)."""
+    sealed = ForwardStore.load(schema, path)
+    store = ForwardStore(schema)
+    for i in range(sealed.count):
+        pk, fields, vectors = sealed.row(i)
+        vecs = {}
+        for vs in schema.vectors:
+            v = vectors.get(vs.name)
+            if v is not None:
+                vecs[vs.name] = v if isinstance(v, dict) else np.asarray(v)
+        store.append(pk, fields, vecs)
+    return store
+
+
+def _reseal(seg: Segment) -> None:
+    """Rewrite a sealed segment's forward file from its (modified) table."""
+    from .forward_store import write_arrow
+
+    write_arrow(seg.store._table, os.path.join(seg.directory, FORWARD_FILE))
+    seg.store = ForwardStore.load(seg.schema, os.path.join(seg.directory, FORWARD_FILE))
+
+
+def _add_column_to_segment(seg: Segment, field_schema, default_fn) -> None:
+    values = default_fn(seg) if default_fn is not None else [None] * seg.store.count
+    if seg.meta.state == "sealed":
+        import pyarrow as pa
+
+        from .forward_store import arrow_type_for
+
+        new_col = pa.array(values, type=arrow_type_for(field_schema.data_type))
+        seg.store._table = seg.store._table.append_column(field_schema.name, new_col)
+        _reseal(seg)
+    else:
+        seg.store._scalars[field_schema.name] = list(values)

@@ -1,0 +1,327 @@
+"""Forward (document) store: columnar per-segment storage.
+
+Reference equivalents: `MemoryForwardStore` (writing segment, Arrow builders)
+and `MmapForwardStore` (sealed blocks, Arrow IPC / Parquet) behind
+`BaseForwardStore` (`src/db/index/storage/base_forward_store.h:39-57`,
+`store_helper.h` for the type mapping incl. the sparse-vector struct type).
+
+Writing mode holds append-only host buffers (python lists + growing numpy
+matrices for dense vectors); `seal()` writes one Arrow IPC file; sealed mode
+reads it back memory-mapped. Dense vector columns expose a contiguous
+(N, D) float32 matrix — the array that gets streamed to device HBM.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.ipc as ipc
+
+from ..model.schema import CollectionSchema
+from ..typing.enum import DataType
+
+__all__ = ["ForwardStore", "arrow_type_for", "write_arrow", "PK_COLUMN"]
+
+
+def write_arrow(table: "pa.Table", path: str) -> None:
+    """Atomically write an Arrow IPC file."""
+    tmp = path + ".tmp"
+    with ipc.new_file(tmp, table.schema) as writer:
+        writer.write_table(table)
+    os.replace(tmp, path)
+
+PK_COLUMN = "_pk"
+
+_SCALAR_ARROW = {
+    DataType.STRING: pa.string(),
+    DataType.BOOL: pa.bool_(),
+    DataType.INT32: pa.int32(),
+    DataType.INT64: pa.int64(),
+    DataType.UINT32: pa.uint32(),
+    DataType.UINT64: pa.uint64(),
+    DataType.FLOAT: pa.float32(),
+    DataType.DOUBLE: pa.float64(),
+    DataType.BINARY: pa.binary(),
+}
+
+_VECTOR_NUMPY = {
+    DataType.VECTOR_FP16: np.float16,
+    DataType.VECTOR_FP32: np.float32,
+    DataType.VECTOR_FP64: np.float64,
+    DataType.VECTOR_INT8: np.int8,
+}
+
+_SPARSE_TYPE = pa.struct(
+    [pa.field("indices", pa.list_(pa.uint32())), pa.field("values", pa.list_(pa.float32()))]
+)
+
+
+def arrow_type_for(dt: DataType) -> pa.DataType:
+    dt = DataType(dt)
+    if dt in _SCALAR_ARROW:
+        return _SCALAR_ARROW[dt]
+    if dt.is_array:
+        return pa.list_(_SCALAR_ARROW[dt.element_type])
+    if dt.is_sparse_vector:
+        return _SPARSE_TYPE
+    raise ValueError(f"no arrow type for {dt}")
+
+
+class ForwardStore:
+    """One segment's document storage (scalars + vectors)."""
+
+    def __init__(self, schema: CollectionSchema):
+        self.schema = schema
+        self._count = 0
+        self._writable = True
+        # scalar columns: name -> list of python values (None = null)
+        self._scalars: Dict[str, List[Any]] = {f.name: [] for f in schema.fields}
+        self._pks: List[str] = []
+        # dense vectors: name -> growing (cap, D) numpy buffer
+        self._dense: Dict[str, np.ndarray] = {}
+        self._dense_dtype: Dict[str, np.dtype] = {}
+        # sparse vectors: name -> list of {dim: value}
+        self._sparse: Dict[str, List[Optional[Dict[int, float]]]] = {}
+        for v in schema.vectors:
+            if v.data_type.is_sparse_vector:
+                self._sparse[v.name] = []
+            else:
+                dt = _VECTOR_NUMPY[v.data_type]
+                self._dense[v.name] = np.zeros((0, v.dimension), dtype=dt)
+                self._dense_dtype[v.name] = np.dtype(dt)
+        self._table: Optional[pa.Table] = None  # sealed-mode cache
+
+    # ------------- write path -------------
+    def append(self, pk: str, fields: Dict[str, Any], vectors: Dict[str, Any]) -> int:
+        """Append one doc; returns its local index."""
+        assert self._writable, "forward store is sealed"
+        idx = self._count
+        self._pks.append(pk)
+        for name, col in self._scalars.items():
+            col.append(fields.get(name))
+        for name in self._dense:
+            vec = vectors.get(name)
+            buf = self._dense[name]
+            if idx >= buf.shape[0]:
+                new_cap = max(1024, buf.shape[0] * 2, idx + 1)
+                grown = np.zeros((new_cap, buf.shape[1]), dtype=buf.dtype)
+                grown[: buf.shape[0]] = buf
+                self._dense[name] = grown
+                buf = grown
+            if vec is not None:
+                buf[idx] = np.asarray(vec, dtype=buf.dtype)
+        for name in self._sparse:
+            vec = vectors.get(name)
+            self._sparse[name].append(
+                {int(k): float(v) for k, v in vec.items()} if vec else None
+            )
+        self._count += 1
+        return idx
+
+    # ------------- read path -------------
+    @property
+    def count(self) -> int:
+        return self._count
+
+    def pk(self, idx: int) -> str:
+        if self._writable:
+            return self._pks[idx]
+        return self._table.column(PK_COLUMN)[idx].as_py()
+
+    def pks(self) -> List[str]:
+        if self._writable:
+            return list(self._pks)
+        return self._table.column(PK_COLUMN).to_pylist()
+
+    def scalar_value(self, name: str, idx: int):
+        if self._writable:
+            return self._scalars[name][idx]
+        value = self._table.column(name)[idx].as_py()
+        return value
+
+    def scalar_column(self, name: str) -> np.ndarray:
+        """Whole column as numpy (object dtype for strings/arrays); used by
+        filter evaluation. Nulls come back as None (object) or NaN (floats)."""
+        if self._writable:
+            f = self.schema.field(name)
+            return _pylist_to_numpy(self._scalars[name][: self._count], f.data_type)
+        col = self._table.column(name)
+        f = self.schema.field(name)
+        return _arrow_to_numpy(col, f.data_type)
+
+    def null_mask(self, name: str) -> np.ndarray:
+        """True where the value IS NULL."""
+        if self._writable:
+            return np.array(
+                [v is None for v in self._scalars[name][: self._count]], dtype=bool
+            )
+        col = self._table.column(name)
+        return np.asarray(col.is_null().combine_chunks().to_numpy(zero_copy_only=False))
+
+    def dense_matrix(self, name: str) -> np.ndarray:
+        """(N, D) matrix of a dense vector column in its storage dtype."""
+        if name in self._dense:
+            return self._dense[name][: self._count]
+        # sealed: reconstruct from arrow fixed-size-list
+        col = self._table.column(name).combine_chunks()
+        vs = self.schema.vector(name)
+        dt = _VECTOR_NUMPY[vs.data_type]
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(dt, copy=False)
+        return flat.reshape(self._count, vs.dimension)
+
+    def dense_vector(self, name: str, idx: int) -> Optional[np.ndarray]:
+        if name in self._dense:
+            return np.array(self._dense[name][idx])
+        col = self._table.column(name)
+        value = col[idx].as_py()
+        if value is None:
+            return None
+        vs = self.schema.vector(name)
+        return np.asarray(value, dtype=_VECTOR_NUMPY[vs.data_type])
+
+    def sparse_vector(self, name: str, idx: int) -> Optional[Dict[int, float]]:
+        if name in self._sparse:
+            return self._sparse[name][idx]
+        value = self._table.column(name)[idx].as_py()
+        if value is None:
+            return None
+        return dict(zip(value["indices"], value["values"]))
+
+    def sparse_rows(self, name: str) -> List[Optional[Dict[int, float]]]:
+        if name in self._sparse:
+            return self._sparse[name][: self._count]
+        col = self._table.column(name).to_pylist()
+        return [
+            dict(zip(v["indices"], v["values"])) if v is not None else None for v in col
+        ]
+
+    def row(self, idx: int) -> Tuple[str, Dict[str, Any], Dict[str, Any]]:
+        """(pk, fields, vectors) for one local index."""
+        fields = {}
+        for f in self.schema.fields:
+            fields[f.name] = self.scalar_value(f.name, idx)
+        vectors = {}
+        for v in self.schema.vectors:
+            if v.data_type.is_sparse_vector:
+                vec = self.sparse_vector(v.name, idx)
+            else:
+                vec = self.dense_vector(v.name, idx)
+                vec = vec.tolist() if vec is not None else None
+            if vec is not None:
+                vectors[v.name] = vec
+        return self.pk(idx), fields, vectors
+
+    # ------------- persistence -------------
+    def to_arrow(self) -> pa.Table:
+        arrays = {PK_COLUMN: pa.array(self._pks[: self._count], type=pa.string())}
+        for f in self.schema.fields:
+            at = arrow_type_for(f.data_type)
+            arrays[f.name] = pa.array(
+                _coerce_pylist(self._scalars[f.name][: self._count], f.data_type),
+                type=at,
+            )
+        for v in self.schema.vectors:
+            if v.data_type.is_sparse_vector:
+                rows = self._sparse[v.name][: self._count]
+                arrays[v.name] = pa.array(
+                    [
+                        {
+                            "indices": sorted(r.keys()),
+                            "values": [r[k] for k in sorted(r.keys())],
+                        }
+                        if r is not None
+                        else None
+                        for r in rows
+                    ],
+                    type=_SPARSE_TYPE,
+                )
+            else:
+                mat = self._dense[v.name][: self._count]
+                flat = pa.array(
+                    np.ascontiguousarray(mat, dtype=np.float32).reshape(-1)
+                    if mat.dtype != np.int8
+                    else mat.reshape(-1)
+                )
+                arrays[v.name] = pa.FixedSizeListArray.from_arrays(flat, v.dimension)
+        return pa.table(arrays)
+
+    def seal(self, path: str) -> None:
+        write_arrow(self.to_arrow() if self._writable else self._table, path)
+
+    @classmethod
+    def load(cls, schema: CollectionSchema, path: str) -> "ForwardStore":
+        store = cls(schema)
+        with pa.memory_map(path) as source:
+            store._table = ipc.open_file(source).read_all()
+        store._count = store._table.num_rows
+        store._writable = False
+        store._scalars = {}
+        store._dense = {}
+        store._sparse = {}
+        return store
+
+    # schema evolution hooks (add/drop column) operate on writable stores only
+    def add_column(self, name: str, data_type: DataType, default=None) -> None:
+        assert self._writable
+        self._scalars[name] = [default] * self._count
+
+    def drop_column(self, name: str) -> None:
+        if self._writable:
+            self._scalars.pop(name, None)
+        elif self._table is not None and name in self._table.column_names:
+            self._table = self._table.drop_columns([name])
+
+    def rename_column(self, old: str, new: str) -> None:
+        if self._writable:
+            if old in self._scalars:
+                self._scalars[new] = self._scalars.pop(old)
+        elif self._table is not None:
+            names = [new if n == old else n for n in self._table.column_names]
+            self._table = self._table.rename_columns(names)
+
+
+_NUMPY_SCALAR = {
+    DataType.BOOL: np.bool_,
+    DataType.INT32: np.int32,
+    DataType.INT64: np.int64,
+    DataType.UINT32: np.uint32,
+    DataType.UINT64: np.uint64,
+    DataType.FLOAT: np.float32,
+    DataType.DOUBLE: np.float64,
+}
+
+
+def _coerce_pylist(values: List[Any], dt: DataType) -> List[Any]:
+    if dt.is_array:
+        return [
+            None if v is None else (v.tolist() if isinstance(v, np.ndarray) else list(v))
+            for v in values
+        ]
+    return [None if v is None else _np_unwrap(v) for v in values]
+
+
+def _np_unwrap(v):
+    return v.item() if isinstance(v, np.generic) else v
+
+
+def _pylist_to_numpy(values: List[Any], dt: DataType) -> np.ndarray:
+    if dt in _NUMPY_SCALAR and not any(v is None for v in values):
+        return np.asarray(values, dtype=_NUMPY_SCALAR[dt])
+    if dt in (DataType.FLOAT, DataType.DOUBLE):
+        return np.asarray(
+            [np.nan if v is None else v for v in values], dtype=np.float64
+        )
+    return np.asarray(values, dtype=object)
+
+
+def _arrow_to_numpy(col: pa.ChunkedArray, dt: DataType) -> np.ndarray:
+    if dt in _NUMPY_SCALAR and col.null_count == 0 and not dt == DataType.BOOL:
+        return col.combine_chunks().to_numpy(zero_copy_only=False)
+    if dt in (DataType.FLOAT, DataType.DOUBLE):
+        return np.asarray(
+            [np.nan if v is None else v for v in col.to_pylist()], dtype=np.float64
+        )
+    return np.asarray(col.to_pylist(), dtype=object)

@@ -1,0 +1,217 @@
+"""Segment: one storage unit of a collection.
+
+Reference equivalent: `src/db/index/segment/segment.cc` — a segment owns its
+WAL, forward store, per-vector-column engines, and a contiguous doc_id range
+[doc_id_start, doc_id_start + count). Write path mirrors
+`segment.cc:780-858`: WAL append is the durability point, then the doc is
+applied to the forward store and the (lazily rebuilt) vector engines.
+
+TPU-native difference: vector "indexers" are array engines whose device state
+rebuilds from the forward store's dense matrix on demand — incremental graph
+mutation is replaced by rebuild-on-flush (the reference itself rebuilds on
+create_index/merge, `segment.cc:1591-1700`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.interface import VectorIndexEngine, create_engine
+from ..model.param.param import QueryParam, VectorIndexParam
+from ..model.schema import CollectionSchema
+from ..typing.enum import IndexType
+from .forward_store import ForwardStore
+from .version import SegmentMeta
+from .wal import WalFile
+
+__all__ = ["Segment"]
+
+FORWARD_FILE = "forward.arrow"
+WAL_FILE = "wal.log"
+
+
+class Segment:
+    def __init__(
+        self,
+        directory: str,
+        meta: SegmentMeta,
+        schema: CollectionSchema,
+        store: ForwardStore,
+        wal: Optional[WalFile],
+    ):
+        self.directory = directory
+        self.meta = meta
+        self.schema = schema
+        self.store = store
+        self.wal = wal
+        self._engines: Dict[str, VectorIndexEngine] = {}
+        self._write_version = 0
+        # field -> params used to build a full (non-flat) index on this segment
+        self._built_index_params: Dict[str, VectorIndexParam] = {}
+
+    # ------------- lifecycle -------------
+    @classmethod
+    def create(
+        cls, root: str, meta: SegmentMeta, schema: CollectionSchema
+    ) -> "Segment":
+        directory = os.path.join(root, meta.dirname)
+        os.makedirs(directory, exist_ok=True)
+        wal = WalFile(os.path.join(directory, WAL_FILE))
+        return cls(directory, meta, schema, ForwardStore(schema), wal)
+
+    @classmethod
+    def open_sealed(
+        cls, root: str, meta: SegmentMeta, schema: CollectionSchema
+    ) -> "Segment":
+        directory = os.path.join(root, meta.dirname)
+        store = ForwardStore.load(schema, os.path.join(directory, FORWARD_FILE))
+        seg = cls(directory, meta, schema, store, None)
+        seg._load_built_indexes()
+        return seg
+
+    @classmethod
+    def open_writing(
+        cls, root: str, meta: SegmentMeta, schema: CollectionSchema
+    ) -> "Segment":
+        """Reopen the writing segment; caller replays its WAL through
+        `apply_*` to reconstruct in-memory state."""
+        directory = os.path.join(root, meta.dirname)
+        wal = WalFile(os.path.join(directory, WAL_FILE))
+        return cls(directory, meta, schema, ForwardStore(schema), wal)
+
+    def _load_built_indexes(self) -> None:
+        from ..model.schema import _index_param_from_dict
+
+        for field, desc in self.meta.indexes.items():
+            params = _index_param_from_dict(desc.get("params"))
+            vs = self.schema.vector(field)
+            if vs is None or params is None:
+                continue
+            engine = create_engine(params, vs.dimension)
+            engine.bind_data(
+                lambda f=field: self.store.dense_matrix(f), lambda: self._write_version
+            )
+            engine.load_aux(self.directory, desc.get("aux", {}))
+            self._engines[field] = engine
+            self._built_index_params[field] = params
+
+    # ------------- write path -------------
+    @property
+    def doc_count(self) -> int:
+        return self.store.count
+
+    @property
+    def doc_id_start(self) -> int:
+        return self.meta.doc_id_start
+
+    def contains_doc_id(self, doc_id: int) -> bool:
+        return self.doc_id_start <= doc_id < self.doc_id_start + self.doc_count
+
+    def append_wal(self, payload: bytes) -> None:
+        self.wal.append(payload)
+
+    def wal_sync(self) -> None:
+        self.wal.flush()
+
+    def apply_insert(self, pk: str, fields: Dict[str, Any], vectors: Dict[str, Any]) -> int:
+        """Apply an insert (post-WAL). Returns the allocated doc_id."""
+        local = self.store.append(pk, fields, vectors)
+        self.meta.doc_count = self.store.count
+        self._write_version += 1
+        return self.doc_id_start + local
+
+    # ------------- search path -------------
+    def engine_for(self, field: str) -> VectorIndexEngine:
+        engine = self._engines.get(field)
+        if engine is None:
+            vs = self.schema.vector(field)
+            # Writing segments scan flat regardless of the schema's index type
+            # (the reference's brute-force-below-threshold behavior,
+            # `hnsw_params.h:42`); sealed segments use their built index.
+            engine = create_engine(vs.index_param, vs.dimension, force_flat=True)
+            engine.bind_data(
+                lambda f=field: np.asarray(
+                    self.store.dense_matrix(f), dtype=np.float32
+                ),
+                lambda: self._write_version,
+            )
+            self._engines[field] = engine
+        return engine
+
+    def search(
+        self,
+        field: str,
+        queries: np.ndarray,
+        topk: int,
+        alive_mask: Optional[np.ndarray] = None,
+        param: Optional[QueryParam] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (similarity (Q,k), global doc_ids (Q,k), -1 = invalid)."""
+        if self.doc_count == 0:
+            nq = np.atleast_2d(queries).shape[0]
+            return (
+                np.full((nq, topk), -np.inf, dtype=np.float32),
+                np.full((nq, topk), -1, dtype=np.int64),
+            )
+        engine = self.engine_for(field)
+        sims, idx = engine.search(queries, topk, alive_mask, param)
+        doc_ids = np.where(idx >= 0, idx + self.doc_id_start, -1)
+        return sims, doc_ids
+
+    # ------------- fetch -------------
+    def row_by_doc_id(self, doc_id: int) -> Tuple[str, Dict[str, Any], Dict[str, Any]]:
+        return self.store.row(doc_id - self.doc_id_start)
+
+    # ------------- index DDL -------------
+    def build_index(self, field: str, params: VectorIndexParam) -> None:
+        """Build a full index for `field` and persist its aux files."""
+        vs = self.schema.vector(field)
+        engine = create_engine(params, vs.dimension)
+        engine.bind_data(
+            lambda f=field: self.store.dense_matrix(f), lambda: self._write_version
+        )
+        engine.search(np.zeros((1, vs.dimension), np.float32), 1)  # force build
+        aux = engine.dump_aux(self.directory, f"{field}")
+        self._engines[field] = engine
+        self._built_index_params[field] = params
+        self.meta.indexes[field] = {"params": params.to_dict(), "aux": aux}
+
+    def drop_index(self, field: str) -> None:
+        self._engines.pop(field, None)
+        self._built_index_params.pop(field, None)
+        self.meta.indexes.pop(field, None)
+
+    # ------------- durability -------------
+    def flush(self) -> None:
+        """Persist forward store (+ engine aux). After the version manifest
+        commits, the WAL can be dropped (reference `segment.cc:2079-2177`)."""
+        self.store.seal(os.path.join(self.directory, FORWARD_FILE))
+
+    def drop_wal(self) -> None:
+        if self.wal is not None:
+            self.wal.remove()
+            self.wal = None
+            # reopen lazily if more writes come
+            self.wal = WalFile(os.path.join(self.directory, WAL_FILE))
+
+    def seal(self) -> None:
+        """Seal: persist and become immutable (reference `dump`, `segment.cc:2062`)."""
+        self.flush()
+        if self.wal is not None:
+            self.wal.remove()
+            self.wal = None
+        self.meta.state = "sealed"
+        self.store = ForwardStore.load(
+            self.schema, os.path.join(self.directory, FORWARD_FILE)
+        )
+        self._write_version += 1
+
+    def destroy(self) -> None:
+        import shutil
+
+        if self.wal is not None:
+            self.wal.close()
+        shutil.rmtree(self.directory, ignore_errors=True)

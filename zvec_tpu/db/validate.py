@@ -1,0 +1,154 @@
+"""Doc validation against a collection schema.
+
+Mirrors the reference's write-time validation (`collection.cc:1434`
+`doc.validate(schema)`, schema checks in `src/db/index/common/schema.cc`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..model.doc import Doc
+from ..model.schema import CollectionSchema
+from ..typing.enum import DataType, StatusCode
+from ..typing.status import Status
+
+__all__ = ["validate_doc", "coerce_scalar"]
+
+_INT_RANGES = {
+    DataType.INT32: (-(2**31), 2**31 - 1),
+    DataType.INT64: (-(2**63), 2**63 - 1),
+    DataType.UINT32: (0, 2**32 - 1),
+    DataType.UINT64: (0, 2**64 - 1),
+}
+
+
+def coerce_scalar(value: Any, dt: DataType) -> Tuple[Any, Optional[str]]:
+    """Coerce `value` to data type `dt`. Returns (value, error_message)."""
+    if value is None:
+        return None, None
+    if dt == DataType.STRING:
+        if not isinstance(value, str):
+            return None, f"expected str, got {type(value).__name__}"
+        return value, None
+    if dt == DataType.BOOL:
+        if isinstance(value, (bool, np.bool_)):
+            return bool(value), None
+        return None, f"expected bool, got {type(value).__name__}"
+    if dt in _INT_RANGES:
+        if isinstance(value, (bool, np.bool_)):
+            return None, "expected integer, got bool"
+        if isinstance(value, (int, np.integer)):
+            lo, hi = _INT_RANGES[dt]
+            v = int(value)
+            if not lo <= v <= hi:
+                return None, f"value {v} out of range for {dt.name}"
+            return v, None
+        return None, f"expected integer, got {type(value).__name__}"
+    if dt in (DataType.FLOAT, DataType.DOUBLE):
+        if isinstance(value, (bool, np.bool_)):
+            return None, "expected number, got bool"
+        if isinstance(value, (int, float, np.integer, np.floating)):
+            return float(value), None
+        return None, f"expected number, got {type(value).__name__}"
+    if dt == DataType.BINARY:
+        if not isinstance(value, bytes):
+            return None, f"expected bytes, got {type(value).__name__}"
+        return value, None
+    if dt.is_array:
+        if isinstance(value, np.ndarray):
+            value = value.tolist()
+        if not isinstance(value, (list, tuple)):
+            return None, f"expected list, got {type(value).__name__}"
+        element_dt = dt.element_type
+        out = []
+        for i, item in enumerate(value):
+            coerced, err = coerce_scalar(item, element_dt)
+            if err:
+                return None, f"array element {i}: {err}"
+            out.append(coerced)
+        return out, None
+    return None, f"unsupported data type {dt.name}"
+
+
+def validate_doc(
+    schema: CollectionSchema, doc: Doc, partial: bool = False
+) -> Tuple[Optional[Dict[str, Any]], Optional[Dict[str, Any]], Status]:
+    """Validate + coerce one doc. `partial=True` (updates) allows missing
+    fields/vectors. Returns (fields, vectors, status)."""
+    if not isinstance(doc.id, str) or not doc.id:
+        return None, None, Status.error(
+            StatusCode.INVALID_ARGUMENT, "doc id must be a non-empty string"
+        )
+
+    fields: Dict[str, Any] = {}
+    for name, value in (doc.fields or {}).items():
+        fs = schema.field(name)
+        if fs is None:
+            return None, None, Status.error(
+                StatusCode.INVALID_ARGUMENT, f"unknown field '{name}'"
+            )
+        coerced, err = coerce_scalar(value, fs.data_type)
+        if err:
+            return None, None, Status.error(
+                StatusCode.INVALID_ARGUMENT, f"field '{name}': {err}"
+            )
+        fields[name] = coerced
+
+    for fs in schema.fields:
+        if fs.name not in fields or fields[fs.name] is None:
+            if not fs.nullable and not partial:
+                return None, None, Status.error(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"field '{fs.name}' is not nullable and missing",
+                )
+
+    vectors: Dict[str, Any] = {}
+    for name, value in (doc.vectors or {}).items():
+        vs = schema.vector(name)
+        if vs is None:
+            return None, None, Status.error(
+                StatusCode.INVALID_ARGUMENT, f"unknown vector field '{name}'"
+            )
+        if vs.data_type.is_sparse_vector:
+            if not isinstance(value, dict):
+                return None, None, Status.error(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"sparse vector '{name}' must be a dict of dim->value",
+                )
+            try:
+                vectors[name] = {int(k): float(v) for k, v in value.items()}
+            except (TypeError, ValueError):
+                return None, None, Status.error(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"sparse vector '{name}' has non-numeric entries",
+                )
+        else:
+            arr = np.asarray(value)
+            if arr.ndim != 1:
+                return None, None, Status.error(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"vector '{name}' must be 1-dimensional",
+                )
+            if arr.shape[0] != vs.dimension:
+                return None, None, Status.error(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"vector '{name}' dimension {arr.shape[0]} != schema {vs.dimension}",
+                )
+            if not np.issubdtype(arr.dtype, np.number):
+                return None, None, Status.error(
+                    StatusCode.INVALID_ARGUMENT, f"vector '{name}' must be numeric"
+                )
+            vectors[name] = arr
+
+    if not partial:
+        for vs in schema.vectors:
+            if vs.name not in vectors:
+                return None, None, Status.error(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"vector field '{vs.name}' is required",
+                )
+
+    return fields, vectors, Status.ok()

@@ -1,0 +1,233 @@
+"""Query executors: validate -> build -> execute -> merge/rerank.
+
+Parity with the reference executor framework (`python/zvec/executor/
+query_executor.py:119-307`): the factory picks No/Single/MultiVector executor
+from the schema's vector count; multi-vector requires a reranker; query-by-id
+fetches the stored vector first; per-field execution may run thread-parallel
+(`ZVEC_QUERY_CONCURRENCY`).
+"""
+
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..db.collection_impl import CollectionImpl
+from ..extension.multi_vector_reranker import RrfReRanker, WeightedReRanker
+from ..extension.rerank_function import RerankFunction
+from ..model.doc import Doc
+from ..model.param.vector_query import VectorQuery
+from ..model.schema import CollectionSchema
+from ..typing.enum import DataType
+
+__all__ = [
+    "QueryContext",
+    "QueryExecutor",
+    "QueryExecutorFactory",
+    "NoVectorQueryExecutor",
+    "SingleVectorQueryExecutor",
+    "MultiVectorQueryExecutor",
+]
+
+# numpy dtype coercion per vector schema (reference DTYPE_MAP, `query_executor.py:38`)
+DTYPE_MAP = {
+    DataType.VECTOR_FP16: np.float16,
+    DataType.VECTOR_FP32: np.float32,
+    DataType.VECTOR_FP64: np.float64,
+    DataType.VECTOR_INT8: np.int8,
+}
+
+
+class QueryContext:
+    def __init__(
+        self,
+        topk: int = 10,
+        filter: Optional[str] = None,
+        queries: Optional[List[VectorQuery]] = None,
+        include_vector: bool = False,
+        output_fields: Optional[List[str]] = None,
+        reranker: Optional[RerankFunction] = None,
+    ):
+        self.topk = topk
+        self.filter = filter
+        self.queries = queries or []
+        self.include_vector = include_vector
+        self.output_fields = output_fields
+        self.reranker = reranker
+
+
+class _BuiltQuery:
+    __slots__ = ("field_name", "vector", "param")
+
+    def __init__(self, field_name: str, vector, param):
+        self.field_name = field_name
+        self.vector = vector
+        self.param = param
+
+
+class QueryExecutor(ABC):
+    def __init__(self, schema: CollectionSchema):
+        self._schema = schema
+        self._concurrency = max(1, int(os.getenv("ZVEC_QUERY_CONCURRENCY", "1")))
+
+    @abstractmethod
+    def _do_validate(self, ctx: QueryContext) -> None:
+        ...
+
+    @abstractmethod
+    def _do_build(self, ctx: QueryContext, impl: CollectionImpl) -> List[_BuiltQuery]:
+        ...
+
+    def _build_one(
+        self, ctx: QueryContext, query: VectorQuery, impl: CollectionImpl
+    ) -> _BuiltQuery:
+        query._validate()
+        vs = self._schema.vector(query.field_name)
+        if vs is None:
+            raise ValueError(f"unknown vector field '{query.field_name}'")
+        if query.has_vector():
+            vec = query.vector
+        else:
+            # query-by-id: fetch the stored vector (`query_executor.py:163-170`)
+            fetched = impl.fetch([query.id])
+            if query.id not in fetched:
+                raise ValueError(f"query doc id '{query.id}' not found")
+            vec = fetched[query.id].vector(vs.name)
+            if vec is None:
+                raise ValueError(
+                    f"doc '{query.id}' has no vector for field '{vs.name}'"
+                )
+        if vs.data_type.is_sparse_vector:
+            if not isinstance(vec, dict):
+                raise ValueError(
+                    f"sparse field '{vs.name}' requires a dict query vector"
+                )
+            built_vec = {int(k): float(v) for k, v in vec.items()}
+        else:
+            target = DTYPE_MAP.get(vs.data_type, np.float32)
+            built_vec = np.asarray(vec, dtype=target)
+            if built_vec.shape != (vs.dimension,):
+                raise ValueError(
+                    f"query vector for '{vs.name}' has shape {built_vec.shape}, "
+                    f"expected ({vs.dimension},)"
+                )
+        return _BuiltQuery(query.field_name, built_vec, query.param)
+
+    def _do_execute(
+        self, ctx: QueryContext, built: List[_BuiltQuery], impl: CollectionImpl
+    ) -> Dict[str, List[Doc]]:
+        def run(bq: _BuiltQuery) -> List[Doc]:
+            return impl.query(
+                bq.field_name,
+                bq.vector,
+                topk=ctx.topk,
+                filter_str=ctx.filter,
+                include_vector=ctx.include_vector,
+                output_fields=ctx.output_fields,
+                param=bq.param,
+            )
+
+        if len(built) == 1 or self._concurrency == 1:
+            return {bq.field_name: run(bq) for bq in built}
+        results: Dict[str, List[Doc]] = {}
+        with ThreadPoolExecutor(max_workers=self._concurrency) as pool:
+            futures = {pool.submit(run, bq): bq.field_name for bq in built}
+            for future in as_completed(futures):
+                results[futures[future]] = future.result()
+        return results
+
+    def _do_merge_rerank_results(
+        self, ctx: QueryContext, docs_map: Dict[str, List[Doc]]
+    ) -> List[Doc]:
+        if not docs_map:
+            raise ValueError("Query results is none")
+        if len(docs_map) == 1:
+            if not ctx.reranker or isinstance(
+                ctx.reranker, (RrfReRanker, WeightedReRanker)
+            ):
+                return next(iter(docs_map.values()))
+            return ctx.reranker.rerank(docs_map)
+        return ctx.reranker.rerank(docs_map)
+
+    def execute(self, ctx: QueryContext, impl: CollectionImpl) -> List[Doc]:
+        self._do_validate(ctx)
+        built = self._do_build(ctx, impl)
+        if not built and not isinstance(self, NoVectorQueryExecutor):
+            raise ValueError("No query to execute")
+        if isinstance(self, NoVectorQueryExecutor):
+            return self._execute_scan(ctx, impl)
+        docs = self._do_execute(ctx, built, impl)
+        return self._do_merge_rerank_results(ctx, docs)
+
+
+class NoVectorQueryExecutor(QueryExecutor):
+    """Filter-only scan for schemas without vector fields."""
+
+    def _do_validate(self, ctx: QueryContext) -> None:
+        if ctx.queries:
+            raise ValueError("collection has no vector fields; pass vectors=None")
+
+    def _do_build(self, ctx, impl):
+        return []
+
+    def _execute_scan(self, ctx: QueryContext, impl: CollectionImpl) -> List[Doc]:
+        if ctx.filter:
+            doc_ids = impl._filter_only_doc_ids(ctx.filter)
+        else:
+            doc_ids = []
+            with impl._lock:
+                segs = list(impl.segments) + ([impl.writing] if impl.writing else [])
+            for seg in segs:
+                alive = impl.deletes.alive_mask(seg.doc_id_start, seg.doc_count)
+                doc_ids.extend(
+                    (np.nonzero(alive)[0] + seg.doc_id_start).tolist()
+                )
+        doc_ids = doc_ids[: ctx.topk]
+        return [
+            impl._materialize_doc(d, None, ctx.include_vector, ctx.output_fields)
+            for d in doc_ids
+        ]
+
+
+class SingleVectorQueryExecutor(QueryExecutor):
+    def _do_validate(self, ctx: QueryContext) -> None:
+        if not ctx.queries:
+            raise ValueError("at least one VectorQuery is required")
+        if len(ctx.queries) > 1:
+            raise ValueError(
+                "multiple VectorQuery on a single-vector collection"
+            )
+
+    def _do_build(self, ctx, impl):
+        return [self._build_one(ctx, q, impl) for q in ctx.queries]
+
+
+class MultiVectorQueryExecutor(QueryExecutor):
+    def _do_validate(self, ctx: QueryContext) -> None:
+        if not ctx.queries:
+            raise ValueError("at least one VectorQuery is required")
+        names = [q.field_name for q in ctx.queries]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate vector fields in query")
+        if len(ctx.queries) > 1 and ctx.reranker is None:
+            raise ValueError(
+                "multi-vector query requires a reranker (`query_executor.py:283`)"
+            )
+
+    def _do_build(self, ctx, impl):
+        return [self._build_one(ctx, q, impl) for q in ctx.queries]
+
+
+class QueryExecutorFactory:
+    @staticmethod
+    def create(schema: CollectionSchema) -> QueryExecutor:
+        n = len(schema.vectors)
+        if n == 0:
+            return NoVectorQueryExecutor(schema)
+        if n == 1:
+            return SingleVectorQueryExecutor(schema)
+        return MultiVectorQueryExecutor(schema)

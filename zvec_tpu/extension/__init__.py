@@ -1,0 +1,15 @@
+from .embedding_function import (
+    DenseEmbeddingFunction,
+    SparseEmbeddingFunction,
+)
+from .rerank_function import ReRanker, RerankFunction
+from .multi_vector_reranker import RrfReRanker, WeightedReRanker
+
+__all__ = [
+    "DenseEmbeddingFunction",
+    "SparseEmbeddingFunction",
+    "ReRanker",
+    "RerankFunction",
+    "RrfReRanker",
+    "WeightedReRanker",
+]

@@ -1,0 +1,200 @@
+"""Public Collection API.
+
+Method-for-method parity with the reference Python surface
+(`python/zvec/model/collection.py:44-379`): DDL (create_index/drop_index/
+optimize/add_column/drop_column/alter_column), DML (insert/upsert/update/
+delete/delete_by_filter), DQL (query/fetch), plus path/option/schema/stats
+properties, flush/destroy — backed by `zvec_tpu.db.CollectionImpl`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Union
+
+from ..db.collection_impl import CollectionImpl
+from ..executor.query_executor import QueryContext, QueryExecutorFactory
+from ..extension.rerank_function import RerankFunction
+from ..typing.status import Status
+from .doc import Doc
+from .param.param import (
+    AddColumnOption,
+    AlterColumnOption,
+    CollectionOption,
+    FlatIndexParam,
+    HnswIndexParam,
+    IndexOption,
+    InvertIndexParam,
+    IVFIndexParam,
+    OptimizeOption,
+)
+from .param.vector_query import VectorQuery
+from .schema import CollectionSchema, CollectionStats, FieldSchema
+
+__all__ = ["Collection"]
+
+_VECTOR_INDEX_TYPES = (HnswIndexParam, IVFIndexParam, FlatIndexParam)
+
+
+class Collection:
+    """An opened collection. Obtained via `zvec_tpu.create_and_open()` or
+    `zvec_tpu.open()`; not instantiated directly."""
+
+    def __init__(self, impl: CollectionImpl, option: Optional[CollectionOption] = None):
+        self._impl = impl
+        self._option = option or CollectionOption()
+        self._querier = QueryExecutorFactory.create(impl.schema)
+
+    # ========== properties ==========
+    @property
+    def path(self) -> str:
+        return self._impl.path
+
+    @property
+    def option(self) -> CollectionOption:
+        return self._option
+
+    @property
+    def schema(self) -> CollectionSchema:
+        return self._impl.schema
+
+    @property
+    def stats(self) -> CollectionStats:
+        return self._impl.stats()
+
+    # ========== collection DDL ==========
+    def destroy(self) -> None:
+        """Permanently delete the collection from disk. Irreversible."""
+        self._impl.destroy()
+
+    def flush(self) -> None:
+        """Force all pending writes to durable storage."""
+        self._impl.flush()
+
+    # ========== index DDL ==========
+    def create_index(
+        self,
+        field_name: str,
+        index_param: Union[
+            HnswIndexParam, IVFIndexParam, FlatIndexParam, InvertIndexParam
+        ],
+        option: IndexOption = IndexOption(),
+    ) -> None:
+        if isinstance(index_param, _VECTOR_INDEX_TYPES) and not self.schema.vector(
+            field_name
+        ):
+            supported = ", ".join(c.__name__ for c in _VECTOR_INDEX_TYPES)
+            raise ValueError(
+                f"Cannot apply vector index to non-vector field '{field_name}'. "
+                f"The field must be of vector type to use index types like {supported}."
+            )
+        self._impl.create_index(field_name, index_param, option.concurrency)
+        self._refresh()
+
+    def drop_index(self, field_name: str) -> None:
+        self._impl.drop_index(field_name)
+        self._refresh()
+
+    def optimize(self, option: OptimizeOption = OptimizeOption()) -> None:
+        self._impl.optimize(option.concurrency)
+
+    # ========== column DDL ==========
+    def add_column(
+        self,
+        field_schema: FieldSchema,
+        expression: str = "",
+        option: AddColumnOption = AddColumnOption(),
+    ) -> None:
+        self._impl.add_column(field_schema, expression)
+        self._refresh()
+
+    def drop_column(self, field_name: str) -> None:
+        self._impl.drop_column(field_name)
+        self._refresh()
+
+    def alter_column(
+        self,
+        old_name: str,
+        new_name: Optional[str] = None,
+        field_schema: Optional[FieldSchema] = None,
+        option: AlterColumnOption = AlterColumnOption(),
+    ) -> None:
+        self._impl.alter_column(old_name, new_name or "", field_schema)
+        self._refresh()
+
+    def _refresh(self) -> None:
+        self._querier = QueryExecutorFactory.create(self._impl.schema)
+
+    # ========== DML ==========
+    def insert(self, docs: Union[Doc, List[Doc]]) -> Union[Status, List[Status]]:
+        is_single = isinstance(docs, Doc)
+        results = self._impl.insert([docs] if is_single else docs)
+        return results[0] if is_single else results
+
+    def upsert(self, docs: Union[Doc, List[Doc]]) -> Union[Status, List[Status]]:
+        is_single = isinstance(docs, Doc)
+        results = self._impl.upsert([docs] if is_single else docs)
+        return results[0] if is_single else results
+
+    def update(self, docs: Union[Doc, List[Doc]]) -> Union[Status, List[Status]]:
+        is_single = isinstance(docs, Doc)
+        results = self._impl.update([docs] if is_single else docs)
+        return results[0] if is_single else results
+
+    def delete(self, ids: Union[str, List[str]]) -> Union[Status, List[Status]]:
+        is_single = isinstance(ids, str)
+        results = self._impl.delete([ids] if is_single else ids)
+        return results[0] if is_single else results
+
+    def delete_by_filter(self, filter: str) -> None:
+        self._impl.delete_by_filter(filter)
+
+    # ========== DQL ==========
+    def fetch(self, ids: Union[str, List[str]]) -> Dict[str, Doc]:
+        ids = [ids] if isinstance(ids, str) else ids
+        return self._impl.fetch(ids)
+
+    def query(
+        self,
+        vectors: Optional[Union[VectorQuery, List[VectorQuery]]] = None,
+        *,
+        topk: int = 10,
+        filter: Optional[str] = None,
+        include_vector: bool = False,
+        output_fields: Optional[List[str]] = None,
+        reranker: Optional[RerankFunction] = None,
+    ) -> List[Doc]:
+        """Vector similarity search with optional filtering and re-ranking."""
+        ctx = QueryContext(
+            topk=topk,
+            filter=filter,
+            queries=[vectors] if isinstance(vectors, VectorQuery) else vectors,
+            include_vector=include_vector,
+            output_fields=output_fields,
+            reranker=reranker,
+        )
+        return self._querier.execute(ctx, self._impl)
+
+    def group_by_query(
+        self,
+        vectors: Optional[Union[VectorQuery, List[VectorQuery]]] = None,
+        *,
+        group_by_field: str,
+        group_count: int = 10,
+        group_topk: int = 2,
+        filter: Optional[str] = None,
+        include_vector: bool = False,
+        output_fields: Optional[List[str]] = None,
+    ) -> List[Doc]:
+        """Group-by search: best `group_topk` docs for each of the top
+        `group_count` groups (reference `_Collection.GroupByQuery`,
+        `python_collection.cc:203`; C++-only there, exposed here)."""
+        query = vectors[0] if isinstance(vectors, list) else vectors
+        return self._impl.group_by_query(
+            query,
+            group_by_field=group_by_field,
+            group_count=group_count,
+            group_topk=group_topk,
+            filter_str=filter,
+            include_vector=include_vector,
+            output_fields=output_fields,
+        )

@@ -1,0 +1,150 @@
+"""GlobalConfig: process-wide configuration singleton.
+
+Reference equivalent: `src/db/common/config.cc:33-135` — validated once at
+init(), with cgroup-aware defaults (thread counts from CPU limit, memory limit
+= cgroup limit x 0.8). Initialization is once-only.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+from typing import Optional
+
+from ..typing.enum import LogLevel, LogType
+
+__all__ = ["GlobalConfig", "cgroup_cpu_limit", "cgroup_memory_limit_mb"]
+
+
+def cgroup_cpu_limit() -> int:
+    """CPU count from cgroup v2/v1 limits, falling back to os.cpu_count()
+    (reference `CgroupUtil::getCpuLimit`, `cgroup_util.h:42`)."""
+    try:
+        with open("/sys/fs/cgroup/cpu.max") as fh:  # cgroup v2
+            quota, period = fh.read().split()
+            if quota != "max":
+                return max(1, int(int(quota) / int(period)))
+    except (OSError, ValueError):
+        pass
+    try:  # cgroup v1
+        with open("/sys/fs/cgroup/cpu/cpu.cfs_quota_us") as fh:
+            quota = int(fh.read())
+        with open("/sys/fs/cgroup/cpu/cpu.cfs_period_us") as fh:
+            period = int(fh.read())
+        if quota > 0:
+            return max(1, quota // period)
+    except (OSError, ValueError):
+        pass
+    return os.cpu_count() or 1
+
+
+def cgroup_memory_limit_mb() -> int:
+    """Memory limit in MB from cgroup, x0.8 (reference `config.cc:33-40`)."""
+    for path in ("/sys/fs/cgroup/memory.max", "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(path) as fh:
+                raw = fh.read().strip()
+            if raw != "max":
+                limit = int(raw)
+                if limit < (1 << 60):
+                    return int(limit * 0.8 / (1 << 20))
+        except (OSError, ValueError):
+            continue
+    try:
+        import resource  # noqa: F401
+
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        return int(total * 0.8 / (1 << 20))
+    except (OSError, ValueError):
+        return 4096
+
+
+class GlobalConfig:
+    _instance: Optional["GlobalConfig"] = None
+    _init_lock = threading.Lock()
+
+    def __init__(self):
+        self.initialized = False
+        self.log_type = LogType.CONSOLE
+        self.log_level = LogLevel.WARN
+        self.log_dir = "./logs"
+        self.log_basename = "zvec.log"
+        self.log_file_size = 2048
+        self.log_overdue_days = 7
+        self.query_threads = cgroup_cpu_limit()
+        self.optimize_threads = cgroup_cpu_limit()
+        self.invert_to_forward_scan_ratio = 0.9
+        self.brute_force_by_keys_ratio = 0.1
+        self.memory_limit_mb = cgroup_memory_limit_mb()
+
+    @classmethod
+    def instance(cls) -> "GlobalConfig":
+        if cls._instance is None:
+            with cls._init_lock:
+                if cls._instance is None:
+                    cls._instance = cls()
+        return cls._instance
+
+    @classmethod
+    def _reset_for_tests(cls) -> None:
+        with cls._init_lock:
+            cls._instance = None
+
+    def initialize(self, **kwargs) -> None:
+        with self._init_lock:
+            if self.initialized:
+                raise RuntimeError("zvec_tpu is already initialized")
+            for key, value in kwargs.items():
+                if value is None:
+                    continue
+                if not hasattr(self, key):
+                    raise ValueError(f"unknown config key '{key}'")
+                setattr(self, key, value)
+            self._validate()
+            self._init_logging()
+            self.initialized = True
+
+    def _validate(self) -> None:
+        if self.query_threads < 1:
+            raise ValueError("query_threads must be >= 1")
+        if self.optimize_threads < 1:
+            raise ValueError("optimize_threads must be >= 1")
+        if not 0.0 <= self.invert_to_forward_scan_ratio <= 1.0:
+            raise ValueError("invert_to_forward_scan_ratio must be in [0, 1]")
+        if not 0.0 <= self.brute_force_by_keys_ratio <= 1.0:
+            raise ValueError("brute_force_by_keys_ratio must be in [0, 1]")
+        if self.memory_limit_mb <= 0:
+            raise ValueError("memory_limit_mb must be > 0")
+        if not isinstance(self.log_level, LogLevel):
+            self.log_level = LogLevel(self.log_level)
+        if not isinstance(self.log_type, LogType):
+            self.log_type = LogType(self.log_type)
+
+    def _init_logging(self) -> None:
+        logger = logging.getLogger("zvec_tpu")
+        level = {
+            LogLevel.DEBUG: logging.DEBUG,
+            LogLevel.INFO: logging.INFO,
+            LogLevel.WARN: logging.WARNING,
+            LogLevel.ERROR: logging.ERROR,
+            LogLevel.FATAL: logging.CRITICAL,
+        }[self.log_level]
+        logger.setLevel(level)
+        if logger.handlers:
+            return
+        if self.log_type == LogType.FILE:
+            from logging.handlers import RotatingFileHandler
+
+            os.makedirs(self.log_dir, exist_ok=True)
+            handler = RotatingFileHandler(
+                os.path.join(self.log_dir, self.log_basename),
+                maxBytes=self.log_file_size * (1 << 20),
+                backupCount=max(1, self.log_overdue_days),
+            )
+        else:
+            handler = logging.StreamHandler()
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+        )
+        logger.addHandler(handler)
