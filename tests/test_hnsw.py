@@ -1,0 +1,142 @@
+"""HNSW engine tests: recall vs brute force, filters, persistence.
+
+Reference analog: `tests/core/hnsw_streamer_test.cc` / `hnsw_searcher_test.cpp`
+pattern — random vectors, build, assert recall against exact scan.
+"""
+
+import numpy as np
+import pytest
+
+import zvec_tpu
+from zvec_tpu import (
+    CollectionSchema,
+    DataType,
+    Doc,
+    FieldSchema,
+    HnswIndexParam,
+    HnswQueryParam,
+    MetricType,
+    VectorQuery,
+    VectorSchema,
+)
+from zvec_tpu.core.hnsw import HnswEngine
+from zvec_tpu.typing import IndexType
+
+
+def brute_topk(qs, xs, metric, k):
+    if metric == MetricType.L2:
+        d = ((qs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+        return np.argsort(d, axis=1)[:, :k]
+    sims = qs @ xs.T
+    if metric == MetricType.COSINE:
+        sims = sims / (
+            np.linalg.norm(qs, axis=1, keepdims=True)
+            * np.linalg.norm(xs, axis=1).clip(1e-12)[None, :]
+        )
+    return np.argsort(-sims, axis=1)[:, :k]
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
+def test_hnsw_recall(rng, metric):
+    n, d, k = 2500, 16, 10
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((20, d)).astype(np.float32)
+
+    engine = HnswEngine(metric, d, HnswIndexParam(metric, m=8, ef_construction=60))
+    engine.bind_data(lambda: xs, lambda: 1)
+    sims, idx = engine.search(qs, k, param=HnswQueryParam(ef=100))
+
+    expect = brute_topk(qs, xs, metric, k)
+    hits = sum(
+        len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(len(qs))
+    )
+    recall = hits / (len(qs) * k)
+    assert recall >= 0.85, f"recall@10 = {recall}"
+
+
+def test_hnsw_linear_param_exact(rng):
+    n, d, k = 1500, 16, 5
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((4, d)).astype(np.float32)
+    engine = HnswEngine(
+        MetricType.L2, d, HnswIndexParam(MetricType.L2, m=8, ef_construction=40)
+    )
+    engine.bind_data(lambda: xs, lambda: 1)
+    sims, idx = engine.search(qs, k, param=HnswQueryParam(ef=50, is_linear=True))
+    expect = brute_topk(qs, xs, MetricType.L2, k)
+    for i in range(4):
+        assert set(idx[i]) == set(expect[i])
+
+
+def test_hnsw_filtered_search(rng):
+    n, d, k = 2000, 16, 5
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((5, d)).astype(np.float32)
+    mask = rng.random(n) < 0.3
+    engine = HnswEngine(
+        MetricType.L2, d, HnswIndexParam(MetricType.L2, m=8, ef_construction=60)
+    )
+    engine.bind_data(lambda: xs, lambda: 1)
+    sims, idx = engine.search(qs, k, mask=mask, param=HnswQueryParam(ef=120))
+    # every returned id must pass the filter
+    for row in idx:
+        for i in row:
+            if i >= 0:
+                assert mask[i]
+    # decent recall among allowed
+    allowed = np.nonzero(mask)[0]
+    expect = brute_topk(qs, xs[allowed], MetricType.L2, k)
+    expect_ids = allowed[expect]
+    hits = sum(
+        len(set(idx[i][idx[i] >= 0]) & set(expect_ids[i])) for i in range(5)
+    )
+    assert hits / (5 * k) >= 0.6
+
+
+def test_hnsw_through_collection(tmp_path, rng):
+    n, d = 1500, 12
+    schema = CollectionSchema(
+        "h",
+        fields=[FieldSchema("i", DataType.INT64)],
+        vectors=[
+            VectorSchema(
+                "emb",
+                DataType.VECTOR_FP32,
+                d,
+                HnswIndexParam(MetricType.L2, m=8, ef_construction=50),
+            )
+        ],
+        max_doc_count_per_segment=n,  # force seal+build on rotation
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "h"), schema)
+    xs = rng.standard_normal((n + 10, d)).astype(np.float32)
+    for s in range(0, n + 10, 500):
+        e = min(s + 500, n + 10)
+        c.insert(
+            [
+                Doc(id=f"x{i}", vectors={"emb": xs[i]}, fields={"i": i})
+                for i in range(s, e)
+            ]
+        )
+    # rotation happened at n docs: one sealed (indexed) + writing segment
+    assert len(c._impl.segments) == 1
+    assert "emb" in c._impl.segments[0].meta.indexes
+    assert c.stats.index_completeness["emb"] == 1.0
+
+    res = c.query(
+        VectorQuery("emb", vector=xs[42], param=HnswQueryParam(ef=100)), topk=5
+    )
+    assert res[0].id == "x42"
+
+    # persistence: reopen reloads the graph without rebuilding
+    c.flush()
+    c._impl.close()
+    c2 = zvec_tpu.open(str(tmp_path / "h"))
+    res2 = c2.query(
+        VectorQuery("emb", vector=xs[7], param=HnswQueryParam(ef=100)), topk=5
+    )
+    assert res2[0].id == "x7"
+    eng = c2._impl.segments[0]._engines["emb"]
+    assert eng.index_type == IndexType.HNSW
+    assert eng._loaded_aux is not None  # graph came from disk
+    c2._impl.close()

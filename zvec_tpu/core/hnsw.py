@@ -1,0 +1,538 @@
+"""HNSW engine: device-accelerated batch build + batched beam search.
+
+Reference behavior being reproduced (`src/core/algorithm/hnsw/`):
+  - level sampling: faiss-style geometric probas with mult = 1/ln(scaling_factor),
+    scaling_factor = M (`hnsw_algorithm.h:51-80`, `hnsw_streamer.cc:50`)
+  - degrees: upper M, level-0 2*M (`hnsw_entity.h:519`)
+  - neighbor selection: best-first pairwise pruning + reverse-link updates with
+    re-prune on overflow (`hnsw_algorithm.cc:394-510`)
+  - search: ef=1 greedy descent, beam at L0 with ef, filter applied at
+    result-insert, scan budget = clamp(max_scan_ratio * N, min_scan_limit, ...)
+    (`hnsw_algorithm.cc:83-278`, defaults `hnsw_entity.h:500-513`)
+  - brute-force below threshold (default 1000 docs, `hnsw_entity.h:511`)
+
+TPU-native build strategy: nodes are inserted in growing chunks; all chunk
+nodes' candidate searches run as ONE batched device program over the current
+graph (upper-level candidates come from exact brute-force over the level's
+few members — cheaper and higher-recall than per-node graph walks), and both
+forward neighbor selection and reverse-link re-pruning run as batched pairwise
+kernels (`select_neighbors_batch`). The host only scatters adjacency rows.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.param.param import HnswQueryParam, QueryParam
+from ..ops.hnsw import hnsw_search, select_neighbors_batch
+from ..ops.runtime import round_up
+from ..ops.topk import blockwise_topk_search
+from ..typing.enum import IndexType, MetricType
+from .interface import VectorIndexEngine, register_engine
+
+__all__ = ["HnswEngine"]
+
+_BRUTE_FORCE_THRESHOLD = 1000  # kDefaultBruteForceThreshold
+_MAX_SCAN_RATIO = 0.1  # kDefaultScanRatio
+_MIN_SCAN_LIMIT = 10000  # kDefaultMinScanLimit
+_PRUNE_CAND_CAP = 128  # pairwise-prune candidate cap (device memory bound)
+_ROW_ALIGN = 128
+
+
+class _Graph:
+    """Host-side adjacency being built; device copies derived on demand."""
+
+    def __init__(self, n: int, m: int):
+        self.m = m
+        self.m0 = 2 * m
+        self.levels = np.zeros(n, dtype=np.int32)
+        self.l0 = np.full((n, self.m0), -1, dtype=np.int32)
+        # per upper level: ids (np array), nbrs (rows into same level), row_of (id -> row)
+        self.upper_ids: List[np.ndarray] = []
+        self.upper_nbrs: List[np.ndarray] = []
+        self.row_of: List[Dict[int, int]] = []
+        self.entry_point = -1
+        self.max_level = -1
+
+
+@register_engine(IndexType.HNSW)
+class HnswEngine(VectorIndexEngine):
+    def __init__(self, metric: MetricType, dimension: int, params=None):
+        super().__init__(metric, dimension, params)
+        self.m = params.m if params is not None else 50
+        self.ef_construction = params.ef_construction if params is not None else 500
+        self._graph: Optional[_Graph] = None
+        self._n = 0
+        # device state
+        self._codes = None
+        self._norms = None
+        self._dev = None  # dict of device graph arrays
+        self._loaded_aux: Optional[Dict[str, np.ndarray]] = None
+
+    # ------------- build -------------
+    def _rebuild(self, data: np.ndarray) -> None:
+        data = np.asarray(data, dtype=np.float32)
+        self._n = data.shape[0]
+        if self._n == 0:
+            self._dev = None
+            return
+        n_pad = round_up(self._n, _ROW_ALIGN)
+        padded = np.zeros((n_pad, data.shape[1]), np.float32)
+        padded[: self._n] = data
+        self._codes = jnp.asarray(padded)
+        self._norms = jnp.sum(self._codes * self._codes, axis=-1)
+
+        if self._loaded_aux is not None and self._loaded_aux["n"] == self._n:
+            self._graph = _graph_from_aux(self._loaded_aux, self.m)
+        if self._graph is None or self._graph.levels.shape[0] != self._n:
+            self._graph = self._build_graph(data)
+        self._dev = self._device_graph(self._graph)
+
+    def _device_graph(self, g: _Graph) -> Dict[str, Any]:
+        upper_ids, upper_nbrs, upper_down = [], [], []
+        for lvl in range(len(g.upper_ids)):
+            ids = g.upper_ids[lvl]
+            upper_ids.append(jnp.asarray(ids))
+            upper_nbrs.append(jnp.asarray(g.upper_nbrs[lvl]))
+            if lvl == 0:
+                down = ids  # level-1 drops to node ids at L0
+            else:
+                row_below = g.row_of[lvl - 1]
+                down = np.asarray([row_below[int(i)] for i in ids], dtype=np.int32)
+            upper_down.append(jnp.asarray(down))
+        # entry rows per level: row of entry_point at each level (index L = top)
+        entry_rows = np.zeros(len(g.upper_ids) + 1, dtype=np.int32)
+        entry_rows[0] = max(g.entry_point, 0)
+        for lvl in range(len(g.upper_ids)):
+            entry_rows[lvl + 1] = g.row_of[lvl].get(int(g.entry_point), 0)
+        return {
+            "l0": jnp.asarray(g.l0),
+            "upper_ids": tuple(upper_ids),
+            "upper_nbrs": tuple(upper_nbrs),
+            "upper_down": tuple(upper_down),
+            "entry_rows": jnp.asarray(entry_rows),
+            "num_levels": len(g.upper_ids),
+        }
+
+    def _build_graph(self, data: np.ndarray) -> _Graph:
+        n, d = data.shape
+        g = _Graph(n, self.m)
+        # deterministic level sampling (reference uses a seeded mt19937)
+        rng = np.random.default_rng(0x5EED + n)
+        mult = 1.0 / np.log(self.m)
+        u = rng.random(n)
+        g.levels = np.minimum(
+            (-np.log(np.maximum(u, 1e-12)) * mult).astype(np.int32), 10
+        )
+        g.max_level = int(g.levels.max(initial=0))
+        for lvl in range(1, g.max_level + 1):
+            member_mask = g.levels >= lvl
+            ids = np.nonzero(member_mask)[0].astype(np.int32)
+            g.upper_ids.append(ids)
+            g.upper_nbrs.append(np.full((len(ids), self.m), -1, dtype=np.int32))
+            g.row_of.append({int(v): i for i, v in enumerate(ids)})
+        g.entry_point = (
+            int(g.upper_ids[-1][0]) if g.max_level >= 1 else 0
+        )
+
+        norms = (data.astype(np.float32) ** 2).sum(1)
+
+        # chunked insertion
+        pos = 1  # node 0 seeds the graph
+        dev_stale = True
+        dev = None
+        while pos < n:
+            cur = pos
+            chunk = int(min(1024, max(32, cur // 4)))
+            chunk = min(chunk, n - pos)
+            new_ids = np.arange(pos, pos + chunk, dtype=np.int32)
+
+            # ---- L0 candidates via batched beam search over current graph ----
+            qs = data[new_ids]
+            efc = self.ef_construction
+            if cur <= max(_BRUTE_FORCE_THRESHOLD, efc):
+                sims, ids = blockwise_topk_search(
+                    qs,
+                    jnp.asarray(data[:cur]),
+                    self.metric,
+                    min(efc, cur),
+                )
+                sims, ids = np.asarray(sims), np.asarray(ids)
+            else:
+                if dev_stale or dev is None:
+                    self._graph = g
+                    dev = self._device_graph_partial(g, cur)
+                    dev_stale = False
+                budget = jnp.int32(
+                    max(_MIN_SCAN_LIMIT, int(_MAX_SCAN_RATIO * cur)) * 4
+                )
+                sims, ids = hnsw_search(
+                    jnp.asarray(qs),
+                    self._codes_np(data),
+                    self._norms_np(norms),
+                    jnp.asarray(g.l0),
+                    dev["upper_ids"],
+                    dev["upper_nbrs"],
+                    dev["upper_down"],
+                    dev["entry_rows"],
+                    None,
+                    budget,
+                    metric=self.metric,
+                    ef=efc,
+                    topk=efc,
+                    max_steps=4 * efc,
+                    num_levels=dev["num_levels"],
+                )
+                sims, ids = np.asarray(sims), np.asarray(ids)
+                # guard: mask out not-yet-inserted nodes (>= cur)
+                bad = (ids >= cur) | (ids < 0)
+                sims = np.where(bad, -np.inf, sims)
+                ids = np.where(bad, -1, ids)
+
+            # ---- forward selection at L0 ----
+            sel_ids, sel_sims = self._prune_batch(
+                data, norms, new_ids, ids, sims, self.m0_out()
+            )
+            for bi, node in enumerate(new_ids):
+                chosen = sel_ids[bi]
+                g.l0[node, : len(chosen)] = chosen
+
+            # ---- reverse links at L0 ----
+            self._reverse_link_batch(data, norms, g, new_ids, sel_ids, sel_sims)
+
+            # ---- upper levels: exact candidates over level members ----
+            for lvl in range(1, g.max_level + 1):
+                li = lvl - 1
+                in_chunk = new_ids[g.levels[new_ids] >= lvl]
+                if len(in_chunk) == 0:
+                    continue
+                members = g.upper_ids[li]
+                existing = members[members < cur]
+                if len(existing) == 0:
+                    continue
+                k = min(efc, len(existing))
+                s2, i2 = blockwise_topk_search(
+                    data[in_chunk], jnp.asarray(data[existing]), self.metric, k
+                )
+                s2, i2 = np.asarray(s2), np.asarray(i2)
+                cand_ids = np.where(i2 >= 0, existing[np.clip(i2, 0, None)], -1)
+                sel2, ssim2 = self._prune_batch(
+                    data, norms, in_chunk, cand_ids, s2, self.m
+                )
+                row_of = g.row_of[li]
+                nbrs_l = g.upper_nbrs[li]
+                for bi, node in enumerate(in_chunk):
+                    rows = [row_of[int(c)] for c in sel2[bi]]
+                    nbrs_l[row_of[int(node)], : len(rows)] = rows
+                self._reverse_link_upper(
+                    data, norms, g, li, in_chunk, sel2, ssim2
+                )
+            pos += chunk
+            dev_stale = True
+        return g
+
+    # small helpers keeping device uploads cached across chunks
+    _codes_cache = None
+
+    def _codes_np(self, data):
+        if self._codes is not None and self._codes.shape[0] >= data.shape[0]:
+            return self._codes
+        if self._codes_cache is None:
+            n_pad = round_up(data.shape[0], _ROW_ALIGN)
+            padded = np.zeros((n_pad, data.shape[1]), np.float32)
+            padded[: data.shape[0]] = data
+            self._codes_cache = jnp.asarray(padded)
+        return self._codes_cache
+
+    _norms_cache = None
+
+    def _norms_np(self, norms):
+        if self._norms is not None and self._norms.shape[0] >= norms.shape[0]:
+            return self._norms
+        if self._norms_cache is None:
+            n_pad = round_up(norms.shape[0], _ROW_ALIGN)
+            padded = np.zeros(n_pad, np.float32)
+            padded[: norms.shape[0]] = norms
+            self._norms_cache = jnp.asarray(padded)
+        return self._norms_cache
+
+    def m0_out(self) -> int:
+        return 2 * self.m
+
+    def _device_graph_partial(self, g: _Graph, cur: int) -> Dict[str, Any]:
+        """Device graph view restricted to already-inserted nodes (< cur)."""
+        upper_ids, upper_nbrs, upper_down = [], [], []
+        top_level = 0
+        for lvl in range(len(g.upper_ids)):
+            ids = g.upper_ids[lvl]
+            live = ids < cur
+            if not live.any():
+                break
+            top_level = lvl + 1
+            ids_l = ids[live]
+            # compact re-row: original rows -> live rows
+            orig_rows = np.nonzero(live)[0]
+            remap = -np.ones(len(ids), dtype=np.int32)
+            remap[orig_rows] = np.arange(len(orig_rows), dtype=np.int32)
+            nbrs = g.upper_nbrs[lvl][orig_rows]
+            nbrs = np.where(nbrs >= 0, remap[np.clip(nbrs, 0, None)], -1)
+            upper_ids.append(jnp.asarray(ids_l))
+            upper_nbrs.append(jnp.asarray(nbrs))
+            if lvl == 0:
+                down = ids_l
+            else:
+                row_below_live = {int(v): i for i, v in enumerate(prev_ids_l)}
+                down = np.asarray(
+                    [row_below_live[int(i)] for i in ids_l], dtype=np.int32
+                )
+            upper_down.append(jnp.asarray(down))
+            prev_ids_l = ids_l
+        entry_rows = np.zeros(top_level + 1, dtype=np.int32)
+        ep = g.entry_point if g.entry_point < cur else 0
+        # entry at top live level: first member
+        entry_rows[0] = ep
+        for lvl in range(top_level):
+            ids_l = np.asarray(upper_ids[lvl])
+            where = np.nonzero(ids_l == ep)[0]
+            entry_rows[lvl + 1] = int(where[0]) if len(where) else 0
+        if top_level > 0:
+            # ensure the top-level entry is a member of the top level
+            top_ids = np.asarray(upper_ids[top_level - 1])
+            if ep not in set(int(x) for x in top_ids[: min(len(top_ids), 100000)]):
+                ep2 = int(top_ids[0])
+                entry_rows[top_level] = 0
+                for lvl in range(top_level - 1):
+                    ids_l = np.asarray(upper_ids[lvl])
+                    where = np.nonzero(ids_l == ep2)[0]
+                    entry_rows[lvl + 1] = int(where[0]) if len(where) else 0
+        return {
+            "upper_ids": tuple(upper_ids),
+            "upper_nbrs": tuple(upper_nbrs),
+            "upper_down": tuple(upper_down),
+            "entry_rows": jnp.asarray(entry_rows),
+            "num_levels": top_level,
+        }
+
+    def _prune_batch(
+        self, data, norms, base_ids, cand_ids, cand_sims, max_out
+    ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        """Batched reference pruning; returns per-base selected ids and sims."""
+        b = len(base_ids)
+        c = min(cand_ids.shape[1], _PRUNE_CAND_CAP)
+        cand_ids = cand_ids[:, :c]
+        cand_sims = cand_sims[:, :c]
+        valid = cand_ids >= 0
+        safe = np.clip(cand_ids, 0, None)
+        keep = np.zeros((b, c), dtype=bool)
+        sub = 128
+        for s in range(0, b, sub):
+            e = min(s + sub, b)
+            keep[s:e] = np.asarray(
+                select_neighbors_batch(
+                    jnp.asarray(cand_sims[s:e]),
+                    jnp.asarray(data[safe[s:e]]),
+                    jnp.asarray(valid[s:e]),
+                    jnp.asarray(norms[safe[s:e]]),
+                    metric=self.metric,
+                    max_out=max_out,
+                )
+            )
+        out_ids, out_sims = [], []
+        for bi in range(b):
+            k = keep[bi] & valid[bi]
+            out_ids.append(cand_ids[bi][k])
+            out_sims.append(cand_sims[bi][k])
+        return out_ids, out_sims
+
+    def _reverse_link_batch(self, data, norms, g, new_ids, sel_ids, sel_sims):
+        """Reverse updates at L0: append backlink or re-prune on overflow."""
+        overflow_targets = []
+        for bi, node in enumerate(new_ids):
+            for nbr in sel_ids[bi]:
+                nbr = int(nbr)
+                row = g.l0[nbr]
+                slot = np.nonzero(row < 0)[0]
+                if len(slot):
+                    row[slot[0]] = node
+                else:
+                    overflow_targets.append((nbr, int(node)))
+        if overflow_targets:
+            self._reprune_overflow(
+                data, norms, g.l0, overflow_targets, self.m0_out(), None
+            )
+
+    def _reverse_link_upper(self, data, norms, g, li, new_ids, sel_ids, sel_sims):
+        row_of = g.row_of[li]
+        ids_l = g.upper_ids[li]
+        nbrs_l = g.upper_nbrs[li]
+        overflow_targets = []
+        for bi, node in enumerate(new_ids):
+            for nbr in sel_ids[bi]:
+                r = row_of[int(nbr)]
+                row = nbrs_l[r]
+                slot = np.nonzero(row < 0)[0]
+                if len(slot):
+                    row[slot[0]] = row_of[int(node)]
+                else:
+                    overflow_targets.append((int(nbr), int(node)))
+        if overflow_targets:
+            self._reprune_overflow(
+                data, norms, nbrs_l, overflow_targets, self.m, (row_of, ids_l)
+            )
+
+    def _reprune_overflow(self, data, norms, adj, targets, max_out, upper):
+        """Re-prune a full neighbor list + 1 new link (reference
+        `reverse_update_neighbors`)."""
+        b = len(targets)
+        c = max_out + 1
+        base = np.asarray([t for t, _ in targets], dtype=np.int32)
+        newl = np.asarray([l for _, l in targets], dtype=np.int32)
+        cand = np.full((b, c), -1, dtype=np.int32)
+        for i, (t, l) in enumerate(targets):
+            row_idx = upper[0][t] if upper else t
+            existing = adj[row_idx]  # rows (upper) or node ids (L0), -1 padded
+            if upper:
+                ids = np.where(existing >= 0, upper[1][np.clip(existing, 0, None)], -1)
+            else:
+                ids = existing
+            cand[i, : len(ids)] = ids
+            cand[i, -1] = l
+        valid = cand >= 0
+        safe = np.clip(cand, 0, None)
+        # similarity of each candidate to its base point
+        base_vecs = data[base]
+        cand_vecs = data[safe]
+        dots = np.einsum("bd,bcd->bc", base_vecs, cand_vecs, dtype=np.float64)
+        if self.metric == MetricType.IP:
+            sims = dots
+        elif self.metric == MetricType.L2:
+            sims = -(norms[base][:, None] + norms[safe] - 2.0 * dots)
+        else:
+            denom = np.sqrt(norms[base])[:, None] * np.sqrt(norms[safe])
+            sims = np.where(denom > 0, dots / np.where(denom > 0, denom, 1), 1.0)
+        sims = np.where(valid, sims, -np.inf)
+        order = np.argsort(-sims, axis=1)
+        cand_sorted = np.take_along_axis(cand, order, 1)
+        sims_sorted = np.take_along_axis(sims, order, 1).astype(np.float32)
+        sel_ids, _ = self._prune_batch(
+            data, norms, base, cand_sorted, sims_sorted, max_out
+        )
+        for i, (t, _) in enumerate(targets):
+            row_idx = upper[0][t] if upper else t
+            chosen = sel_ids[i]
+            if upper:
+                chosen = np.asarray([upper[0][int(x)] for x in chosen], dtype=np.int32)
+            adj[row_idx] = -1
+            adj[row_idx, : len(chosen)] = chosen
+
+    # ------------- search -------------
+    def _search_impl(self, queries, topk, mask, param):
+        nq = queries.shape[0]
+        if self._n == 0:
+            return (
+                np.full((nq, topk), -np.inf, np.float32),
+                np.full((nq, topk), -1, np.int64),
+            )
+        ef = param.ef if isinstance(param, HnswQueryParam) else 500
+        ef = max(ef, topk)
+        is_linear = bool(param.is_linear) if isinstance(param, QueryParam) else False
+
+        if is_linear or self._n < _BRUTE_FORCE_THRESHOLD:
+            full_mask = np.zeros(self._codes.shape[0], dtype=bool)
+            full_mask[: self._n] = True if mask is None else mask
+            k = min(topk, self._n)
+            sims, idx = blockwise_topk_search(
+                queries,
+                self._codes,
+                self.metric,
+                k,
+                mask=jnp.asarray(full_mask),
+                x_sq_norms=self._norms,
+            )
+            sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
+        else:
+            budget = jnp.int32(
+                min(
+                    max(_MIN_SCAN_LIMIT, int(_MAX_SCAN_RATIO * self._n)),
+                    self._n,
+                )
+            )
+            dmask = None
+            if mask is not None:
+                fm = np.zeros(self._codes.shape[0], dtype=bool)
+                fm[: self._n] = mask
+                dmask = jnp.asarray(fm)
+            k = min(topk, self._n)
+            sims, idx = hnsw_search(
+                jnp.asarray(queries),
+                self._codes,
+                self._norms,
+                self._dev["l0"],
+                self._dev["upper_ids"],
+                self._dev["upper_nbrs"],
+                self._dev["upper_down"],
+                self._dev["entry_rows"],
+                dmask,
+                budget,
+                metric=self.metric,
+                ef=ef,
+                topk=k,
+                max_steps=4 * ef,
+                num_levels=self._dev["num_levels"],
+            )
+            sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
+        if sims.shape[1] < topk:
+            pad = topk - sims.shape[1]
+            sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
+            idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        sims = np.where(idx >= 0, sims, -np.inf)
+        return sims, idx
+
+    # ------------- persistence -------------
+    def dump_aux(self, directory: str, prefix: str) -> Dict[str, Any]:
+        g = self._graph
+        if g is None:
+            self._ensure_fresh()
+            g = self._graph
+        fname = f"hnsw_{prefix}.npz"
+        payload = {
+            "n": np.int64(self._n),
+            "m": np.int64(self.m),
+            "levels": g.levels,
+            "l0": g.l0,
+            "entry_point": np.int64(g.entry_point),
+            "max_level": np.int64(g.max_level),
+        }
+        for lvl in range(len(g.upper_ids)):
+            payload[f"upper_ids_{lvl}"] = g.upper_ids[lvl]
+            payload[f"upper_nbrs_{lvl}"] = g.upper_nbrs[lvl]
+        np.savez_compressed(os.path.join(directory, fname), **payload)
+        return {"file": fname, "type": "hnsw", "m": self.m}
+
+    def load_aux(self, directory: str, descriptor: Dict[str, Any]) -> None:
+        path = os.path.join(directory, descriptor.get("file", ""))
+        if not os.path.exists(path):
+            return
+        data = dict(np.load(path))
+        self._loaded_aux = data
+
+
+def _graph_from_aux(aux: Dict[str, np.ndarray], m: int) -> _Graph:
+    n = int(aux["n"])
+    g = _Graph(n, int(aux.get("m", m)))
+    g.levels = aux["levels"]
+    g.l0 = aux["l0"]
+    g.entry_point = int(aux["entry_point"])
+    g.max_level = int(aux["max_level"])
+    lvl = 0
+    while f"upper_ids_{lvl}" in aux:
+        ids = aux[f"upper_ids_{lvl}"]
+        g.upper_ids.append(ids)
+        g.upper_nbrs.append(aux[f"upper_nbrs_{lvl}"])
+        g.row_of.append({int(v): i for i, v in enumerate(ids)})
+        lvl += 1
+    return g

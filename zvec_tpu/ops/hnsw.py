@@ -1,0 +1,295 @@
+"""HNSW device kernels: batched greedy descent + L0 beam search + neighbor
+selection.
+
+TPU-native reformulation of the reference's pointer-chasing traversal
+(`src/core/algorithm/hnsw/hnsw_algorithm.cc:83-278`): queries run in lockstep
+batches; each beam step gathers one frontier node's padded neighbor list per
+query, scores all of them in a single einsum (MXU), tests/sets a visited
+bitset, and folds results/candidates through `lax.top_k` — a bounded
+`lax.while_loop` replaces the heap loop. Filtered-search semantics match the
+reference: filtered nodes are traversed but never enter the result set
+(`hnsw_algorithm.cc:188-195,270`).
+
+Graph layout (device arrays):
+  codes      (N_pad, D) f32      vectors
+  l0_nbrs    (N_pad, M0) int32   level-0 adjacency, -1 padded
+  per upper level l >= 1 (compact arrays over the N_l member nodes):
+    ids_l    (N_l,)  int32       member node ids (row -> id)
+    nbrs_l   (N_l, Mu) int32     adjacency as *rows into level l*, -1 padded
+    down_l   (N_l,)  int32       row of the same node in level l-1
+                                 (level 1's down_l is the node id itself)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..typing.enum import MetricType
+from .distance import similarity_matrix
+from .runtime import NEG_INF
+
+__all__ = ["hnsw_search", "select_neighbors_batch"]
+
+
+def _batched_sims(q, vecs, metric, norms=None):
+    """q: (Q, D); vecs: (Q, M, D) -> (Q, M) similarity (larger = closer)."""
+    dots = jnp.einsum(
+        "qd,qmd->qm", q, vecs, precision=jax.lax.Precision.HIGHEST
+    )
+    if metric == MetricType.IP:
+        return dots
+    if metric == MetricType.L2:
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        v_sq = norms
+        return -(q_sq + v_sq - 2.0 * dots)
+    if metric == MetricType.COSINE:
+        q_n = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+        v_n = jnp.sqrt(norms)
+        denom = q_n * v_n
+        return jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
+    raise ValueError(f"unsupported metric {metric}")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "ef", "topk", "max_steps", "num_levels"),
+)
+def hnsw_search(
+    q: jax.Array,  # (Q, D) f32
+    codes: jax.Array,  # (N_pad, D)
+    norms: jax.Array,  # (N_pad,)
+    l0_nbrs: jax.Array,  # (N_pad, M0)
+    upper_ids: Tuple[jax.Array, ...],  # per level 1..L: (N_l,)
+    upper_nbrs: Tuple[jax.Array, ...],  # per level 1..L: (N_l, Mu)
+    upper_down: Tuple[jax.Array, ...],  # per level 1..L: (N_l,)
+    entry_rows: jax.Array,  # (L+1,) entry row per level (row at top used)
+    mask: Optional[jax.Array],  # (N_pad,) bool result filter or None
+    scan_budget: jax.Array,  # () int32
+    *,
+    metric: MetricType,
+    ef: int,
+    topk: int,
+    max_steps: int,
+    num_levels: int,  # number of upper levels present
+):
+    """Batched HNSW search. Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad)."""
+    nq, d = q.shape
+    q = q.astype(jnp.float32)
+
+    # ---- greedy descent through upper levels (ef=1, `select_entry_point`) ----
+    if num_levels > 0:
+        top = num_levels - 1
+        cur_row = jnp.full((nq,), entry_rows[top + 1], dtype=jnp.int32)
+        for lvl in range(top, -1, -1):
+            ids_l = upper_ids[lvl]
+            nbrs_l = upper_nbrs[lvl]
+            down_l = upper_down[lvl]
+            cur_id = ids_l[cur_row]
+            cur_sim = _batched_sims(
+                q, codes[cur_id][:, None, :], metric, norms[cur_id][:, None]
+            )[:, 0]
+
+            def descend(state):
+                cur_row, cur_sim, moved = state
+                nrows = nbrs_l[cur_row]  # (Q, Mu)
+                valid = nrows >= 0
+                nids = ids_l[jnp.clip(nrows, 0)]
+                sims = _batched_sims(q, codes[nids], metric, norms[nids])
+                sims = jnp.where(valid, sims, NEG_INF)
+                best = jnp.argmax(sims, axis=1)
+                best_sim = jnp.take_along_axis(sims, best[:, None], 1)[:, 0]
+                better = best_sim > cur_sim
+                new_row = jnp.where(
+                    better, jnp.take_along_axis(nrows, best[:, None], 1)[:, 0], cur_row
+                )
+                new_sim = jnp.where(better, best_sim, cur_sim)
+                return new_row, new_sim, better
+
+            def cond(state):
+                return jnp.any(state[2])
+
+            cur_row, cur_sim, _ = jax.lax.while_loop(
+                cond, descend, (cur_row, cur_sim, jnp.ones((nq,), bool))
+            )
+            # drop to the next level's row space
+            cur_row = down_l[cur_row]
+        entry_ids = cur_row  # level-1 down rows ARE node ids at level 0
+    else:
+        entry_ids = jnp.full((nq,), entry_rows[0], dtype=jnp.int32)
+
+    # ---- level-0 beam search (`search_neighbors`) ----
+    n_pad = codes.shape[0]
+    m0 = l0_nbrs.shape[1]
+    words = (n_pad + 31) // 32
+
+    entry_sim = _batched_sims(
+        q, codes[entry_ids][:, None, :], metric, norms[entry_ids][:, None]
+    )[:, 0]
+
+    # Working result set is ef-wide (classic HNSW W); final answer slices topk.
+    kw = max(ef, topk)
+    res_s = jnp.full((nq, kw), NEG_INF, jnp.float32)
+    res_i = jnp.full((nq, kw), -1, jnp.int32)
+    if mask is not None:
+        entry_ok = mask[entry_ids]
+    else:
+        entry_ok = jnp.ones((nq,), bool)
+    res_s = res_s.at[:, 0].set(jnp.where(entry_ok, entry_sim, NEG_INF))
+    res_i = res_i.at[:, 0].set(jnp.where(entry_ok, entry_ids, -1))
+
+    cand_s = jnp.full((nq, ef), NEG_INF, jnp.float32).at[:, 0].set(entry_sim)
+    cand_i = jnp.full((nq, ef), -1, jnp.int32).at[:, 0].set(entry_ids)
+    cand_x = jnp.zeros((nq, ef), bool)  # expanded flags
+
+    visited = jnp.zeros((nq, words), jnp.uint32)
+    qidx = jnp.arange(nq)
+    visited = visited.at[qidx, entry_ids // 32].set(
+        jnp.uint32(1) << (entry_ids % 32).astype(jnp.uint32)
+    )
+    scanned = jnp.ones((nq,), jnp.int32)
+    done = jnp.zeros((nq,), bool)
+
+    def cond(state):
+        step = state[-1]
+        done = state[-2]
+        return jnp.logical_and(step < max_steps, ~jnp.all(done))
+
+    def body(state):
+        res_s, res_i, cand_s, cand_i, cand_x, visited, scanned, done, step = state
+
+        # 1. pick best unexpanded candidate per query
+        avail = (~cand_x) & (cand_i >= 0)
+        masked = jnp.where(avail, cand_s, NEG_INF)
+        best_pos = jnp.argmax(masked, axis=1)
+        best_sim = jnp.take_along_axis(masked, best_pos[:, None], 1)[:, 0]
+        best_id = jnp.take_along_axis(cand_i, best_pos[:, None], 1)[:, 0]
+        has_avail = jnp.any(avail, axis=1)
+
+        # 2. termination: candidates exhausted, or best candidate cannot beat
+        #    the worst result when full (`main_dist > topk[0].second`), or
+        #    scan budget hit (`reach_scan_limit`)
+        res_min = res_s[:, -1]
+        res_full = res_i[:, -1] >= 0
+        newly_done = (
+            (~has_avail)
+            | (res_full & (best_sim < res_min))
+            | (scanned >= scan_budget)
+        )
+        done = done | newly_done
+        active = ~done
+
+        # 3. expand: mark chosen candidate expanded
+        cand_x = jnp.where(
+            (jnp.arange(cand_x.shape[1])[None, :] == best_pos[:, None])
+            & active[:, None],
+            True,
+            cand_x,
+        )
+
+        # 4. gather neighbor ids (Q, M0)
+        safe_best = jnp.clip(best_id, 0)
+        nbrs = l0_nbrs[safe_best]
+        valid = (nbrs >= 0) & active[:, None]
+        nbrs_safe = jnp.clip(nbrs, 0)
+
+        # 5. visited test + set (bitset; disjoint bits of unique fresh ids
+        #    let scatter-add act as scatter-or)
+        word_idx = nbrs_safe // 32
+        bit = jnp.uint32(1) << (nbrs_safe % 32).astype(jnp.uint32)
+        word_val = jnp.take_along_axis(visited, word_idx, axis=1)
+        fresh = valid & ((word_val & bit) == 0)
+        add_val = jnp.where(fresh, bit, jnp.uint32(0))
+        visited = visited.at[qidx[:, None], word_idx].add(add_val)
+
+        # 6. score all fresh neighbors in one shot
+        sims = _batched_sims(q, codes[nbrs_safe], metric, norms[nbrs_safe])
+        sims = jnp.where(fresh, sims, NEG_INF)
+        scanned = scanned + fresh.sum(axis=1, dtype=jnp.int32)
+
+        # 7. merge into candidate set (traversal: unfiltered)
+        all_s = jnp.concatenate([cand_s, sims], axis=1)
+        all_i = jnp.concatenate([cand_i, jnp.where(fresh, nbrs_safe, -1)], axis=1)
+        all_x = jnp.concatenate(
+            [cand_x, jnp.zeros_like(sims, dtype=bool)], axis=1
+        )
+        new_s, sel = jax.lax.top_k(all_s, ef)
+        new_i = jnp.take_along_axis(all_i, sel, 1)
+        new_x = jnp.take_along_axis(all_x, sel, 1)
+        cand_s = jnp.where(active[:, None], new_s, cand_s)
+        cand_i = jnp.where(active[:, None], new_i, cand_i)
+        cand_x = jnp.where(active[:, None], new_x, cand_x)
+
+        # 8. merge into results (filter applied at insert)
+        if mask is not None:
+            rsims = jnp.where(mask[nbrs_safe] & fresh, sims, NEG_INF)
+        else:
+            rsims = sims
+        rids = jnp.where(rsims > NEG_INF / 2, nbrs_safe, -1)
+        r_all_s = jnp.concatenate([res_s, rsims], axis=1)
+        r_all_i = jnp.concatenate([res_i, rids], axis=1)
+        nr_s, rsel = jax.lax.top_k(r_all_s, res_s.shape[1])
+        nr_i = jnp.take_along_axis(r_all_i, rsel, 1)
+        res_s = jnp.where(active[:, None], nr_s, res_s)
+        res_i = jnp.where(active[:, None], nr_i, res_i)
+
+        return (res_s, res_i, cand_s, cand_i, cand_x, visited, scanned, done, step + 1)
+
+    state = (res_s, res_i, cand_s, cand_i, cand_x, visited, scanned, done, jnp.int32(0))
+    res_s, res_i, *_ = jax.lax.while_loop(cond, body, state)
+    res_s, res_i = res_s[:, :topk], res_i[:, :topk]
+    res_i = jnp.where(res_s > NEG_INF / 2, res_i, -1)
+    return res_s, res_i
+
+
+@partial(jax.jit, static_argnames=("metric", "max_out"))
+def select_neighbors_batch(
+    cand_sims: jax.Array,  # (B, C) similarity to the base point, desc-sorted
+    cand_vecs: jax.Array,  # (B, C, D) candidate vectors
+    cand_valid: jax.Array,  # (B, C) bool
+    cand_norms: jax.Array,  # (B, C) squared norms
+    *,
+    metric: MetricType,
+    max_out: int,
+):
+    """Reference neighbor pruning (`update_neighbors`, `hnsw_algorithm.cc:394-430`),
+    vectorized over a batch of base points: walk candidates best-first; keep
+    candidate i iff no already-kept j has dist(i, j) <= dist(i, base)
+    (in similarity terms: sim(i, j) >= sim_to_base(i) rejects).
+    Returns keep mask (B, C) with at most max_out True per row.
+    """
+    b, c, d = cand_vecs.shape
+    # pairwise candidate similarities (B, C, C)
+    dots = jnp.einsum(
+        "bcd,bed->bce", cand_vecs, cand_vecs, precision=jax.lax.Precision.HIGHEST
+    )
+    if metric == MetricType.IP:
+        pair = dots
+    elif metric == MetricType.L2:
+        pair = -(cand_norms[:, :, None] + cand_norms[:, None, :] - 2.0 * dots)
+    elif metric == MetricType.COSINE:
+        nn = jnp.sqrt(cand_norms)
+        denom = nn[:, :, None] * nn[:, None, :]
+        pair = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
+    else:
+        raise ValueError(f"unsupported metric {metric}")
+
+    def step(i, state):
+        keep, count = state
+        # candidate i is good iff for every kept j: sim(i, j) < sim_to_base(i)
+        conflict = jnp.any(
+            keep & (pair[:, i, :] >= cand_sims[:, i][:, None]) &
+            (jnp.arange(c)[None, :] != i),
+            axis=1,
+        )
+        good = cand_valid[:, i] & (~conflict) & (count < max_out)
+        keep = keep.at[:, i].set(good)
+        return keep, count + good.astype(jnp.int32)
+
+    keep0 = jnp.zeros((b, c), bool)
+    keep, _ = jax.lax.fori_loop(0, c, step, (keep0, jnp.zeros((b,), jnp.int32)))
+    return keep
