@@ -1,0 +1,7 @@
+from .mesh import (
+    make_mesh,
+    sharded_flat_search,
+    sharded_kmeans_step,
+)
+
+__all__ = ["make_mesh", "sharded_flat_search", "sharded_kmeans_step"]
