@@ -1,10 +1,16 @@
-"""FLAT engine: exact brute-force scan on the MXU.
+"""FLAT engine: exact brute-force scan on the MXU (+ quantized variants).
 
 Replaces the reference's flat algorithm (`src/core/algorithm/flat/
 flat_searcher_context.h:237-314`: K-way query batching over SIMD distance
 matrices + bounded heaps) with a single fused device program: pad codes into
 HBM once, then every query batch runs `blockwise_topk_search` (matmul tile x
 mask fuse x running lax.top_k).
+
+Quantization (reference converter/reformer pairs, `src/core/quantizer/`):
+`quantize_type` on the index params stores fp16 or int8/int4 codes in HBM and
+scores asymmetrically with dequant fused into the matmul epilogue; COSINE
+codes are L2-normalized before quantization (`cosine_converter.cc:383-399`);
+`is_using_refiner` overscans and re-ranks against fp32 (`basic_refiner.cc`).
 """
 
 from __future__ import annotations
@@ -15,11 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..model.param.param import QueryParam
-from ..ops.distance import l2_norms
+from ..ops.quantize import QuantParams, decode, encode, train_quantizer
 from ..ops.runtime import round_up
 from ..ops.topk import blockwise_topk_search
-from ..typing.enum import IndexType, MetricType
+from ..typing.enum import IndexType, MetricType, QuantizeType
 from .interface import VectorIndexEngine, register_engine
+from .refiner import refine
 
 __all__ = ["FlatEngine"]
 
@@ -41,10 +48,35 @@ def _bucket_queries(nq: int) -> int:
 class FlatEngine(VectorIndexEngine):
     def __init__(self, metric: MetricType, dimension: int, params=None):
         super().__init__(metric, dimension, params)
-        self._codes = None  # (N_pad, D) device f32
-        self._norms = None  # (N_pad,) device f32
+        self.quantize = (
+            QuantizeType(params.quantize_type)
+            if params is not None
+            else QuantizeType.UNDEFINED
+        )
+        self._codes = None  # (N_pad, D) device, storage dtype
+        self._norms = None  # (N_pad,) device f32 (dequantized norms)
+        self._qparams: Optional[QuantParams] = None
+        self._dequant = None
         self._n = 0
         self._n_pad = 0
+
+    def _prepare(self, data: np.ndarray) -> np.ndarray:
+        """Storage-side transform: cosine-normalize, then quantize."""
+        data = data.astype(np.float32, copy=False)
+        if self.metric == MetricType.COSINE and self.quantize != QuantizeType.UNDEFINED:
+            norms = np.linalg.norm(data, axis=1, keepdims=True)
+            data = np.where(norms > 0, data / np.where(norms > 0, norms, 1.0), data)
+        if self.quantize in (QuantizeType.INT8, QuantizeType.INT4):
+            self._qparams = train_quantizer(data, self.quantize)
+            codes = encode(data, self.quantize, self._qparams)
+            self._dequant = (
+                jnp.float32(self._qparams.scale),
+                jnp.float32(self._qparams.bias),
+            )
+            return codes
+        if self.quantize == QuantizeType.FP16:
+            return data.astype(np.float16)
+        return data
 
     def _rebuild(self, data: np.ndarray) -> None:
         n = data.shape[0]
@@ -52,12 +84,14 @@ class FlatEngine(VectorIndexEngine):
         if n == 0:
             self._codes = None
             return
+        codes = self._prepare(np.asarray(data))
         n_pad = round_up(n, _ROW_ALIGN)
-        padded = np.zeros((n_pad, data.shape[1]), dtype=np.float32)
-        padded[:n] = data.astype(np.float32, copy=False)
+        padded = np.zeros((n_pad, codes.shape[1]), dtype=codes.dtype)
+        padded[:n] = codes
         self._n_pad = n_pad
         self._codes = jnp.asarray(padded)
-        self._norms = l2_norms(self._codes)
+        deq = decode(padded, self._qparams)
+        self._norms = jnp.asarray((deq.astype(np.float32) ** 2).sum(1))
 
     def _search_impl(
         self,
@@ -71,6 +105,17 @@ class FlatEngine(VectorIndexEngine):
             sims = np.full((nq, topk), -np.inf, dtype=np.float32)
             return sims, np.full((nq, topk), -1, dtype=np.int64)
 
+        use_refiner = (
+            param is not None
+            and getattr(param, "is_using_refiner", False)
+            and self.quantize != QuantizeType.UNDEFINED
+        )
+        scan_k = topk
+        if use_refiner:
+            scan_k = min(
+                topk * getattr(param, "refiner_scale_factor", 10), self._n
+            )
+
         nq_pad = _bucket_queries(nq)
         q = np.zeros((nq_pad, queries.shape[1]), dtype=np.float32)
         q[:nq] = queries
@@ -81,7 +126,7 @@ class FlatEngine(VectorIndexEngine):
         else:
             full_mask[: self._n] = True
 
-        k = min(topk, self._n)
+        k = min(scan_k, self._n)
         sims, idx = blockwise_topk_search(
             q,
             self._codes,
@@ -90,11 +135,20 @@ class FlatEngine(VectorIndexEngine):
             mask=jnp.asarray(full_mask),
             x_sq_norms=self._norms,
             block_size=_BLOCK_SIZE,
+            dequant=self._dequant,
         )
         sims = np.asarray(sims[:nq])
         idx = np.asarray(idx[:nq]).astype(np.int64)
-        if k < topk:
-            sims = np.pad(sims, ((0, 0), (0, topk - k)), constant_values=-np.inf)
-            idx = np.pad(idx, ((0, 0), (0, topk - k)), constant_values=-1)
+
+        if use_refiner:
+            sims, idx = refine(self._data_fn, queries, idx, self.metric, topk)
+            idx = idx.astype(np.int64)
+
+        if sims.shape[1] < topk:
+            pad = topk - sims.shape[1]
+            sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
+            idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        sims = sims[:, :topk]
+        idx = idx[:, :topk]
         sims = np.where(idx >= 0, sims, -np.inf)
         return sims, idx

@@ -29,10 +29,12 @@ import numpy as np
 
 from ..model.param.param import HnswQueryParam, QueryParam
 from ..ops.hnsw import hnsw_search, select_neighbors_batch
+from ..ops.quantize import QuantParams, decode, encode, train_quantizer
 from ..ops.runtime import round_up
 from ..ops.topk import blockwise_topk_search
-from ..typing.enum import IndexType, MetricType
+from ..typing.enum import IndexType, MetricType, QuantizeType
 from .interface import VectorIndexEngine, register_engine
+from .refiner import refine
 
 __all__ = ["HnswEngine"]
 
@@ -65,11 +67,18 @@ class HnswEngine(VectorIndexEngine):
         super().__init__(metric, dimension, params)
         self.m = params.m if params is not None else 50
         self.ef_construction = params.ef_construction if params is not None else 500
+        self.quantize = (
+            QuantizeType(params.quantize_type)
+            if params is not None
+            else QuantizeType.UNDEFINED
+        )
         self._graph: Optional[_Graph] = None
         self._n = 0
         # device state
         self._codes = None
         self._norms = None
+        self._dequant = None
+        self._qparams: Optional[QuantParams] = None
         self._dev = None  # dict of device graph arrays
         self._loaded_aux: Optional[Dict[str, np.ndarray]] = None
 
@@ -91,6 +100,27 @@ class HnswEngine(VectorIndexEngine):
         if self._graph is None or self._graph.levels.shape[0] != self._n:
             self._graph = self._build_graph(data)
         self._dev = self._device_graph(self._graph)
+        # storage codes: graph is built on fp32; search scores quantized codes
+        # with dequant fused (quantized converter/reformer semantics)
+        if self.quantize != QuantizeType.UNDEFINED:
+            store = data
+            if self.metric == MetricType.COSINE:
+                nrm = np.linalg.norm(store, axis=1, keepdims=True)
+                store = np.where(nrm > 0, store / np.where(nrm > 0, nrm, 1.0), store)
+            if self.quantize in (QuantizeType.INT8, QuantizeType.INT4):
+                self._qparams = train_quantizer(store, self.quantize)
+                codes = encode(store, self.quantize, self._qparams)
+                self._dequant = (
+                    jnp.float32(self._qparams.scale),
+                    jnp.float32(self._qparams.bias),
+                )
+            else:
+                codes = store.astype(np.float16)
+            padded_c = np.zeros((n_pad, codes.shape[1]), dtype=codes.dtype)
+            padded_c[: self._n] = codes
+            self._codes = jnp.asarray(padded_c)
+            deq = decode(padded_c, self._qparams)
+            self._norms = jnp.asarray((deq.astype(np.float32) ** 2).sum(1))
 
     def _device_graph(self, g: _Graph) -> Dict[str, Any]:
         upper_ids, upper_nbrs, upper_down = [], [], []
@@ -438,6 +468,14 @@ class HnswEngine(VectorIndexEngine):
                 np.full((nq, topk), -1, np.int64),
             )
         ef = param.ef if isinstance(param, HnswQueryParam) else 500
+        use_refiner = (
+            param is not None
+            and getattr(param, "is_using_refiner", False)
+            and self.quantize != QuantizeType.UNDEFINED
+        )
+        out_topk = topk
+        if use_refiner:
+            topk = min(topk * getattr(param, "refiner_scale_factor", 10), self._n)
         ef = max(ef, topk)
         is_linear = bool(param.is_linear) if isinstance(param, QueryParam) else False
 
@@ -478,6 +516,7 @@ class HnswEngine(VectorIndexEngine):
                 self._dev["entry_rows"],
                 dmask,
                 budget,
+                self._dequant,
                 metric=self.metric,
                 ef=ef,
                 topk=k,
@@ -485,6 +524,10 @@ class HnswEngine(VectorIndexEngine):
                 num_levels=self._dev["num_levels"],
             )
             sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
+        if use_refiner:
+            sims, idx = refine(self._data_fn, queries, idx, self.metric, out_topk)
+            idx = idx.astype(np.int64)
+            topk = out_topk
         if sims.shape[1] < topk:
             pad = topk - sims.shape[1]
             sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)

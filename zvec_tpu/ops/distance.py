@@ -44,49 +44,69 @@ def l2_norms(x: jax.Array) -> jax.Array:
     return jnp.sum(x * x, axis=-1)
 
 
-def ip_matrix(q: jax.Array, x: jax.Array) -> jax.Array:
+def ip_matrix(
+    q: jax.Array, x: jax.Array, dequant: tuple | None = None
+) -> jax.Array:
     """Inner products: (Q, D) x (N, D) -> (Q, N).
 
     `Precision.HIGHEST` keeps fp32 accumulate on the MXU (default is bf16
     passes); distance parity with the fp32 reference requires it.
+
+    `dequant=(scale, bias)` scores float queries against affine-quantized
+    integer codes without materializing dequantized vectors (the asymmetric
+    scoring of the reference's `quantized_integer_metric.cc`):
+      dot(q, c*scale + bias) = scale * dot(q, c) + bias * sum(q).
     """
-    return jax.lax.dot_general(
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    dots = jax.lax.dot_general(
         q,
         x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    if dequant is not None:
+        scale, bias = dequant
+        dots = scale * dots + bias * jnp.sum(q, axis=-1, keepdims=True)
+    return dots
 
 
 def squared_l2_matrix(
-    q: jax.Array, x: jax.Array, x_sq_norms: jax.Array | None = None
+    q: jax.Array,
+    x: jax.Array,
+    x_sq_norms: jax.Array | None = None,
+    dequant: tuple | None = None,
 ) -> jax.Array:
     """Squared euclidean distances: ||q||^2 + ||x||^2 - 2 q.x -> (Q, N).
 
-    `x_sq_norms` may be precomputed once per code block.
+    `x_sq_norms` may be precomputed once per code block. With `dequant` it
+    must be the squared norms of the DEQUANTIZED codes.
     """
     if x_sq_norms is None:
         x_sq_norms = l2_norms(x)
     q_sq = l2_norms(q)
-    dots = ip_matrix(q, x)
+    dots = ip_matrix(q, x, dequant)
     d = q_sq[:, None] + x_sq_norms[None, :] - 2.0 * dots
     return jnp.maximum(d, 0.0)
 
 
 def cosine_distance_matrix(
-    q: jax.Array, x: jax.Array, x_sq_norms: jax.Array | None = None
+    q: jax.Array,
+    x: jax.Array,
+    x_sq_norms: jax.Array | None = None,
+    dequant: tuple | None = None,
 ) -> jax.Array:
     """1 - cosine similarity -> (Q, N). Zero vectors get distance 0 (reference
     oracle convention, `distance_helper.py:73-74`)."""
-    return 1.0 - _cosine_similarity_matrix(q, x, x_sq_norms)
+    return 1.0 - _cosine_similarity_matrix(q, x, x_sq_norms, dequant)
 
 
-def _cosine_similarity_matrix(q, x, x_sq_norms=None):
+def _cosine_similarity_matrix(q, x, x_sq_norms=None, dequant=None):
     if x_sq_norms is None:
         x_sq_norms = l2_norms(x)
     q_sq = l2_norms(q)
-    dots = ip_matrix(q, x)
+    dots = ip_matrix(q, x, dequant)
     denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(x_sq_norms)[None, :]
     # Zero-magnitude convention: similarity 1 => distance 0 (reference oracle,
     # `distance_helper.py:73-74` returns 0.0 when either magnitude is 0).
@@ -118,15 +138,16 @@ def similarity_matrix(
     x: jax.Array,
     metric: MetricType,
     x_sq_norms: jax.Array | None = None,
+    dequant: tuple | None = None,
 ) -> jax.Array:
     """Uniform larger-is-better similarity for any metric: (Q, N)."""
     metric = MetricType(metric)
     if metric == MetricType.IP:
-        return ip_matrix(q, x)
+        return ip_matrix(q, x, dequant)
     if metric == MetricType.L2:
-        return -squared_l2_matrix(q, x, x_sq_norms)
+        return -squared_l2_matrix(q, x, x_sq_norms, dequant)
     if metric == MetricType.COSINE:
-        return _cosine_similarity_matrix(q, x, x_sq_norms)
+        return _cosine_similarity_matrix(q, x, x_sq_norms, dequant)
     raise ValueError(f"unsupported metric {metric}")
 
 

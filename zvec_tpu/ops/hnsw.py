@@ -36,8 +36,16 @@ from .runtime import NEG_INF
 __all__ = ["hnsw_search", "select_neighbors_batch"]
 
 
-def _batched_sims(q, vecs, metric, norms=None):
-    """q: (Q, D); vecs: (Q, M, D) -> (Q, M) similarity (larger = closer)."""
+def _batched_sims(q, vecs, metric, norms=None, dequant=None):
+    """q: (Q, D); vecs: (Q, M, D) -> (Q, M) similarity (larger = closer).
+
+    `dequant=(scale, bias)` dequantizes gathered integer codes on the fly
+    (gathers are tiny relative to the scan, so this is epilogue-cheap).
+    """
+    if vecs.dtype != jnp.float32:
+        vecs = vecs.astype(jnp.float32)
+    if dequant is not None:
+        vecs = vecs * dequant[0] + dequant[1]
     dots = jnp.einsum(
         "qd,qmd->qm", q, vecs, precision=jax.lax.Precision.HIGHEST
     )
@@ -70,6 +78,7 @@ def hnsw_search(
     entry_rows: jax.Array,  # (L+1,) entry row per level (row at top used)
     mask: Optional[jax.Array],  # (N_pad,) bool result filter or None
     scan_budget: jax.Array,  # () int32
+    dequant: Optional[Tuple[jax.Array, jax.Array]] = None,
     *,
     metric: MetricType,
     ef: int,
@@ -91,7 +100,7 @@ def hnsw_search(
             down_l = upper_down[lvl]
             cur_id = ids_l[cur_row]
             cur_sim = _batched_sims(
-                q, codes[cur_id][:, None, :], metric, norms[cur_id][:, None]
+                q, codes[cur_id][:, None, :], metric, norms[cur_id][:, None], dequant
             )[:, 0]
 
             def descend(state):
@@ -99,7 +108,7 @@ def hnsw_search(
                 nrows = nbrs_l[cur_row]  # (Q, Mu)
                 valid = nrows >= 0
                 nids = ids_l[jnp.clip(nrows, 0)]
-                sims = _batched_sims(q, codes[nids], metric, norms[nids])
+                sims = _batched_sims(q, codes[nids], metric, norms[nids], dequant)
                 sims = jnp.where(valid, sims, NEG_INF)
                 best = jnp.argmax(sims, axis=1)
                 best_sim = jnp.take_along_axis(sims, best[:, None], 1)[:, 0]
@@ -128,7 +137,7 @@ def hnsw_search(
     words = (n_pad + 31) // 32
 
     entry_sim = _batched_sims(
-        q, codes[entry_ids][:, None, :], metric, norms[entry_ids][:, None]
+        q, codes[entry_ids][:, None, :], metric, norms[entry_ids][:, None], dequant
     )[:, 0]
 
     # Working result set is ef-wide (classic HNSW W); final answer slices topk.
@@ -207,7 +216,7 @@ def hnsw_search(
         visited = visited.at[qidx[:, None], word_idx].add(add_val)
 
         # 6. score all fresh neighbors in one shot
-        sims = _batched_sims(q, codes[nbrs_safe], metric, norms[nbrs_safe])
+        sims = _batched_sims(q, codes[nbrs_safe], metric, norms[nbrs_safe], dequant)
         sims = jnp.where(fresh, sims, NEG_INF)
         scanned = scanned + fresh.sum(axis=1, dtype=jnp.int32)
 

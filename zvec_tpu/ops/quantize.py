@@ -1,0 +1,116 @@
+"""Quantization: train/encode/decode + dequant-fused scoring params.
+
+Reference equivalents (`src/core/quantizer/`, `src/ailego/algorithm/
+integer_quantizer.{h,cc}`):
+  - IntegerQuantizerConverter/Reformer: int8/int4 codes with one global
+    (scale, bias) pair trained on the corpus; queries stay float and score
+    asymmetrically against codes (`quantized_integer_metric.cc`).
+  - HalfFloatConverter: fp16 storage.
+  - CosineConverter: L2-normalize (then optionally quantize) so cosine
+    reduces to IP on unit vectors (`cosine_converter.cc:383-399`).
+  - MipsConverter: MIPS -> L2 augmentation (`mips_converter.cc:657`).
+  - BasicRefiner: re-score quantized candidates at full precision
+    (`basic_refiner.cc:23`).
+
+TPU-native shape: codes live in HBM in their storage dtype; dequantization is
+fused into the MXU matmul epilogue (dot(q, c_int) * scale + bias * sum(q)),
+so the scan never materializes dequantized vectors. The trainer clips to the
+[lo, hi] quantile range instead of the reference's entropy histogram — same
+role (outlier-robust range fit), simpler math.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from ..typing.enum import QuantizeType
+
+__all__ = ["QuantParams", "train_quantizer", "encode", "decode", "storage_dtype"]
+
+
+class QuantParams(NamedTuple):
+    """Global affine dequant: x ~= code * scale + bias."""
+
+    scale: float
+    bias: float
+    qtype: int  # QuantizeType value
+
+    def to_dict(self):
+        return {"scale": self.scale, "bias": self.bias, "qtype": int(self.qtype)}
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(d["scale"], d["bias"], d["qtype"])
+
+
+_RANGES = {
+    QuantizeType.INT8: (-127, 127),
+    QuantizeType.INT4: (-7, 7),
+}
+
+
+def storage_dtype(qtype: QuantizeType):
+    qtype = QuantizeType(qtype)
+    if qtype == QuantizeType.FP16:
+        return np.float16
+    if qtype in (QuantizeType.INT8, QuantizeType.INT4):
+        return np.int8
+    return np.float32
+
+
+def train_quantizer(
+    data: np.ndarray, qtype: QuantizeType, clip_quantile: float = 0.999
+) -> Optional[QuantParams]:
+    """Fit the global (scale, bias) on corpus values (quantile-clipped range,
+    the role of the reference's entropy histogram training)."""
+    qtype = QuantizeType(qtype)
+    if qtype not in _RANGES:
+        return None
+    lo_q, hi_q = np.quantile(
+        data.astype(np.float32), [1.0 - clip_quantile, clip_quantile]
+    )
+    lo, hi = float(lo_q), float(hi_q)
+    if hi <= lo:
+        hi = lo + 1e-6
+    qlo, qhi = _RANGES[qtype]
+    scale = (hi - lo) / (qhi - qlo)
+    bias = (hi + lo) / 2.0  # center so codes are symmetric around 0
+    return QuantParams(scale, bias, int(qtype))
+
+
+def encode(
+    data: np.ndarray, qtype: QuantizeType, params: Optional[QuantParams]
+) -> np.ndarray:
+    qtype = QuantizeType(qtype)
+    if qtype == QuantizeType.FP16:
+        return data.astype(np.float16)
+    if qtype in _RANGES:
+        qlo, qhi = _RANGES[qtype]
+        codes = np.round((data.astype(np.float32) - params.bias) / params.scale)
+        return np.clip(codes, qlo, qhi).astype(np.int8)
+    return data.astype(np.float32)
+
+
+def decode(codes: np.ndarray, params: Optional[QuantParams]) -> np.ndarray:
+    if codes.dtype == np.float16:
+        return codes.astype(np.float32)
+    if params is None:
+        return codes.astype(np.float32)
+    return codes.astype(np.float32) * params.scale + params.bias
+
+
+def mips_augment(data: np.ndarray) -> Tuple[np.ndarray, float]:
+    """MIPS -> L2 transform (reference `mips_converter.cc`): append
+    sqrt(max_norm^2 - ||x||^2) so L2-NN on augmented vectors ranks by IP."""
+    norms2 = (data.astype(np.float32) ** 2).sum(1)
+    max_norm2 = float(norms2.max(initial=0.0))
+    extra = np.sqrt(np.maximum(max_norm2 - norms2, 0.0))
+    return np.concatenate([data, extra[:, None]], axis=1), max_norm2
+
+
+def mips_augment_query(q: np.ndarray) -> np.ndarray:
+    return np.concatenate(
+        [q, np.zeros((*q.shape[:-1], 1), dtype=q.dtype)], axis=-1
+    )

@@ -38,6 +38,7 @@ def blockwise_topk_search(
     mask: jax.Array | None = None,
     x_sq_norms: jax.Array | None = None,
     block_size: int = 65536,
+    dequant: tuple | None = None,
 ):
     """Exact top-k scan of `codes` for each query.
 
@@ -79,7 +80,7 @@ def blockwise_topk_search(
 
     def step(carry, inputs):
         (cs, ci), (block_idx, block, bnorms, bmask) = carry, inputs
-        sim = similarity_matrix(q, block, metric, bnorms)
+        sim = similarity_matrix(q, block, metric, bnorms, dequant)
         sim = apply_mask(sim, bmask)
         gidx = block_idx * block_size + jax.lax.broadcasted_iota(
             jnp.int32, (nq, block_size), 1
