@@ -1,0 +1,163 @@
+"""IVF engine tests (reference analog: `tests/core/ivf_searcher_test.cc`,
+`opt_kmeans_cluster_test.cc`)."""
+
+import numpy as np
+import pytest
+
+import zvec_tpu
+from zvec_tpu import (
+    CollectionSchema,
+    DataType,
+    Doc,
+    IVFIndexParam,
+    IVFQueryParam,
+    MetricType,
+    QuantizeType,
+    VectorQuery,
+    VectorSchema,
+)
+from zvec_tpu.core.ivf import IvfEngine
+from zvec_tpu.ops.kmeans import kmeanspp_seed, lloyd
+
+import jax.numpy as jnp
+
+
+def test_kmeans_converges(rng):
+    # three well-separated blobs
+    centers = np.array([[0, 0], [10, 0], [0, 10]], dtype=np.float32)
+    pts = np.concatenate(
+        [c + rng.standard_normal((100, 2)).astype(np.float32) * 0.5 for c in centers]
+    )
+    seeds = kmeanspp_seed(pts, 3, rng)
+    cents, assign = lloyd(jnp.asarray(pts), jnp.asarray(seeds), iters=10)
+    cents = np.asarray(cents)
+    # every true center has a learned centroid within 0.5
+    for c in centers:
+        assert np.min(np.linalg.norm(cents - c, axis=1)) < 0.5
+    # assignments form 3 groups of ~100
+    counts = np.bincount(np.asarray(assign), minlength=3)
+    assert (np.abs(counts - 100) <= 5).all()
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
+def test_ivf_recall(rng, metric):
+    n, d, k = 4000, 16, 10
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((10, d)).astype(np.float32)
+    engine = IvfEngine(metric, d, IVFIndexParam(metric, n_list=64, n_iters=8))
+    engine.bind_data(lambda: xs, lambda: 1)
+    _, idx = engine.search(qs, k, param=IVFQueryParam(nprobe=16))
+    if metric == MetricType.L2:
+        dmat = ((qs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+        expect = np.argsort(dmat, axis=1)[:, :k]
+    else:
+        expect = np.argsort(-(qs @ xs.T), axis=1)[:, :k]
+    hits = sum(len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(10))
+    assert hits / (10 * k) >= 0.7
+
+
+def test_ivf_nprobe_monotone(rng):
+    n, d, k = 4000, 16, 10
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((10, d)).astype(np.float32)
+    engine = IvfEngine(MetricType.L2, d, IVFIndexParam(MetricType.L2, n_list=64))
+    engine.bind_data(lambda: xs, lambda: 1)
+    dmat = ((qs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    expect = np.argsort(dmat, axis=1)[:, :k]
+
+    def recall(nprobe):
+        _, idx = engine.search(qs, k, param=IVFQueryParam(nprobe=nprobe))
+        return sum(
+            len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(10)
+        ) / (10 * k)
+
+    r2, r16, r64 = recall(2), recall(16), recall(64)
+    assert r2 <= r16 + 0.05 and r16 <= r64 + 0.02
+    assert r64 >= 0.99  # nprobe = n_list == exact
+
+
+def test_ivf_soar_spill(rng):
+    n, d = 3000, 12
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((8, d)).astype(np.float32)
+    plain = IvfEngine(MetricType.L2, d, IVFIndexParam(MetricType.L2, n_list=48))
+    plain.bind_data(lambda: xs, lambda: 1)
+    soar = IvfEngine(
+        MetricType.L2, d, IVFIndexParam(MetricType.L2, n_list=48, use_soar=True)
+    )
+    soar.bind_data(lambda: xs, lambda: 1)
+    dmat = ((qs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    expect = np.argsort(dmat, axis=1)[:, :10]
+
+    def recall(e):
+        _, idx = e.search(qs, 10, param=IVFQueryParam(nprobe=4))
+        return sum(
+            len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(8)
+        ) / 80
+
+    assert recall(soar) >= recall(plain) - 0.05  # spill never much worse
+
+
+def test_ivf_small_corpus_exact(rng):
+    xs = rng.standard_normal((200, 8)).astype(np.float32)
+    qs = rng.standard_normal((3, 8)).astype(np.float32)
+    engine = IvfEngine(MetricType.L2, 8, IVFIndexParam(MetricType.L2, n_list=16))
+    engine.bind_data(lambda: xs, lambda: 1)
+    _, idx = engine.search(qs, 5, param=IVFQueryParam(nprobe=1))
+    dmat = ((qs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    expect = np.argsort(dmat, axis=1)[:, :5]
+    for i in range(3):  # below brute-force threshold => exact despite nprobe=1
+        assert set(idx[i]) == set(expect[i])
+
+
+def test_ivf_quantized_with_filter_through_collection(tmp_path, rng):
+    """Deep-style config: IVF + hybrid filter (BASELINE config #4 analog)."""
+    d = 16
+    schema = CollectionSchema(
+        "ivf",
+        fields=[zvec_tpu.FieldSchema("grp", DataType.INT64)],
+        vectors=[
+            VectorSchema(
+                "e",
+                DataType.VECTOR_FP32,
+                d,
+                IVFIndexParam(
+                    MetricType.L2, n_list=32, quantize_type=QuantizeType.INT8
+                ),
+            )
+        ],
+        max_doc_count_per_segment=2000,
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "ivf"), schema)
+    xs = rng.standard_normal((2100, d)).astype(np.float32)
+    for s in range(0, 2100, 700):
+        c.insert(
+            [
+                Doc(id=f"v{i}", vectors={"e": xs[i]}, fields={"grp": i % 4})
+                for i in range(s, min(s + 700, 2100))
+            ]
+        )
+    assert "e" in c._impl.segments[0].meta.indexes
+    hits = 0
+    for qi in range(8):
+        res = c.query(
+            VectorQuery("e", vector=xs[qi], param=IVFQueryParam(nprobe=12)),
+            topk=5,
+            filter="grp = 1",
+        )
+        allowed = [i for i in range(2100) if i % 4 == 1]
+        dmat = ((xs[qi][None] - xs[allowed]) ** 2).sum(1)
+        expect = {f"v{allowed[j]}" for j in np.argsort(dmat)[:5]}
+        hits += len({r.id for r in res} & expect)
+        assert all(int(r.id[1:]) % 4 == 1 for r in res)
+    assert hits / 40 >= 0.5
+
+    # persistence
+    c.flush()
+    c._impl.close()
+    c2 = zvec_tpu.open(str(tmp_path / "ivf"))
+    res = c2.query(
+        VectorQuery("e", vector=xs[3], param=IVFQueryParam(nprobe=32)), topk=3
+    )
+    assert res[0].id == "v3"
+    c2._impl.close()

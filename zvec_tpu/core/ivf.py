@@ -1,0 +1,301 @@
+"""IVF engine: clustered-matmul probe.
+
+Reference behavior (`src/core/algorithm/ivf/`): train k-means centroids
+(`ivf_builder.cc`), assign vectors to inverted lists, search = centroid
+search -> scan nprobe lists -> heap merge (`ivf_searcher.cc:183-250`), with a
+brute-force fallback below a small-corpus threshold (`ivf_searcher.cc:185`)
+and optional SOAR spilled assignment (`use_soar`, `index_params.h:252-258`).
+
+TPU-native layout: lists are padded to one fixed length L so the probe is a
+static-shape program — centroid scoring is a (Q, K) matmul, then the selected
+nprobe lists gather as a (Q, nprobe, L, D) block scored in one einsum with
+pad/filter masks fused. Quantized codes keep dequant in the epilogue.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.param.param import IVFQueryParam, QueryParam
+from ..ops.distance import similarity_matrix
+from ..ops.kmeans import kmeanspp_seed, lloyd
+from ..ops.quantize import QuantParams, decode, encode, train_quantizer
+from ..ops.runtime import NEG_INF
+from ..typing.enum import IndexType, MetricType, QuantizeType
+from .interface import VectorIndexEngine, register_engine
+from .refiner import refine
+
+__all__ = ["IvfEngine"]
+
+_BRUTE_FORCE_THRESHOLD = 1000
+_DEFAULT_NPROBE = 10
+
+
+@partial(jax.jit, static_argnames=("metric", "nprobe", "topk"))
+def _ivf_probe(
+    q: jax.Array,  # (Q, D)
+    centroids: jax.Array,  # (K, D)
+    lists_codes: jax.Array,  # (K, L, D) storage dtype
+    lists_norms: jax.Array,  # (K, L) dequantized sq norms
+    lists_ids: jax.Array,  # (K, L) row ids, -1 pad
+    mask: Optional[jax.Array],  # (N,) bool or None
+    dequant,
+    *,
+    metric: MetricType,
+    nprobe: int,
+    topk: int,
+):
+    q = q.astype(jnp.float32)
+    cent_sims = similarity_matrix(q, centroids, metric)  # (Q, K)
+    _, sel = jax.lax.top_k(cent_sims, nprobe)  # (Q, nprobe)
+
+    codes = lists_codes[sel]  # (Q, P, L, D)
+    norms = lists_norms[sel]  # (Q, P, L)
+    ids = lists_ids[sel]  # (Q, P, L)
+    if codes.dtype != jnp.float32:
+        codes = codes.astype(jnp.float32)
+        if dequant is not None:
+            codes = codes * dequant[0] + dequant[1]
+    dots = jnp.einsum(
+        "qd,qpld->qpl", q, codes, precision=jax.lax.Precision.HIGHEST
+    )
+    if metric == MetricType.IP:
+        sims = dots
+    elif metric == MetricType.L2:
+        q_sq = jnp.sum(q * q, axis=-1)[:, None, None]
+        sims = -(q_sq + norms - 2.0 * dots)
+    else:  # COSINE
+        qn = jnp.sqrt(jnp.sum(q * q, axis=-1))[:, None, None]
+        vn = jnp.sqrt(norms)
+        denom = qn * vn
+        sims = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
+
+    valid = ids >= 0
+    if mask is not None:
+        valid = valid & mask[jnp.clip(ids, 0)]
+    sims = jnp.where(valid, sims, NEG_INF)
+
+    flat_s = sims.reshape(q.shape[0], -1)
+    flat_i = ids.reshape(q.shape[0], -1)
+    k = min(topk, flat_s.shape[1])
+    out_s, pos = jax.lax.top_k(flat_s, k)
+    out_i = jnp.take_along_axis(flat_i, pos, 1)
+    out_i = jnp.where(out_s > NEG_INF / 2, out_i, -1)
+    return out_s, out_i
+
+
+def _dedupe_topk(sims: np.ndarray, idx: np.ndarray, topk: int):
+    """Keep-first dedupe of (desc-sorted) candidate rows, then truncate."""
+    nq = sims.shape[0]
+    out_s = np.full((nq, topk), -np.inf, dtype=np.float32)
+    out_i = np.full((nq, topk), -1, dtype=np.int64)
+    for qi in range(nq):
+        seen = set()
+        w = 0
+        for s, i in zip(sims[qi], idx[qi]):
+            if i < 0 or i in seen:
+                continue
+            seen.add(i)
+            out_s[qi, w] = s
+            out_i[qi, w] = i
+            w += 1
+            if w == topk:
+                break
+    return out_s, out_i
+
+
+@register_engine(IndexType.IVF)
+class IvfEngine(VectorIndexEngine):
+    def __init__(self, metric: MetricType, dimension: int, params=None):
+        super().__init__(metric, dimension, params)
+        self.n_list = params.n_list if params is not None else 0
+        self.n_iters = params.n_iters if params is not None else 10
+        self.use_soar = bool(params.use_soar) if params is not None else False
+        self.quantize = (
+            QuantizeType(params.quantize_type)
+            if params is not None
+            else QuantizeType.UNDEFINED
+        )
+        self._qparams: Optional[QuantParams] = None
+        self._dequant = None
+        self._n = 0
+        self._centroids = None
+        self._lists_codes = None
+        self._lists_norms = None
+        self._lists_ids = None
+        self._loaded_aux = None
+        self._trained = None  # host copies for persistence
+
+    # ------------- build -------------
+    def _effective_n_list(self, n: int) -> int:
+        if self.n_list > 0:
+            return min(self.n_list, max(1, n))
+        # auto heuristic: ~4*sqrt(N), capped (reference default constant 1024)
+        return int(min(1024, max(1, 4 * np.sqrt(n))))
+
+    def _rebuild(self, data: np.ndarray) -> None:
+        data = np.asarray(data, dtype=np.float32)
+        self._n = data.shape[0]
+        if self._n == 0:
+            self._centroids = None
+            return
+
+        if (
+            self._loaded_aux is not None
+            and int(self._loaded_aux["n"]) == self._n
+        ):
+            centroids = self._loaded_aux["centroids"]
+            assign_rows = self._loaded_aux["assign_rows"]
+            assign_lists = self._loaded_aux["assign_lists"]
+            qp = self._loaded_aux.get("qparams")
+            if qp is not None and qp.size:
+                self._qparams = QuantParams(float(qp[0]), float(qp[1]), int(qp[2]))
+        else:
+            k = self._effective_n_list(self._n)
+            rng = np.random.default_rng(0xC0FFEE + self._n)
+            seeds = kmeanspp_seed(data, k, rng)
+            centroids, assign1 = lloyd(
+                jnp.asarray(data), jnp.asarray(seeds), iters=self.n_iters
+            )
+            centroids = np.asarray(centroids)
+            assign1 = np.asarray(assign1)
+            if self.use_soar and centroids.shape[0] > 1:
+                from ..ops.kmeans import assign_top2
+
+                a2 = np.asarray(assign_top2(jnp.asarray(data), jnp.asarray(centroids)))
+                assign_rows = np.concatenate([np.arange(self._n), np.arange(self._n)])
+                assign_lists = np.concatenate([a2[:, 0], a2[:, 1]])
+            else:
+                assign_rows = np.arange(self._n)
+                assign_lists = assign1
+            if self.quantize in (QuantizeType.INT8, QuantizeType.INT4):
+                store = data
+                if self.metric == MetricType.COSINE:
+                    nrm = np.linalg.norm(store, axis=1, keepdims=True)
+                    store = np.where(nrm > 0, store / np.where(nrm > 0, nrm, 1), store)
+                self._qparams = train_quantizer(store, self.quantize)
+
+        self._assemble_lists(data, centroids, assign_rows, assign_lists)
+        self._trained = {
+            "n": np.int64(self._n),
+            "centroids": centroids,
+            "assign_rows": assign_rows.astype(np.int64),
+            "assign_lists": assign_lists.astype(np.int64),
+            "qparams": np.asarray(
+                [self._qparams.scale, self._qparams.bias, self._qparams.qtype]
+            )
+            if self._qparams
+            else np.zeros(0),
+        }
+
+    def _assemble_lists(self, data, centroids, assign_rows, assign_lists) -> None:
+        k = centroids.shape[0]
+        store = data
+        if self.metric == MetricType.COSINE and self.quantize != QuantizeType.UNDEFINED:
+            nrm = np.linalg.norm(store, axis=1, keepdims=True)
+            store = np.where(nrm > 0, store / np.where(nrm > 0, nrm, 1), store)
+        codes = encode(store, self.quantize, self._qparams)
+        deq_norms = (decode(codes, self._qparams) ** 2).sum(1)
+
+        counts = np.bincount(assign_lists, minlength=k)
+        lmax = int(max(counts.max(initial=1), 1))
+        lmax = max(lmax, 1)
+        lists_codes = np.zeros((k, lmax, data.shape[1]), dtype=codes.dtype)
+        lists_norms = np.zeros((k, lmax), dtype=np.float32)
+        lists_ids = np.full((k, lmax), -1, dtype=np.int32)
+        fill = np.zeros(k, dtype=np.int64)
+        for row, lst in zip(assign_rows, assign_lists):
+            p = fill[lst]
+            lists_codes[lst, p] = codes[row]
+            lists_norms[lst, p] = deq_norms[row]
+            lists_ids[lst, p] = row
+            fill[lst] = p + 1
+
+        self._centroids = jnp.asarray(centroids.astype(np.float32))
+        self._lists_codes = jnp.asarray(lists_codes)
+        self._lists_norms = jnp.asarray(lists_norms)
+        self._lists_ids = jnp.asarray(lists_ids)
+        if self._qparams is not None:
+            self._dequant = (
+                jnp.float32(self._qparams.scale),
+                jnp.float32(self._qparams.bias),
+            )
+
+    # ------------- search -------------
+    def _search_impl(self, queries, topk, mask, param):
+        nq = queries.shape[0]
+        if self._n == 0:
+            return (
+                np.full((nq, topk), -np.inf, np.float32),
+                np.full((nq, topk), -1, np.int64),
+            )
+        nprobe = (
+            param.nprobe if isinstance(param, IVFQueryParam) else _DEFAULT_NPROBE
+        )
+        use_refiner = (
+            param is not None
+            and getattr(param, "is_using_refiner", False)
+            and self.quantize != QuantizeType.UNDEFINED
+        )
+        out_topk = topk
+        if use_refiner:
+            topk = min(topk * getattr(param, "refiner_scale_factor", 10), self._n)
+
+        k_lists = self._centroids.shape[0]
+        # brute-force fallback: tiny corpus or explicit linear search probes
+        # every list (`ivf_searcher.cc:185` threshold behavior)
+        if self._n < _BRUTE_FORCE_THRESHOLD or getattr(param, "is_linear", False):
+            nprobe = k_lists
+        nprobe = min(nprobe, k_lists)
+        dmask = jnp.asarray(mask) if mask is not None else None
+        # SOAR spilling duplicates rows across lists: overscan and dedupe
+        scan_k = 2 * topk if self.use_soar else topk
+        sims, idx = _ivf_probe(
+            jnp.asarray(queries),
+            self._centroids,
+            self._lists_codes,
+            self._lists_norms,
+            self._lists_ids,
+            dmask,
+            self._dequant,
+            metric=self.metric,
+            nprobe=nprobe,
+            topk=scan_k,
+        )
+        sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
+        if self.use_soar:
+            sims, idx = _dedupe_topk(sims, idx, topk)
+        if use_refiner:
+            sims, idx = refine(self._data_fn, queries, idx, self.metric, out_topk)
+            idx = idx.astype(np.int64)
+            topk = out_topk
+        if sims.shape[1] < topk:
+            pad = topk - sims.shape[1]
+            sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
+            idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        sims = sims[:, :topk]
+        idx = idx[:, :topk]
+        sims = np.where(idx >= 0, sims, -np.inf)
+        return sims, idx
+
+    # ------------- persistence -------------
+    def dump_aux(self, directory, prefix):
+        import os
+
+        if self._trained is None:
+            self._ensure_fresh()
+        fname = f"ivf_{prefix}.npz"
+        np.savez_compressed(os.path.join(directory, fname), **self._trained)
+        return {"file": fname, "type": "ivf"}
+
+    def load_aux(self, directory, descriptor):
+        import os
+
+        path = os.path.join(directory, descriptor.get("file", ""))
+        if os.path.exists(path):
+            self._loaded_aux = dict(np.load(path))
