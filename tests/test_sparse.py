@@ -1,0 +1,176 @@
+"""Sparse vector + multi-vector fusion tests (reference analogs:
+`tests/core/` flat_sparse suites, `python/tests/test_reranker.py`,
+dense+sparse fusion = BASELINE config #5)."""
+
+import numpy as np
+import pytest
+
+import zvec_tpu
+from zvec_tpu import (
+    BM25EmbeddingFunction,
+    CollectionSchema,
+    DataType,
+    Doc,
+    FieldSchema,
+    FlatIndexParam,
+    MetricType,
+    RrfReRanker,
+    VectorQuery,
+    VectorSchema,
+    WeightedReRanker,
+)
+from zvec_tpu.core.sparse_flat import SparseFlatEngine
+from zvec_tpu.ops.sparse import pad_sparse_rows, prune_sparse_query
+
+
+def sparse_dot(a, b):
+    return sum(a[k] * b[k] for k in set(a) & set(b))
+
+
+def random_sparse(rng, vocab=500, nnz=12):
+    dims = rng.choice(vocab, nnz, replace=False)
+    return {int(d): float(rng.random() + 0.1) for d in dims}
+
+
+def test_pad_sparse_rows(rng):
+    rows = [random_sparse(rng) for _ in range(5)] + [None, {}]
+    idx, val, vocab = pad_sparse_rows(rows)
+    assert idx.shape == val.shape and idx.shape[0] == 7
+    assert (idx[5] == -1).all() and (idx[6] == -1).all()
+    # entries preserved (float32 storage precision)
+    r0 = {int(i): float(v) for i, v in zip(idx[0], val[0]) if i >= 0}
+    assert set(r0) == set(rows[0])
+    for k in r0:
+        assert r0[k] == pytest.approx(rows[0][k], rel=1e-6)
+
+
+def test_prune_sparse_query():
+    q = {1: 1.0, 2: 0.5, 3: 0.05}
+    assert prune_sparse_query(q, 0.1) == {1: 1.0, 2: 0.5}
+    assert prune_sparse_query(q, 0.0) == q
+
+
+def test_sparse_flat_engine_exact(rng):
+    docs = [random_sparse(rng) for _ in range(300)]
+    queries = [random_sparse(rng) for _ in range(4)]
+    engine = SparseFlatEngine()
+    engine.bind_data(lambda: docs, lambda: 1)
+    sims, idx = engine.search(queries, 10)
+    for qi, q in enumerate(queries):
+        oracle = np.array([sparse_dot(q, d) for d in docs])
+        expect = np.argsort(-oracle, kind="stable")[:10]
+        got = idx[qi][idx[qi] >= 0]
+        assert set(got) == set(expect)
+        np.testing.assert_allclose(
+            sims[qi][: len(got)], np.sort(oracle)[::-1][:10], rtol=1e-5, atol=1e-5
+        )
+
+
+def test_sparse_through_collection(tmp_path, rng):
+    schema = CollectionSchema(
+        "sp",
+        fields=[FieldSchema("tag", DataType.STRING)],
+        vectors=[VectorSchema("sv", DataType.SPARSE_VECTOR_FP32, 0, FlatIndexParam(MetricType.IP))],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "sp"), schema)
+    docs_sparse = [random_sparse(rng) for _ in range(100)]
+    c.insert(
+        [
+            Doc(id=f"s{i}", vectors={"sv": docs_sparse[i]}, fields={"tag": f"t{i%3}"})
+            for i in range(100)
+        ]
+    )
+    q = random_sparse(rng)
+    res = c.query(VectorQuery("sv", vector=q), topk=5)
+    oracle = np.array([sparse_dot(q, d) for d in docs_sparse])
+    expect = [f"s{i}" for i in np.argsort(-oracle, kind="stable")[:5]]
+    assert [r.id for r in res] == expect
+    assert res[0].score == pytest.approx(oracle.max(), rel=1e-5)
+
+    # filtered sparse search
+    res = c.query(VectorQuery("sv", vector=q), topk=5, filter="tag = 't1'")
+    allowed = [i for i in range(100) if i % 3 == 1]
+    expect = [f"s{i}" for i in sorted(allowed, key=lambda i: -oracle[i])[:5]]
+    assert [r.id for r in res] == expect
+
+    # fetch returns the sparse vector as a dict
+    d = c.fetch("s7")["s7"]
+    assert d.vector("sv") == {int(k): pytest.approx(v) for k, v in docs_sparse[7].items()}
+    c._impl.close()
+
+
+def test_dense_sparse_fusion_rrf(tmp_path, rng):
+    """BASELINE config #5: dense+sparse multi-vector single-call fusion."""
+    dim = 16
+    schema = CollectionSchema(
+        "fu",
+        vectors=[
+            VectorSchema("dense", DataType.VECTOR_FP32, dim, FlatIndexParam(MetricType.L2)),
+            VectorSchema("sparse", DataType.SPARSE_VECTOR_FP32, 0, FlatIndexParam(MetricType.IP)),
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "fu"), schema)
+    dense = rng.standard_normal((80, dim)).astype(np.float32)
+    sparse = [random_sparse(rng) for _ in range(80)]
+    c.insert(
+        [
+            Doc(id=f"f{i}", vectors={"dense": dense[i], "sparse": sparse[i]})
+            for i in range(80)
+        ]
+    )
+    qd, qs = dense[5], sparse[5]
+
+    # multi-vector without reranker must fail (`query_executor.py:283`)
+    with pytest.raises(ValueError):
+        c.query(
+            [VectorQuery("dense", vector=qd), VectorQuery("sparse", vector=qs)],
+            topk=5,
+        )
+
+    res = c.query(
+        [VectorQuery("dense", vector=qd), VectorQuery("sparse", vector=qs)],
+        topk=10,
+        reranker=RrfReRanker(topn=5),
+    )
+    assert res[0].id == "f5"  # best in both modalities
+    # oracle RRF (distance_helper.py:162-174)
+    d2 = ((qd[None] - dense) ** 2).sum(1)
+    dense_rank = np.argsort(d2, kind="stable")
+    ip = np.array([sparse_dot(qs, s) for s in sparse])
+    sparse_rank = np.argsort(-ip, kind="stable")
+    scores = {}
+    for rank, i in enumerate(dense_rank[:10]):
+        scores[f"f{i}"] = scores.get(f"f{i}", 0) + 1 / (60 + rank + 1)
+    for rank, i in enumerate(sparse_rank[:10]):
+        scores[f"f{i}"] = scores.get(f"f{i}", 0) + 1 / (60 + rank + 1)
+    expect = sorted(scores.items(), key=lambda kv: -kv[1])[:5]
+    assert res[0].score == pytest.approx(expect[0][1], rel=1e-6)
+    c._impl.close()
+
+
+def test_weighted_reranker_normalization():
+    docs_a = [Doc(id="a", score=0.5), Doc(id="b", score=1.5)]
+    docs_b = [Doc(id="b", score=0.1), Doc(id="c", score=2.0)]
+    rr = WeightedReRanker(topn=3, metric=MetricType.L2, weights={"x": 2.0, "y": 1.0})
+    out = rr.rerank({"x": docs_a, "y": docs_b})
+    import math
+
+    norm = lambda s: 1.0 - 2 * math.atan(s) / math.pi
+    expect_b = 2.0 * norm(1.5) + 1.0 * norm(0.1)
+    got = {d.id: d.score for d in out}
+    assert got["b"] == pytest.approx(expect_b, rel=1e-9)
+
+
+def test_bm25(rng):
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "a fast auburn fox leaped over a sleepy canine",
+        "completely unrelated text about databases and indexes",
+        "vector databases index embeddings for similarity search",
+    ]
+    bm25 = BM25EmbeddingFunction().fit(corpus)
+    doc_vecs = bm25.embed_documents(corpus)
+    q = bm25.embed_query("fox dog")
+    scores = [sparse_dot(q, d) for d in doc_vecs]
+    assert np.argmax(scores) == 0  # doc 0 has both fox and dog
+    assert scores[2] == 0.0  # no overlap

@@ -14,6 +14,7 @@ imports.
 
 from . import model as model
 from .extension import (
+    BM25EmbeddingFunction,
     DenseEmbeddingFunction,
     ReRanker,
     RrfReRanker,
@@ -92,6 +93,7 @@ __all__ = [
     "LogLevel",
     "LogType",
     # extensions
+    "BM25EmbeddingFunction",
     "DenseEmbeddingFunction",
     "SparseEmbeddingFunction",
     "ReRanker",

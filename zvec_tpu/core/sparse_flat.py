@@ -1,0 +1,100 @@
+"""Sparse FLAT engine: exact sparse-IP scan.
+
+Reference equivalent: `src/core/algorithm/flat_sparse/` (brute-force over
+sparse postings). Docs live as padded index/value arrays in HBM; every query
+densifies on device and the scan is a gather + reduce (`ops/sparse.py`).
+Sparse vectors support the IP metric only (`distance_helper.py:148-150`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.runtime import round_up
+from ..ops.sparse import pad_sparse_rows, prune_sparse_query, sparse_ip_topk
+from ..typing.enum import MetricType
+from .interface import VectorIndexEngine
+
+__all__ = ["SparseFlatEngine"]
+
+_ROW_ALIGN = 512
+_QUERY_NNZ_PAD = 64
+
+
+class SparseFlatEngine(VectorIndexEngine):
+    """Engine over one segment's sparse vector column."""
+
+    def __init__(self, metric: MetricType = MetricType.IP, dimension: int = 0, params=None):
+        super().__init__(MetricType.IP, dimension, params)
+        self._n = 0
+        self._doc_idx = None
+        self._doc_val = None
+        self._vocab = 1
+
+    def _rebuild(self, rows: List[Optional[Dict[int, float]]]) -> None:
+        self._n = len(rows)
+        if self._n == 0:
+            self._doc_idx = None
+            return
+        idx, val, vocab = pad_sparse_rows(list(rows))
+        n_pad = round_up(self._n, _ROW_ALIGN)
+        pidx = np.full((n_pad, idx.shape[1]), -1, dtype=np.int32)
+        pval = np.zeros((n_pad, val.shape[1]), dtype=np.float32)
+        pidx[: self._n] = idx
+        pval[: self._n] = val
+        self._doc_idx = jnp.asarray(pidx)
+        self._doc_val = jnp.asarray(pval)
+        self._vocab = int(round_up(max(vocab, 1), 128))
+
+    def search(
+        self,
+        queries,  # list of {dim: value} dicts
+        topk: int,
+        mask: Optional[np.ndarray] = None,
+        param=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        self._ensure_fresh()
+        if isinstance(queries, dict):
+            queries = [queries]
+        nq = len(queries)
+        if self._n == 0:
+            return (
+                np.full((nq, topk), -np.inf, np.float32),
+                np.full((nq, topk), -1, np.int64),
+            )
+        budget = getattr(param, "filtering_budget", 0.0) if param else 0.0
+        pruned = [prune_sparse_query(q or {}, budget) for q in queries]
+        pq = max(max((len(q) for q in pruned), default=1), 1)
+        pq = min(round_up(pq, 8), _QUERY_NNZ_PAD * 8)
+        q_idx = np.full((nq, pq), -1, dtype=np.int32)
+        q_val = np.zeros((nq, pq), dtype=np.float32)
+        for i, q in enumerate(pruned):
+            items = sorted(q.items(), key=lambda kv: -abs(kv[1]))[:pq]
+            for j, (k, v) in enumerate(sorted(items)):
+                q_idx[i, j] = k
+                q_val[i, j] = v
+
+        n_pad = self._doc_idx.shape[0]
+        full_mask = np.zeros(n_pad, dtype=bool)
+        full_mask[: self._n] = True if mask is None else mask
+        k = min(topk, self._n)
+        sims, idx = sparse_ip_topk(
+            jnp.asarray(q_idx),
+            jnp.asarray(q_val),
+            self._doc_idx,
+            self._doc_val,
+            jnp.asarray(full_mask),
+            topk=k,
+            vocab=self._vocab,
+        )
+        sims = np.asarray(sims)
+        idx = np.asarray(idx).astype(np.int64)
+        if k < topk:
+            pad = topk - k
+            sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
+            idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        sims = np.where(idx >= 0, sims, -np.inf)
+        return sims, idx

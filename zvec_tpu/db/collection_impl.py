@@ -384,7 +384,12 @@ class CollectionImpl:
             raise ZvecError(
                 StatusCode.INVALID_ARGUMENT, f"unknown vector field '{field_name}'"
             )
-        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if vs.data_type.is_sparse_vector:
+            if isinstance(queries, dict):
+                queries = [queries]
+            nq_sparse = len(queries)
+        else:
+            queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         with self._lock:
             segs = list(self.segments) + ([self.writing] if self.writing else [])
         all_sims, all_ids = [], []
@@ -398,7 +403,7 @@ class CollectionImpl:
             sims, ids = seg.search(field_name, queries, topk, alive, param)
             all_sims.append(sims)
             all_ids.append(ids)
-        nq = queries.shape[0]
+        nq = nq_sparse if vs.data_type.is_sparse_vector else queries.shape[0]
         if not all_sims:
             return (
                 np.full((nq, topk), -np.inf, np.float32),
@@ -428,9 +433,11 @@ class CollectionImpl:
     ) -> List[Doc]:
         """Single-vector query returning ranked Docs."""
         vs = self.schema.vector(field_name)
-        sims, ids = self.query_field(
-            field_name, np.asarray(vector)[None, :], topk, filter_str, param
-        )
+        if isinstance(vector, dict):
+            q = [vector]
+        else:
+            q = np.asarray(vector)[None, :]
+        sims, ids = self.query_field(field_name, q, topk, filter_str, param)
         metric = vs.index_param.metric_type
         docs: List[Doc] = []
         for sim, doc_id in zip(sims[0], ids[0]):

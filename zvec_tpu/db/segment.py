@@ -128,16 +128,25 @@ class Segment:
         engine = self._engines.get(field)
         if engine is None:
             vs = self.schema.vector(field)
-            # Writing segments scan flat regardless of the schema's index type
-            # (the reference's brute-force-below-threshold behavior,
-            # `hnsw_params.h:42`); sealed segments use their built index.
-            engine = create_engine(vs.index_param, vs.dimension, force_flat=True)
-            engine.bind_data(
-                lambda f=field: np.asarray(
-                    self.store.dense_matrix(f), dtype=np.float32
-                ),
-                lambda: self._write_version,
-            )
+            if vs.data_type.is_sparse_vector:
+                from ..core.sparse_flat import SparseFlatEngine
+
+                engine = SparseFlatEngine(params=vs.index_param)
+                engine.bind_data(
+                    lambda f=field: self.store.sparse_rows(f),
+                    lambda: self._write_version,
+                )
+            else:
+                # Writing segments scan flat regardless of the schema's index
+                # type (the reference's brute-force-below-threshold behavior,
+                # `hnsw_params.h:42`); sealed segments use their built index.
+                engine = create_engine(vs.index_param, vs.dimension, force_flat=True)
+                engine.bind_data(
+                    lambda f=field: np.asarray(
+                        self.store.dense_matrix(f), dtype=np.float32
+                    ),
+                    lambda: self._write_version,
+                )
             self._engines[field] = engine
         return engine
 
@@ -151,7 +160,12 @@ class Segment:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (similarity (Q,k), global doc_ids (Q,k), -1 = invalid)."""
         if self.doc_count == 0:
-            nq = np.atleast_2d(queries).shape[0]
+            if isinstance(queries, dict):
+                nq = 1
+            elif isinstance(queries, list):
+                nq = len(queries)
+            else:
+                nq = np.atleast_2d(queries).shape[0]
             return (
                 np.full((nq, topk), -np.inf, dtype=np.float32),
                 np.full((nq, topk), -1, dtype=np.int64),

@@ -1,3 +1,4 @@
+from .bm25_embedding_function import BM25EmbeddingFunction
 from .embedding_function import (
     DenseEmbeddingFunction,
     SparseEmbeddingFunction,
@@ -6,6 +7,7 @@ from .rerank_function import ReRanker, RerankFunction
 from .multi_vector_reranker import RrfReRanker, WeightedReRanker
 
 __all__ = [
+    "BM25EmbeddingFunction",
     "DenseEmbeddingFunction",
     "SparseEmbeddingFunction",
     "ReRanker",
