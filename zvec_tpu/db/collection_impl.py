@@ -319,9 +319,10 @@ class CollectionImpl:
 
         for vs in self.schema.vectors:
             if vs.data_type.is_sparse_vector:
-                continue  # sparse engines arrive with the sparse phase
+                continue  # sparse columns scan flat (exact) for now
             if vs.index_param.index_type != IndexType.FLAT:
                 seg.build_index(vs.name, vs.index_param)
+        seg.build_inverted_indexes()
 
     def _rotate_writing_segment(self, first: bool = False) -> None:
         meta = SegmentMeta(
@@ -400,6 +401,20 @@ class CollectionImpl:
             if filter_str:
                 fmask = self._filter_mask_for_segment(seg, filter_str)
                 alive = alive & fmask
+                # brute-force-by-keys: ultra-selective filters bypass the index
+                # and score the surviving rows exactly (`doc_filter.cc:120-122`)
+                if not vs.data_type.is_sparse_vector:
+                    from ..utils.config import GlobalConfig
+
+                    ratio = GlobalConfig.instance().brute_force_by_keys_ratio
+                    n_alive = int(alive.sum())
+                    if n_alive <= max(1, int(ratio * seg.doc_count)) and n_alive <= 50_000:
+                        sims, ids = _exact_over_rows(
+                            seg, field_name, queries, topk, alive, vs
+                        )
+                        all_sims.append(sims)
+                        all_ids.append(ids)
+                        continue
             sims, ids = seg.search(field_name, queries, topk, alive, param)
             all_sims.append(sims)
             all_ids.append(ids)
@@ -577,6 +592,9 @@ class CollectionImpl:
                     field_name,
                     FieldSchema(fs.name, fs.data_type, fs.nullable, params),
                 )
+                for seg in self.segments:
+                    seg.schema = self.schema
+                    seg.build_inverted_indexes()
             else:
                 vs = self.schema.vector(field_name)
                 if vs is None:
@@ -619,6 +637,9 @@ class CollectionImpl:
                 self.schema._replace_field(
                     field_name, FieldSchema(fs.name, fs.data_type, fs.nullable, None)
                 )
+                for seg in self.segments:
+                    seg.schema = self.schema
+                    seg.drop_inverted_index(field_name)
             self._commit_version()
 
     def optimize(self, concurrency: int = 0) -> None:
@@ -764,6 +785,36 @@ class CollectionImpl:
             raise ZvecError(StatusCode.PERMISSION_DENIED, "collection is read-only")
         if self._closed:
             raise ZvecError(StatusCode.FAILED_PRECONDITION, "collection is closed")
+
+
+def _exact_over_rows(seg, field_name, queries, topk, alive, vs):
+    """Exact scoring over an explicit candidate row set (brute-force-by-keys)."""
+    from ..ops.distance import score_to_similarity
+
+    rows = np.nonzero(alive)[0]
+    nq = queries.shape[0]
+    sims = np.full((nq, topk), -np.inf, dtype=np.float32)
+    ids = np.full((nq, topk), -1, dtype=np.int64)
+    if rows.size == 0:
+        return sims, ids
+    data = np.asarray(seg.store.dense_matrix(field_name), dtype=np.float32)[rows]
+    q = np.asarray(queries, dtype=np.float32)
+    dots = q @ data.T
+    metric = vs.index_param.metric_type
+    from ..typing.enum import MetricType
+
+    if metric == MetricType.IP:
+        s = dots
+    elif metric == MetricType.L2:
+        s = -((q**2).sum(1)[:, None] + (data**2).sum(1)[None, :] - 2 * dots)
+    else:
+        denom = np.sqrt((q**2).sum(1))[:, None] * np.sqrt((data**2).sum(1))[None, :]
+        s = np.where(denom > 0, dots / np.where(denom > 0, denom, 1), 1.0)
+    k = min(topk, rows.size)
+    order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    sims[:, :k] = np.take_along_axis(s, order, 1)
+    ids[:, :k] = rows[order] + seg.doc_id_start
+    return sims, ids
 
 
 def _load_writable(schema: CollectionSchema, path: str) -> ForwardStore:

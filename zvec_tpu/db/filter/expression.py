@@ -147,6 +147,21 @@ class RelNode(Node):
         return {self.field}
 
     def evaluate(self, ctx: "_EvalContext") -> np.ndarray:
+        # Prefer the inverted index when present; demote to a forward scan if
+        # the predicate matches more than invert_to_forward_scan_ratio of the
+        # rows (reference `InvertCondOptimizer.ratio_rule`, `optimizer.cc:66-95`).
+        if self.func is None and self.op not in ("IS_NULL", "IS_NOT_NULL"):
+            inv = ctx.inverted(self.field)
+            if inv is not None and inv.supports(self.op):
+                try:
+                    from ...utils.config import GlobalConfig
+
+                    ratio = inv.evaluate_ratio(self.op, self.value)
+                    if ratio <= GlobalConfig.instance().invert_to_forward_scan_ratio:
+                        return inv.mask(self.op, self.value)
+                except (KeyError, TypeError, ValueError):
+                    pass
+
         if self.func == "array_length":
             col = ctx.column(self.field)
             lengths = np.fromiter(
@@ -424,6 +439,10 @@ class _EvalContext:
         if name not in self._nulls:
             self._nulls[name] = self.segment.store.null_mask(name)
         return self._nulls[name]
+
+    def inverted(self, name: str):
+        getter = getattr(self.segment, "inverted_index", None)
+        return getter(name) if getter else None
 
 
 class CompiledFilter:

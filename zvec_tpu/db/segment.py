@@ -51,6 +51,8 @@ class Segment:
         self._write_version = 0
         # field -> params used to build a full (non-flat) index on this segment
         self._built_index_params: Dict[str, VectorIndexParam] = {}
+        # field -> inverted scalar index (sealed segments only)
+        self._inverted: Dict[str, "InvertedColumnIndex"] = {}
 
     # ------------- lifecycle -------------
     @classmethod
@@ -70,6 +72,7 @@ class Segment:
         store = ForwardStore.load(schema, os.path.join(directory, FORWARD_FILE))
         seg = cls(directory, meta, schema, store, None)
         seg._load_built_indexes()
+        seg._load_inverted_indexes()
         return seg
 
     @classmethod
@@ -178,6 +181,45 @@ class Segment:
     # ------------- fetch -------------
     def row_by_doc_id(self, doc_id: int) -> Tuple[str, Dict[str, Any], Dict[str, Any]]:
         return self.store.row(doc_id - self.doc_id_start)
+
+    # ------------- inverted scalar indexes -------------
+    def _load_inverted_indexes(self) -> None:
+        from .inverted import InvertedColumnIndex
+
+        for fs in self.schema.fields:
+            path = os.path.join(self.directory, f"invert_{fs.name}.npz")
+            if fs.index_param is not None and os.path.exists(path):
+                try:
+                    self._inverted[fs.name] = InvertedColumnIndex.load(path)
+                except Exception:
+                    pass
+
+    def build_inverted_indexes(self) -> None:
+        """Build + persist inverted indexes for fields declaring
+        `InvertIndexParam` (sealed segments; reference `inverted_column_indexer_write.cc`)."""
+        from .inverted import InvertedColumnIndex
+
+        for fs in self.schema.fields:
+            if fs.index_param is None:
+                continue
+            idx = InvertedColumnIndex.build(
+                self.store.scalar_column(fs.name),
+                self.store.null_mask(fs.name),
+                fs.data_type,
+                fs.index_param.enable_range_optimization,
+                fs.index_param.enable_extended_wildcard,
+            )
+            idx.save(os.path.join(self.directory, f"invert_{fs.name}.npz"))
+            self._inverted[fs.name] = idx
+
+    def drop_inverted_index(self, field: str) -> None:
+        self._inverted.pop(field, None)
+        path = os.path.join(self.directory, f"invert_{field}.npz")
+        if os.path.exists(path):
+            os.remove(path)
+
+    def inverted_index(self, field: str):
+        return self._inverted.get(field)
 
     # ------------- index DDL -------------
     def build_index(self, field: str, params: VectorIndexParam) -> None:
