@@ -1,0 +1,95 @@
+"""Sparse HNSW tests (reference analog: `tests/core/` hnsw_sparse suites)."""
+
+import numpy as np
+import pytest
+
+import zvec_tpu
+from zvec_tpu import (
+    CollectionSchema,
+    DataType,
+    Doc,
+    HnswIndexParam,
+    HnswQueryParam,
+    MetricType,
+    VectorQuery,
+    VectorSchema,
+)
+from zvec_tpu.core.hnsw_sparse import SparseHnswEngine
+
+
+def random_sparse(rng, vocab=800, nnz=16):
+    dims = rng.choice(vocab, nnz, replace=False)
+    return {int(d): float(rng.random() + 0.1) for d in dims}
+
+
+def sparse_dot(a, b):
+    return sum(a[k] * b[k] for k in set(a) & set(b))
+
+
+def test_sparse_hnsw_recall(rng):
+    n, k = 2500, 10
+    docs = [random_sparse(rng) for _ in range(n)]
+    queries = [random_sparse(rng) for _ in range(10)]
+    engine = SparseHnswEngine(
+        params=HnswIndexParam(MetricType.IP, m=12, ef_construction=100)
+    )
+    engine.bind_data(lambda: docs, lambda: 1)
+    sims, idx = engine.search(queries, k, param=HnswQueryParam(ef=150))
+    hits = 0
+    for qi, q in enumerate(queries):
+        oracle = np.array([sparse_dot(q, d) for d in docs])
+        expect = set(np.argsort(-oracle, kind="stable")[:k].tolist())
+        hits += len(set(idx[qi][idx[qi] >= 0].tolist()) & expect)
+    recall = hits / (10 * k)
+    assert recall >= 0.8, f"sparse hnsw recall {recall}"
+
+
+def test_sparse_hnsw_small_corpus_exact(rng):
+    docs = [random_sparse(rng) for _ in range(200)]
+    q = random_sparse(rng)
+    engine = SparseHnswEngine(params=HnswIndexParam(MetricType.IP, m=8))
+    engine.bind_data(lambda: docs, lambda: 1)
+    sims, idx = engine.search([q], 5)
+    oracle = np.array([sparse_dot(q, d) for d in docs])
+    assert set(idx[0]) == set(np.argsort(-oracle, kind="stable")[:5])
+
+
+def test_sparse_hnsw_through_collection(tmp_path, rng):
+    schema = CollectionSchema(
+        "sh",
+        vectors=[
+            VectorSchema(
+                "sv",
+                DataType.SPARSE_VECTOR_FP32,
+                0,
+                HnswIndexParam(MetricType.IP, m=8, ef_construction=80),
+            )
+        ],
+        max_doc_count_per_segment=1500,
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "sh"), schema)
+    docs = [random_sparse(rng) for _ in range(1600)]
+    for s in range(0, 1600, 800):
+        c.insert(
+            [Doc(id=f"s{i}", vectors={"sv": docs[i]}) for i in range(s, s + 800)]
+        )
+    assert "sv" in c._impl.segments[0].meta.indexes
+    hits = 0
+    for qi in range(8):
+        res = c.query(
+            VectorQuery("sv", vector=docs[qi], param=HnswQueryParam(ef=120)), topk=10
+        )
+        oracle = np.array([sparse_dot(docs[qi], d) for d in docs])
+        expect = {f"s{i}" for i in np.argsort(-oracle, kind="stable")[:10]}
+        hits += len({r.id for r in res} & expect)
+    assert hits / 80 >= 0.75
+
+    c.flush()
+    c._impl.close()
+    c2 = zvec_tpu.open(str(tmp_path / "sh"))
+    eng = c2._impl.segments[0]._engines["sv"]
+    assert isinstance(eng, SparseHnswEngine)
+    res = c2.query(VectorQuery("sv", vector=docs[3]), topk=3)
+    assert res[0].id == "s3"
+    assert eng._loaded_aux is not None
+    c2._impl.close()

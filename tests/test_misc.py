@@ -1,0 +1,174 @@
+"""Group-by search, concurrency hammering, profiler, config tests.
+
+Reference analogs: GroupByQuery (`sqlengine_impl.cc:93-121`), concurrency
+suite (`python/tests/detail/test_collection_concurrency.py:89-344`), Profiler
+(`src/db/common/profiler.h:26-105`), GlobalConfig (`config.cc:33-135`).
+"""
+
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import zvec_tpu
+from zvec_tpu import (
+    CollectionSchema,
+    DataType,
+    Doc,
+    FieldSchema,
+    FlatIndexParam,
+    MetricType,
+    VectorQuery,
+    VectorSchema,
+)
+from zvec_tpu.utils.config import GlobalConfig
+from zvec_tpu.utils.profiler import Profiler
+
+
+@pytest.fixture
+def coll(tmp_path, rng):
+    schema = CollectionSchema(
+        "m",
+        fields=[FieldSchema("grp", DataType.STRING), FieldSchema("n", DataType.INT64)],
+        vectors=[
+            VectorSchema("e", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.L2))
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "m"), schema)
+    xs = rng.standard_normal((60, 8)).astype(np.float32)
+    c.insert(
+        [
+            Doc(id=f"d{i}", vectors={"e": xs[i]}, fields={"grp": f"g{i % 4}", "n": i})
+            for i in range(60)
+        ]
+    )
+    c._xs = xs
+    yield c
+    c._impl.close()
+
+
+def test_group_by_query(coll):
+    res = coll.group_by_query(
+        VectorQuery("e", vector=coll._xs[0]),
+        group_by_field="grp",
+        group_count=3,
+        group_topk=2,
+    )
+    # 3 groups x up to 2 docs, each doc's group matches, best-first groups
+    groups = [r.field("grp") for r in res]
+    assert len(res) == 6
+    assert len(set(groups)) == 3
+    # first group contains the best overall hit (d0 itself)
+    assert res[0].id == "d0"
+    # within each group, docs sorted by score ascending (L2)
+    from itertools import groupby
+
+    for g, items in groupby(res, key=lambda r: r.field("grp")):
+        scores = [r.score for r in items]
+        assert scores == sorted(scores)
+
+
+def test_group_by_unknown_field(coll):
+    with pytest.raises(Exception):
+        coll.group_by_query(
+            VectorQuery("e", vector=coll._xs[0]), group_by_field="nope"
+        )
+
+
+def test_concurrent_read_write(tmp_path, rng):
+    schema = CollectionSchema(
+        "cc",
+        vectors=[
+            VectorSchema("e", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.IP))
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "cc"), schema)
+    xs = rng.standard_normal((400, 8)).astype(np.float32)
+    c.insert([Doc(id=f"w{i}", vectors={"e": xs[i]}) for i in range(100)])
+
+    errors = []
+
+    def writer():
+        try:
+            for i in range(100, 250):
+                c.insert(Doc(id=f"w{i}", vectors={"e": xs[i]}))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def deleter():
+        try:
+            for i in range(0, 50):
+                c.delete(f"w{i}")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def reader():
+        try:
+            for _ in range(30):
+                res = c.query(VectorQuery("e", vector=xs[60]), topk=5)
+                assert len(res) <= 5
+                c.fetch("w60")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer),
+        threading.Thread(target=deleter),
+        threading.Thread(target=reader),
+        threading.Thread(target=reader),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert c.stats.doc_count == 200  # 250 inserted - 50 deleted
+    res = c.query(VectorQuery("e", vector=xs[200]), topk=1)
+    assert res[0].id == "w200"
+    c._impl.close()
+
+
+def test_profiler_tree():
+    p = Profiler(enabled=True, trace_id="t-1")
+    with p.stage("analyze"):
+        pass
+    with p.stage("plan"):
+        with p.stage("vector_scan"):
+            pass
+    p.finish()
+    tree = json.loads(p.to_json())
+    assert tree["trace_id"] == "t-1"
+    names = [c["stage"] for c in tree["children"]]
+    assert names == ["analyze", "plan"]
+    assert tree["children"][1]["children"][0]["stage"] == "vector_scan"
+    assert tree["ms"] >= 0
+
+
+def test_profiler_disabled_is_noop():
+    p = Profiler(enabled=False)
+    with p.stage("x"):
+        pass
+    p.finish()
+    assert "children" not in json.loads(p.to_json())
+
+
+def test_global_config_validation():
+    cfg = GlobalConfig()
+    with pytest.raises(ValueError):
+        cfg.initialize(query_threads=0)
+    cfg2 = GlobalConfig()
+    with pytest.raises(ValueError):
+        cfg2.initialize(invert_to_forward_scan_ratio=1.5)
+    cfg3 = GlobalConfig()
+    cfg3.initialize(query_threads=2, memory_limit_mb=512)
+    assert cfg3.query_threads == 2
+    with pytest.raises(RuntimeError):
+        cfg3.initialize()
+
+
+def test_cgroup_defaults():
+    from zvec_tpu.utils.config import cgroup_cpu_limit, cgroup_memory_limit_mb
+
+    assert cgroup_cpu_limit() >= 1
+    assert cgroup_memory_limit_mb() > 0

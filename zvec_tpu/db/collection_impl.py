@@ -318,9 +318,10 @@ class CollectionImpl:
         from ..typing.enum import IndexType
 
         for vs in self.schema.vectors:
-            if vs.data_type.is_sparse_vector:
-                continue  # sparse columns scan flat (exact) for now
-            if vs.index_param.index_type != IndexType.FLAT:
+            if vs.index_param.index_type == IndexType.HNSW or (
+                not vs.data_type.is_sparse_vector
+                and vs.index_param.index_type != IndexType.FLAT
+            ):
                 seg.build_index(vs.name, vs.index_param)
         seg.build_inverted_indexes()
 

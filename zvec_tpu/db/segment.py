@@ -93,10 +93,20 @@ class Segment:
             vs = self.schema.vector(field)
             if vs is None or params is None:
                 continue
-            engine = create_engine(params, vs.dimension)
-            engine.bind_data(
-                lambda f=field: self.store.dense_matrix(f), lambda: self._write_version
-            )
+            if vs.data_type.is_sparse_vector:
+                from ..core.hnsw_sparse import SparseHnswEngine
+
+                engine = SparseHnswEngine(params=params)
+                engine.bind_data(
+                    lambda f=field: self.store.sparse_rows(f),
+                    lambda: self._write_version,
+                )
+            else:
+                engine = create_engine(params, vs.dimension)
+                engine.bind_data(
+                    lambda f=field: self.store.dense_matrix(f),
+                    lambda: self._write_version,
+                )
             engine.load_aux(self.directory, desc.get("aux", {}))
             self._engines[field] = engine
             self._built_index_params[field] = params
@@ -225,11 +235,22 @@ class Segment:
     def build_index(self, field: str, params: VectorIndexParam) -> None:
         """Build a full index for `field` and persist its aux files."""
         vs = self.schema.vector(field)
-        engine = create_engine(params, vs.dimension)
-        engine.bind_data(
-            lambda f=field: self.store.dense_matrix(f), lambda: self._write_version
-        )
-        engine.search(np.zeros((1, vs.dimension), np.float32), 1)  # force build
+        if vs.data_type.is_sparse_vector:
+            from ..core.hnsw_sparse import SparseHnswEngine
+
+            engine = SparseHnswEngine(params=params)
+            engine.bind_data(
+                lambda f=field: self.store.sparse_rows(f),
+                lambda: self._write_version,
+            )
+            engine.search([{}], 1)  # force build
+        else:
+            engine = create_engine(params, vs.dimension)
+            engine.bind_data(
+                lambda f=field: self.store.dense_matrix(f),
+                lambda: self._write_version,
+            )
+            engine.search(np.zeros((1, vs.dimension), np.float32), 1)  # force build
         aux = engine.dump_aux(self.directory, f"{field}")
         self._engines[field] = engine
         self._built_index_params[field] = params
