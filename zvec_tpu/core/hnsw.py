@@ -29,7 +29,14 @@ import numpy as np
 
 from ..model.param.param import HnswQueryParam, QueryParam
 from ..ops.hnsw import hnsw_search, select_neighbors_batch
-from ..ops.quantize import QuantParams, decode, encode, train_quantizer
+from ..ops.quantize import (
+    QuantParams,
+    decode,
+    encode,
+    mips_augment,
+    mips_augment_query,
+    train_quantizer,
+)
 from ..ops.runtime import round_up
 from ..ops.topk import blockwise_topk_search
 from ..typing.enum import IndexType, MetricType, QuantizeType
@@ -67,6 +74,9 @@ class HnswEngine(VectorIndexEngine):
         super().__init__(metric, dimension, params)
         self.m = params.m if params is not None else 50
         self.ef_construction = params.ef_construction if params is not None else 500
+        self._search_metric = self.metric  # set per-build (MIPS augments IP)
+        self._mips = False
+        self._mips_max_norm2 = 0.0
         self.quantize = (
             QuantizeType(params.quantize_type)
             if params is not None
@@ -89,6 +99,14 @@ class HnswEngine(VectorIndexEngine):
         if self._n == 0:
             self._dev = None
             return
+        # MIPS -> L2 augmentation: IP is not a metric, so the graph is built
+        # and traversed in the augmented L2 space where L2-NN ranking equals
+        # IP ranking (reference MipsConverter/MipsSquaredEuclidean,
+        # `mips_converter.cc:657`). Similarities convert back at the boundary.
+        self._mips = self._search_metric == MetricType.IP
+        self._search_metric = MetricType.L2 if self._mips else self._search_metric
+        if self._mips:
+            data, self._mips_max_norm2 = mips_augment(data)
         n_pad = round_up(self._n, _ROW_ALIGN)
         padded = np.zeros((n_pad, data.shape[1]), np.float32)
         padded[: self._n] = data
@@ -104,7 +122,7 @@ class HnswEngine(VectorIndexEngine):
         # with dequant fused (quantized converter/reformer semantics)
         if self.quantize != QuantizeType.UNDEFINED:
             store = data
-            if self.metric == MetricType.COSINE:
+            if self._search_metric == MetricType.COSINE:
                 nrm = np.linalg.norm(store, axis=1, keepdims=True)
                 store = np.where(nrm > 0, store / np.where(nrm > 0, nrm, 1.0), store)
             if self.quantize in (QuantizeType.INT8, QuantizeType.INT4):
@@ -188,7 +206,7 @@ class HnswEngine(VectorIndexEngine):
                 sims, ids = blockwise_topk_search(
                     qs,
                     jnp.asarray(data[:cur]),
-                    self.metric,
+                    self._search_metric,
                     min(efc, cur),
                 )
                 sims, ids = np.asarray(sims), np.asarray(ids)
@@ -211,7 +229,7 @@ class HnswEngine(VectorIndexEngine):
                     dev["entry_rows"],
                     None,
                     budget,
-                    metric=self.metric,
+                    metric=self._search_metric,
                     ef=efc,
                     topk=efc,
                     max_steps=4 * efc,
@@ -246,7 +264,7 @@ class HnswEngine(VectorIndexEngine):
                     continue
                 k = min(efc, len(existing))
                 s2, i2 = blockwise_topk_search(
-                    data[in_chunk], jnp.asarray(data[existing]), self.metric, k
+                    data[in_chunk], jnp.asarray(data[existing]), self._search_metric, k
                 )
                 s2, i2 = np.asarray(s2), np.asarray(i2)
                 cand_ids = np.where(i2 >= 0, existing[np.clip(i2, 0, None)], -1)
@@ -367,7 +385,7 @@ class HnswEngine(VectorIndexEngine):
                     jnp.asarray(data[safe[s:e]]),
                     jnp.asarray(valid[s:e]),
                     jnp.asarray(norms[safe[s:e]]),
-                    metric=self.metric,
+                    metric=self._search_metric,
                     max_out=max_out,
                 )
             )
@@ -437,9 +455,9 @@ class HnswEngine(VectorIndexEngine):
         base_vecs = data[base]
         cand_vecs = data[safe]
         dots = np.einsum("bd,bcd->bc", base_vecs, cand_vecs, dtype=np.float64)
-        if self.metric == MetricType.IP:
+        if self._search_metric == MetricType.IP:
             sims = dots
-        elif self.metric == MetricType.L2:
+        elif self._search_metric == MetricType.L2:
             sims = -(norms[base][:, None] + norms[safe] - 2.0 * dots)
         else:
             denom = np.sqrt(norms[base])[:, None] * np.sqrt(norms[safe])
@@ -467,6 +485,10 @@ class HnswEngine(VectorIndexEngine):
                 np.full((nq, topk), -np.inf, np.float32),
                 np.full((nq, topk), -1, np.int64),
             )
+        q_norm2 = None
+        if self._mips:
+            q_norm2 = (queries.astype(np.float32) ** 2).sum(1)
+            queries = mips_augment_query(queries.astype(np.float32))
         ef = param.ef if isinstance(param, HnswQueryParam) else 500
         use_refiner = (
             param is not None
@@ -486,7 +508,7 @@ class HnswEngine(VectorIndexEngine):
             sims, idx = blockwise_topk_search(
                 queries,
                 self._codes,
-                self.metric,
+                self._search_metric,
                 k,
                 mask=jnp.asarray(full_mask),
                 x_sq_norms=self._norms,
@@ -517,7 +539,7 @@ class HnswEngine(VectorIndexEngine):
                 dmask,
                 budget,
                 self._dequant,
-                metric=self.metric,
+                metric=self._search_metric,
                 ef=ef,
                 topk=k,
                 max_steps=4 * ef,
@@ -525,9 +547,18 @@ class HnswEngine(VectorIndexEngine):
             )
             sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
         if use_refiner:
-            sims, idx = refine(self._data_fn, queries, idx, self.metric, out_topk)
+            raw_q = queries[:, :-1] if self._mips else queries
+            sims, idx = refine(self._data_fn, raw_q, idx, self.metric, out_topk)
             idx = idx.astype(np.int64)
             topk = out_topk
+        elif self._mips:
+            # augmented-L2 similarity -> true inner product:
+            # -l2 = -(||q||^2 + M^2 - 2 ip)  =>  ip = (sim + ||q||^2 + M^2) / 2
+            sims = np.where(
+                idx >= 0,
+                (sims + q_norm2[:, None] + self._mips_max_norm2) / 2.0,
+                sims,
+            )
         if sims.shape[1] < topk:
             pad = topk - sims.shape[1]
             sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
