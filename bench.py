@@ -26,7 +26,7 @@ def main():
     from zvec_tpu.ops.topk import blockwise_topk_search
     from zvec_tpu.typing import MetricType
 
-    N, D, Q, K = 1_000_000, 128, 128, 10
+    N, D, Q, K = 1_000_000, 128, 1024, 10
     N_pad = 1_048_576  # 8 x 131072 blocks
     rng = np.random.default_rng(0)
     corpus = rng.standard_normal((N_pad, D)).astype(np.float32)
@@ -39,10 +39,10 @@ def main():
     norms = jnp.sum(codes * codes, axis=-1)
     dq = jnp.asarray(queries)
 
-    def run(q):
+    def run(q, mode="exact"):
         return blockwise_topk_search(
             q, codes, MetricType.L2, K, mask=dmask, x_sq_norms=norms,
-            block_size=131072,
+            block_size=131072, mode=mode,
         )
 
     # compile + warmup
@@ -76,6 +76,7 @@ def main():
     tpu_s = best
     qps = Q / tpu_s
 
+
     # correctness spot-check vs numpy on one query
     d = ((queries[0][None, :] - corpus[:N]) ** 2).sum(1)
     expect = set(np.argsort(d)[:K].tolist())
@@ -103,6 +104,7 @@ def main():
                 "unit": "qps",
                 "vs_baseline": round(qps / host_qps, 2),
                 "detail": {
+                    "batch": Q,
                     "batch_ms": round(tpu_s * 1e3, 2),
                     "host_numpy_qps": round(host_qps, 1),
                     "device": jax.devices()[0].platform,
