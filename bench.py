@@ -23,6 +23,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from zvec_tpu.ops.flat_pallas import flat_scan_topk
     from zvec_tpu.ops.topk import blockwise_topk_search
     from zvec_tpu.typing import MetricType
 
@@ -39,11 +40,11 @@ def main():
     norms = jnp.sum(codes * codes, axis=-1)
     dq = jnp.asarray(queries)
 
-    def run(q, mode="exact"):
-        return blockwise_topk_search(
-            q, codes, MetricType.L2, K, mask=dmask, x_sq_norms=norms,
-            block_size=131072, mode=mode,
-        )
+    imask = jnp.asarray(mask.astype(np.int8))
+
+    def run(q):
+        # fused Pallas scan (exact): MXU tile + epilogue + in-VMEM K-pass top-k
+        return flat_scan_topk(q, codes, norms, imask, metric=MetricType.L2, topk=K)
 
     # compile + warmup
     sims, idx = run(dq)

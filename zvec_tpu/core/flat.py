@@ -33,7 +33,7 @@ __all__ = ["FlatEngine"]
 # Queries are padded to buckets to bound jit recompilation.
 _QUERY_BUCKETS = (1, 8, 32, 128, 512)
 # Row padding granularity; block scan kicks in above one block.
-_ROW_ALIGN = 512
+_ROW_ALIGN = 1024  # Pallas tile multiple
 _BLOCK_SIZE = 131072
 
 
@@ -77,6 +77,21 @@ class FlatEngine(VectorIndexEngine):
         if self.quantize == QuantizeType.FP16:
             return data.astype(np.float16)
         return data
+
+    def _use_pallas(self, k: int) -> bool:
+        """Fused Pallas scan: TPU, fp32 codes (no dequant epilogue yet), large
+        corpus, small k (K-pass extraction)."""
+        from ..ops.runtime import is_tpu
+
+        return (
+            is_tpu()
+            and self._dequant is None
+            and self._codes is not None
+            and self._codes.dtype in (jnp.float32, jnp.bfloat16)
+            and self._n_pad % 1024 == 0
+            and self._n >= 100_000
+            and k <= 32
+        )
 
     def _rebuild(self, data: np.ndarray) -> None:
         n = data.shape[0]
@@ -127,16 +142,31 @@ class FlatEngine(VectorIndexEngine):
             full_mask[: self._n] = True
 
         k = min(scan_k, self._n)
-        sims, idx = blockwise_topk_search(
-            q,
-            self._codes,
-            self.metric,
-            k,
-            mask=jnp.asarray(full_mask),
-            x_sq_norms=self._norms,
-            block_size=_BLOCK_SIZE,
-            dequant=self._dequant,
-        )
+        if self._use_pallas(k):
+            from ..ops.flat_pallas import flat_scan_topk
+
+            norms = self._norms
+            if self.metric == MetricType.COSINE:
+                norms = jnp.sqrt(self._norms)  # kernel wants ||x|| for cosine
+            sims, idx = flat_scan_topk(
+                jnp.asarray(q),
+                self._codes,
+                norms,
+                jnp.asarray(full_mask.astype(np.int8)),
+                metric=self.metric,
+                topk=k,
+            )
+        else:
+            sims, idx = blockwise_topk_search(
+                q,
+                self._codes,
+                self.metric,
+                k,
+                mask=jnp.asarray(full_mask),
+                x_sq_norms=self._norms,
+                block_size=_BLOCK_SIZE,
+                dequant=self._dequant,
+            )
         sims = np.asarray(sims[:nq])
         idx = np.asarray(idx[:nq]).astype(np.int64)
 
