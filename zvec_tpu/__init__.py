@@ -15,12 +15,23 @@ imports.
 from . import model as model
 from .extension import (
     BM25EmbeddingFunction,
+    DefaultLocalDenseEmbedding,
+    DefaultLocalReRanker,
+    DefaultLocalSparseEmbedding,
     DenseEmbeddingFunction,
+    OpenAIDenseEmbedding,
+    OpenAIFunctionBase,
+    QwenDenseEmbedding,
+    QwenFunctionBase,
+    QwenReRanker,
+    QwenSparseEmbedding,
     ReRanker,
     RrfReRanker,
+    SentenceTransformerFunctionBase,
     SparseEmbeddingFunction,
     WeightedReRanker,
 )
+from .tool import require_module
 from .model import param as param
 from .model.collection import Collection
 from .model.doc import Doc
@@ -99,6 +110,17 @@ __all__ = [
     "ReRanker",
     "RrfReRanker",
     "WeightedReRanker",
+    "OpenAIFunctionBase",
+    "OpenAIDenseEmbedding",
+    "QwenFunctionBase",
+    "QwenDenseEmbedding",
+    "QwenSparseEmbedding",
+    "QwenReRanker",
+    "SentenceTransformerFunctionBase",
+    "DefaultLocalDenseEmbedding",
+    "DefaultLocalSparseEmbedding",
+    "DefaultLocalReRanker",
+    "require_module",
     # submodules
     "model",
     "param",

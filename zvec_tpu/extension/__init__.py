@@ -3,8 +3,20 @@ from .embedding_function import (
     DenseEmbeddingFunction,
     SparseEmbeddingFunction,
 )
-from .rerank_function import ReRanker, RerankFunction
 from .multi_vector_reranker import RrfReRanker, WeightedReRanker
+from .providers import (
+    DefaultLocalDenseEmbedding,
+    DefaultLocalReRanker,
+    DefaultLocalSparseEmbedding,
+    OpenAIDenseEmbedding,
+    OpenAIFunctionBase,
+    QwenDenseEmbedding,
+    QwenFunctionBase,
+    QwenReRanker,
+    QwenSparseEmbedding,
+    SentenceTransformerFunctionBase,
+)
+from .rerank_function import ReRanker, RerankFunction
 
 __all__ = [
     "BM25EmbeddingFunction",
@@ -14,4 +26,14 @@ __all__ = [
     "RerankFunction",
     "RrfReRanker",
     "WeightedReRanker",
+    "OpenAIFunctionBase",
+    "OpenAIDenseEmbedding",
+    "QwenFunctionBase",
+    "QwenDenseEmbedding",
+    "QwenSparseEmbedding",
+    "QwenReRanker",
+    "SentenceTransformerFunctionBase",
+    "DefaultLocalDenseEmbedding",
+    "DefaultLocalSparseEmbedding",
+    "DefaultLocalReRanker",
 ]
