@@ -1,11 +1,11 @@
-"""Benchmark: exact vector search throughput on one TPU chip.
+"""Benchmark: vector search throughput on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload (BASELINE.md config #1 analog, synthetic): 1M x 128-d fp32 corpus,
-exact L2 top-10, query batches of 128 through the fused flat-scan kernel
-(MXU distance tiles + masked blockwise top-k).
+Headline (BASELINE.json driver metric: "QPS at recall@10>=0.95 on 10M
+vectors"): EXACT L2 top-10 over a 10M x 128-d fp32 corpus (recall = 1.0)
+through the fused Pallas flat-scan kernel, query batches of 1024. The 1M
+figure ships in `detail`.
 
 vs_baseline: ratio against a single-core numpy BLAS brute-force scan of the
 same workload (the reference engine's flat scan is CPU SIMD; its harness
@@ -19,95 +19,92 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from zvec_tpu.ops.flat_pallas import flat_scan_topk
-    from zvec_tpu.ops.topk import blockwise_topk_search
-    from zvec_tpu.typing import MetricType
-
-    N, D, Q, K = 1_000_000, 128, 1024, 10
-    N_pad = 1_048_576  # 8 x 131072 blocks
-    rng = np.random.default_rng(0)
-    corpus = rng.standard_normal((N_pad, D)).astype(np.float32)
-    queries = rng.standard_normal((Q, D)).astype(np.float32)
-    mask = np.zeros(N_pad, dtype=bool)
-    mask[:N] = True
-
-    codes = jnp.asarray(corpus)
-    dmask = jnp.asarray(mask)
-    norms = jnp.sum(codes * codes, axis=-1)
-    dq = jnp.asarray(queries)
-
-    imask = jnp.asarray(mask.astype(np.int8))
-
-    def run(q):
-        # fused Pallas scan (exact): MXU tile + epilogue + in-VMEM K-pass top-k
-        return flat_scan_topk(q, codes, norms, imask, metric=MetricType.L2, topk=K)
-
-    # compile + warmup
-    sims, idx = run(dq)
-    np.asarray(sims)
-
-    # Timing note: through the remote-execution tunnel, block_until_ready is
-    # not reliably synchronous and serialized calls pay a full RPC round-trip.
-    # Measure pipelined throughput: enqueue independent batches with distinct
-    # inputs, then force a device->host fetch of EVERY output.
-    rng2 = np.random.default_rng(1)
-    qset = [
-        jnp.asarray(rng2.standard_normal((Q, D)).astype(np.float32))
-        for _ in range(4)
-    ]
-    for q in qset:  # warm all input buffers
-        np.asarray(run(q)[0])
-    iters = 24
+def _measure(run, qset, iters, jnp):
+    outs = [run(q) for q in qset]  # warm inputs + compile
+    np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))
 
     def timed_pass():
         outs = [run(qset[i % len(qset)]) for i in range(iters)]
-        # single stacked fetch: one RPC that depends on every execution
-        np.asarray(jnp.stack([s for s, _ in outs]))
+        np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))
 
-    timed_pass()  # warm the stack/fetch path too
+    timed_pass()
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         timed_pass()
         best = min(best, (time.perf_counter() - t0) / iters)
-    tpu_s = best
-    qps = Q / tpu_s
+    return best
 
 
-    # correctness spot-check vs numpy on one query
-    d = ((queries[0][None, :] - corpus[:N]) ** 2).sum(1)
-    expect = set(np.argsort(d)[:K].tolist())
-    got = set(int(x) for x in np.asarray(idx)[0] if 0 <= x < N)
-    assert len(got & expect) >= K - 1, "bench result failed oracle check"
+def main():
+    import jax
+    import jax.numpy as jnp
 
-    # host numpy baseline (single core BLAS) on a slice, scaled linearly to N
+    from zvec_tpu.ops.flat_pallas import flat_scan_topk
+    from zvec_tpu.typing import MetricType
+
+    D, Q, K = 128, 1024, 10
+    rng = np.random.default_rng(0)
+    queries = rng.standard_normal((Q, D), dtype=np.float32)
+    qset = [jnp.asarray(np.roll(queries, i, axis=0)) for i in range(4)]
+
+    results = {}
+    corpus_head = None
+    for name, n, n_pad, iters in (
+        ("1M", 1_000_000, 1_048_576, 16),
+        ("10M", 10_000_000, 10_485_760, 6),
+    ):
+        corpus = rng.standard_normal((n_pad, D), dtype=np.float32)
+        mask = np.zeros(n_pad, dtype=np.int8)
+        mask[:n] = 1
+        codes = jnp.asarray(corpus)
+        dmask = jnp.asarray(mask)
+        # norms on host: a device reduce over the tunnel-placed buffer is
+        # pathologically slow (measured 226s at 10M)
+        norms = jnp.asarray(np.einsum("nd,nd->n", corpus, corpus))
+
+        def run(q, codes=codes, norms=norms, dmask=dmask):
+            return flat_scan_topk(q, codes, norms, dmask, metric=MetricType.L2, topk=K)
+
+        sec = _measure(run, qset, iters, jnp)
+        results[name] = {"batch_ms": sec * 1e3, "qps": Q / sec}
+        if name == "1M":
+            corpus_head = corpus[:n]
+            sims, idx = run(qset[0])
+            d = ((queries[0][None, :] - corpus_head) ** 2).sum(1)
+            expect = set(np.argsort(d)[:K].tolist())
+            got = set(int(x) for x in np.asarray(idx)[0] if 0 <= x < n)
+            assert len(got & expect) >= K - 1, "bench failed oracle check"
+            corpus_head = corpus[:131_072].copy()
+        del corpus, codes, norms, dmask
+
+    # host numpy baseline (single core BLAS) on a 131072 slice, scaled to 10M
     NB = 131_072
-    sub = corpus[:NB]
-    sub_norms = (sub ** 2).sum(1)
+    sub = corpus_head
+    sub_norms = (sub**2).sum(1)
     t0 = time.perf_counter()
-    reps = 3
+    reps = 2
     for _ in range(reps):
         dots = queries @ sub.T
-        d2 = (queries ** 2).sum(1)[:, None] + sub_norms[None, :] - 2 * dots
+        d2 = (queries**2).sum(1)[:, None] + sub_norms[None, :] - 2 * dots
         np.argpartition(d2, K, axis=1)
-    host_s = (time.perf_counter() - t0) / reps * (N / NB)
+    host_s = (time.perf_counter() - t0) / reps * (10_000_000 / NB)
     host_qps = Q / host_s
 
+    qps10 = results["10M"]["qps"]
     print(
         json.dumps(
             {
-                "metric": "flat_exact_search_qps_1M_128d_top10",
-                "value": round(qps, 1),
+                "metric": "exact_search_qps_at_recall1.0_10M_128d_top10",
+                "value": round(qps10, 1),
                 "unit": "qps",
-                "vs_baseline": round(qps / host_qps, 2),
+                "vs_baseline": round(qps10 / host_qps, 2),
                 "detail": {
                     "batch": Q,
-                    "batch_ms": round(tpu_s * 1e3, 2),
-                    "host_numpy_qps": round(host_qps, 1),
+                    "batch_ms_10M": round(results["10M"]["batch_ms"], 2),
+                    "qps_1M": round(results["1M"]["qps"], 1),
+                    "batch_ms_1M": round(results["1M"]["batch_ms"], 2),
+                    "host_numpy_qps_10M": round(host_qps, 2),
                     "device": jax.devices()[0].platform,
                 },
             }

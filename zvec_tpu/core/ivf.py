@@ -51,40 +51,53 @@ def _ivf_probe(
     topk: int,
 ):
     q = q.astype(jnp.float32)
+    nq = q.shape[0]
+    lmax = lists_codes.shape[1]
     cent_sims = similarity_matrix(q, centroids, metric)  # (Q, K)
     _, sel = jax.lax.top_k(cent_sims, nprobe)  # (Q, nprobe)
 
-    codes = lists_codes[sel]  # (Q, P, L, D)
-    norms = lists_norms[sel]  # (Q, P, L)
-    ids = lists_ids[sel]  # (Q, P, L)
-    if codes.dtype != jnp.float32:
-        codes = codes.astype(jnp.float32)
-        if dequant is not None:
-            codes = codes * dequant[0] + dequant[1]
-    dots = jnp.einsum(
-        "qd,qpld->qpl", q, codes, precision=jax.lax.Precision.HIGHEST
+    q_sq = jnp.sum(q * q, axis=-1)[:, None]  # (Q, 1)
+    q_n = jnp.sqrt(q_sq)
+    k = min(topk, nprobe * lmax)
+
+    # scan one probed list per step so the gathered block stays (Q, L, D) —
+    # HBM-safe at large K x L (the reference scans nprobe lists sequentially
+    # per query too, `ivf_searcher.cc:183-250`)
+    def step(carry, p):
+        cs, ci = carry
+        lst = sel[:, p]  # (Q,)
+        codes = lists_codes[lst]  # (Q, L, D)
+        norms = lists_norms[lst]  # (Q, L)
+        ids = lists_ids[lst]  # (Q, L)
+        if codes.dtype != jnp.float32:
+            codes = codes.astype(jnp.float32)
+            if dequant is not None:
+                codes = codes * dequant[0] + dequant[1]
+        dots = jnp.einsum(
+            "qd,qld->ql", q, codes, precision=jax.lax.Precision.HIGHEST
+        )
+        if metric == MetricType.IP:
+            sims = dots
+        elif metric == MetricType.L2:
+            sims = -(q_sq + norms - 2.0 * dots)
+        else:  # COSINE
+            denom = q_n * jnp.sqrt(norms)
+            sims = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
+        valid = ids >= 0
+        if mask is not None:
+            valid = valid & mask[jnp.clip(ids, 0)]
+        sims = jnp.where(valid, sims, NEG_INF)
+        all_s = jnp.concatenate([cs, sims], axis=1)
+        all_i = jnp.concatenate([ci, ids], axis=1)
+        ns, pos = jax.lax.top_k(all_s, k)
+        ni = jnp.take_along_axis(all_i, pos, 1)
+        return (ns, ni), None
+
+    init = (
+        jnp.full((nq, k), NEG_INF, jnp.float32),
+        jnp.full((nq, k), -1, jnp.int32),
     )
-    if metric == MetricType.IP:
-        sims = dots
-    elif metric == MetricType.L2:
-        q_sq = jnp.sum(q * q, axis=-1)[:, None, None]
-        sims = -(q_sq + norms - 2.0 * dots)
-    else:  # COSINE
-        qn = jnp.sqrt(jnp.sum(q * q, axis=-1))[:, None, None]
-        vn = jnp.sqrt(norms)
-        denom = qn * vn
-        sims = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
-
-    valid = ids >= 0
-    if mask is not None:
-        valid = valid & mask[jnp.clip(ids, 0)]
-    sims = jnp.where(valid, sims, NEG_INF)
-
-    flat_s = sims.reshape(q.shape[0], -1)
-    flat_i = ids.reshape(q.shape[0], -1)
-    k = min(topk, flat_s.shape[1])
-    out_s, pos = jax.lax.top_k(flat_s, k)
-    out_i = jnp.take_along_axis(flat_i, pos, 1)
+    (out_s, out_i), _ = jax.lax.scan(step, init, jnp.arange(nprobe))
     out_i = jnp.where(out_s > NEG_INF / 2, out_i, -1)
     return out_s, out_i
 
@@ -202,19 +215,24 @@ class IvfEngine(VectorIndexEngine):
         codes = encode(store, self.quantize, self._qparams)
         deq_norms = (decode(codes, self._qparams) ** 2).sum(1)
 
+        # vectorized list assembly: stable-sort entries by list, then each
+        # entry's slot is its rank within its list
+        assign_rows = np.asarray(assign_rows, dtype=np.int64)
+        assign_lists = np.asarray(assign_lists, dtype=np.int64)
         counts = np.bincount(assign_lists, minlength=k)
         lmax = int(max(counts.max(initial=1), 1))
-        lmax = max(lmax, 1)
+        order = np.argsort(assign_lists, kind="stable")
+        sorted_lists = assign_lists[order]
+        sorted_rows = assign_rows[order]
+        starts = np.zeros(k + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slots = np.arange(len(order)) - starts[sorted_lists]
         lists_codes = np.zeros((k, lmax, data.shape[1]), dtype=codes.dtype)
         lists_norms = np.zeros((k, lmax), dtype=np.float32)
         lists_ids = np.full((k, lmax), -1, dtype=np.int32)
-        fill = np.zeros(k, dtype=np.int64)
-        for row, lst in zip(assign_rows, assign_lists):
-            p = fill[lst]
-            lists_codes[lst, p] = codes[row]
-            lists_norms[lst, p] = deq_norms[row]
-            lists_ids[lst, p] = row
-            fill[lst] = p + 1
+        lists_codes[sorted_lists, slots] = codes[sorted_rows]
+        lists_norms[sorted_lists, slots] = deq_norms[sorted_rows]
+        lists_ids[sorted_lists, slots] = sorted_rows
 
         self._centroids = jnp.asarray(centroids.astype(np.float32))
         self._lists_codes = jnp.asarray(lists_codes)

@@ -45,27 +45,52 @@ def kmeanspp_seed(
     return centroids
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "block"))
 def lloyd(
-    data: jax.Array, centroids: jax.Array, iters: int = 10
+    data: jax.Array, centroids: jax.Array, iters: int = 10, block: int = 65536
 ) -> Tuple[jax.Array, jax.Array]:
-    """`iters` Lloyd iterations. Returns (centroids (K, D), assignments (N,))."""
+    """`iters` Lloyd iterations, blocked over N so the (N, K) distance matrix
+    never materializes (HBM-safe at 10M x 4096). Returns (centroids, assigns)."""
+    n = data.shape[0]
     k = centroids.shape[0]
+    if n % block != 0:
+        block = n
+    nb = n // block
+    data_b = data.reshape(nb, block, -1)
 
-    def step(cents, _):
-        d2 = squared_l2_matrix(data, cents)  # (N, K)
+    def assign_block(cents, x):
+        d2 = squared_l2_matrix(x, cents)  # (block, K)
         a = jnp.argmin(d2, axis=1)
         one_hot = jax.nn.one_hot(a, k, dtype=jnp.float32)
         sums = jnp.einsum(
-            "nk,nd->kd", one_hot, data, precision=jax.lax.Precision.HIGHEST
+            "nk,nd->kd", one_hot, x, precision=jax.lax.Precision.HIGHEST
         )
-        counts = one_hot.sum(0)
-        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), cents)
+        return a, sums, one_hot.sum(0)
+
+    def step(cents, _):
+        def scan_body(carry, x):
+            sums, counts = carry
+            _, s, c = assign_block(cents, x)
+            return (sums + s, counts + c), None
+
+        (sums, counts), _ = jax.lax.scan(
+            scan_body,
+            (jnp.zeros((k, data.shape[1]), jnp.float32), jnp.zeros((k,), jnp.float32)),
+            data_b,
+        )
+        new = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), cents
+        )
         return new, None
 
     centroids, _ = jax.lax.scan(step, centroids.astype(jnp.float32), None, length=iters)
-    final_assign = jnp.argmin(squared_l2_matrix(data, centroids), axis=1)
-    return centroids, final_assign
+
+    def final_body(_, x):
+        a, _, _ = assign_block(centroids, x)
+        return None, a
+
+    _, assigns = jax.lax.scan(final_body, None, data_b)
+    return centroids, assigns.reshape(n)
 
 
 @jax.jit
