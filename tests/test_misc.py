@@ -172,3 +172,12 @@ def test_cgroup_defaults():
 
     assert cgroup_cpu_limit() >= 1
     assert cgroup_memory_limit_mb() > 0
+
+
+def test_query_profiling(coll):
+    coll._impl.debug_profiling = True
+    coll.query(VectorQuery("e", vector=coll._xs[0]), topk=3, filter="n < 30")
+    tree = json.loads(coll._impl.last_profile)
+    names = [c["stage"] for c in tree["children"]]
+    assert any("filter" in n for n in names)
+    assert any("vector_scan" in n for n in names)

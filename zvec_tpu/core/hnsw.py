@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..model.param.param import HnswQueryParam, QueryParam
-from ..ops.hnsw import hnsw_search, select_neighbors_batch
+from ..ops.hnsw import hnsw_search, select_neighbors_batch, select_neighbors_ids
 from ..ops.quantize import (
     QuantParams,
     decode,
@@ -188,6 +188,9 @@ class HnswEngine(VectorIndexEngine):
         )
 
         norms = (data.astype(np.float32) ** 2).sum(1)
+        self._build_dev_cache = None
+        self._level_codes_cache = {}
+        self._row_of_cache = {}
 
         # chunked insertion
         pos = 1  # node 0 seeds the graph
@@ -203,23 +206,34 @@ class HnswEngine(VectorIndexEngine):
             qs = data[new_ids]
             efc = self.ef_construction
             if cur <= max(_BRUTE_FORCE_THRESHOLD, efc):
+                n_bkt = 1 << max(int(np.ceil(np.log2(cur))), 5)
+                n_bkt = min(n_bkt, n)
+                prefix = np.zeros(n_bkt, dtype=bool)
+                prefix[:cur] = True
+                q_bkt = 1 << max(int(np.ceil(np.log2(chunk))), 5)
+                qs_p = np.zeros((q_bkt, d), np.float32)
+                qs_p[:chunk] = qs
                 sims, ids = blockwise_topk_search(
-                    qs,
-                    jnp.asarray(data[:cur]),
+                    jnp.asarray(qs_p),
+                    jnp.asarray(data[:n_bkt]),
                     self._search_metric,
-                    min(efc, cur),
+                    min(efc, n_bkt),
+                    mask=jnp.asarray(prefix),
                 )
-                sims, ids = np.asarray(sims), np.asarray(ids)
+                sims = np.asarray(sims)[:chunk]
+                ids = np.asarray(ids)[:chunk]
             else:
                 if dev_stale or dev is None:
                     self._graph = g
                     dev = self._device_graph_partial(g, cur)
                     dev_stale = False
-                budget = jnp.int32(
-                    max(_MIN_SCAN_LIMIT, int(_MAX_SCAN_RATIO * cur)) * 4
-                )
+                budget = jnp.int32(efc * self.m0_out())
+                # pad the chunk to a fixed bucket: stable shapes = one compile
+                q_bucket = 128 if chunk <= 128 else 1024
+                qs_pad = np.zeros((q_bucket, qs.shape[1]), np.float32)
+                qs_pad[:chunk] = qs
                 sims, ids = hnsw_search(
-                    jnp.asarray(qs),
+                    jnp.asarray(qs_pad),
                     self._codes_np(data),
                     self._norms_np(norms),
                     jnp.asarray(g.l0),
@@ -232,10 +246,10 @@ class HnswEngine(VectorIndexEngine):
                     metric=self._search_metric,
                     ef=efc,
                     topk=efc,
-                    max_steps=4 * efc,
+                    max_steps=2 * efc,
                     num_levels=dev["num_levels"],
                 )
-                sims, ids = np.asarray(sims), np.asarray(ids)
+                sims, ids = np.asarray(sims)[:chunk], np.asarray(ids)[:chunk]
                 # guard: mask out not-yet-inserted nodes (>= cur)
                 bad = (ids >= cur) | (ids < 0)
                 sims = np.where(bad, -np.inf, sims)
@@ -259,15 +273,33 @@ class HnswEngine(VectorIndexEngine):
                 if len(in_chunk) == 0:
                     continue
                 members = g.upper_ids[li]
-                existing = members[members < cur]
-                if len(existing) == 0:
+                n_existing = int(np.searchsorted(members, cur))
+                if n_existing == 0:
                     continue
-                k = min(efc, len(existing))
+                # cached full-size member codes + inserted-prefix mask:
+                # stable shapes, one compile per level
+                if li not in self._level_codes_cache:
+                    m_pad = round_up(len(members), 128)
+                    mc = np.zeros((m_pad, d), np.float32)
+                    mc[: len(members)] = data[members]
+                    self._level_codes_cache[li] = jnp.asarray(mc)
+                mcodes = self._level_codes_cache[li]
+                prefix = np.zeros(mcodes.shape[0], dtype=bool)
+                prefix[:n_existing] = True
+                qc_bkt = 1 << max(int(np.ceil(np.log2(len(in_chunk)))), 3)
+                qc = np.zeros((qc_bkt, d), np.float32)
+                qc[: len(in_chunk)] = data[in_chunk]
+                k = min(efc, mcodes.shape[0])
                 s2, i2 = blockwise_topk_search(
-                    data[in_chunk], jnp.asarray(data[existing]), self._search_metric, k
+                    jnp.asarray(qc),
+                    mcodes,
+                    self._search_metric,
+                    k,
+                    mask=jnp.asarray(prefix),
                 )
-                s2, i2 = np.asarray(s2), np.asarray(i2)
-                cand_ids = np.where(i2 >= 0, existing[np.clip(i2, 0, None)], -1)
+                s2 = np.asarray(s2)[: len(in_chunk)]
+                i2 = np.asarray(i2)[: len(in_chunk)]
+                cand_ids = np.where(i2 >= 0, members[np.clip(i2, 0, None)], -1)
                 sel2, ssim2 = self._prune_batch(
                     data, norms, in_chunk, cand_ids, s2, self.m
                 )
@@ -312,55 +344,57 @@ class HnswEngine(VectorIndexEngine):
         return 2 * self.m
 
     def _device_graph_partial(self, g: _Graph, cur: int) -> Dict[str, Any]:
-        """Device graph view restricted to already-inserted nodes (< cur)."""
-        upper_ids, upper_nbrs, upper_down = [], [], []
+        """Device graph view during build: FULL-SIZE per-level arrays (levels
+        are pre-assigned, so final shapes are known upfront — constant shapes
+        mean the build search compiles once per live top level). Rows of
+        not-yet-inserted nodes have no inbound edges and stay unreachable;
+        only the entry point must be an already-inserted member."""
+        if not hasattr(self, "_build_dev_cache") or self._build_dev_cache is None:
+            upper_ids, upper_down, row_of_arr = [], [], []
+            prev_row_of = None
+            for lvl in range(len(g.upper_ids)):
+                ids = g.upper_ids[lvl]
+                row_of = np.full(g.levels.shape[0], -1, np.int32)
+                row_of[ids] = np.arange(len(ids), dtype=np.int32)
+                if lvl == 0:
+                    down = ids
+                else:
+                    down = prev_row_of[ids]
+                upper_ids.append(jnp.asarray(ids))
+                upper_down.append(jnp.asarray(down))
+                row_of_arr.append(row_of)
+                prev_row_of = row_of
+            self._build_dev_cache = {
+                "upper_ids": tuple(upper_ids),
+                "upper_down": tuple(upper_down),
+                "row_of": row_of_arr,
+            }
+        cache = self._build_dev_cache
+
+        # live top level = highest level with an inserted member
         top_level = 0
         for lvl in range(len(g.upper_ids)):
-            ids = g.upper_ids[lvl]
-            live = ids < cur
-            if not live.any():
-                break
-            top_level = lvl + 1
-            ids_l = ids[live]
-            # compact re-row: original rows -> live rows
-            orig_rows = np.nonzero(live)[0]
-            remap = -np.ones(len(ids), dtype=np.int32)
-            remap[orig_rows] = np.arange(len(orig_rows), dtype=np.int32)
-            nbrs = g.upper_nbrs[lvl][orig_rows]
-            nbrs = np.where(nbrs >= 0, remap[np.clip(nbrs, 0, None)], -1)
-            upper_ids.append(jnp.asarray(ids_l))
-            upper_nbrs.append(jnp.asarray(nbrs))
-            if lvl == 0:
-                down = ids_l
+            if (g.upper_ids[lvl] < cur).any():
+                top_level = lvl + 1
             else:
-                row_below_live = {int(v): i for i, v in enumerate(prev_ids_l)}
-                down = np.asarray(
-                    [row_below_live[int(i)] for i in ids_l], dtype=np.int32
-                )
-            upper_down.append(jnp.asarray(down))
-            prev_ids_l = ids_l
+                break
+        upper_nbrs = tuple(
+            jnp.asarray(g.upper_nbrs[lvl]) for lvl in range(top_level)
+        )
+        # entry: first inserted member of the top live level (or node 0)
+        if top_level > 0:
+            members = g.upper_ids[top_level - 1]
+            ep = int(members[members < cur][0])
+        else:
+            ep = 0
         entry_rows = np.zeros(top_level + 1, dtype=np.int32)
-        ep = g.entry_point if g.entry_point < cur else 0
-        # entry at top live level: first member
         entry_rows[0] = ep
         for lvl in range(top_level):
-            ids_l = np.asarray(upper_ids[lvl])
-            where = np.nonzero(ids_l == ep)[0]
-            entry_rows[lvl + 1] = int(where[0]) if len(where) else 0
-        if top_level > 0:
-            # ensure the top-level entry is a member of the top level
-            top_ids = np.asarray(upper_ids[top_level - 1])
-            if ep not in set(int(x) for x in top_ids[: min(len(top_ids), 100000)]):
-                ep2 = int(top_ids[0])
-                entry_rows[top_level] = 0
-                for lvl in range(top_level - 1):
-                    ids_l = np.asarray(upper_ids[lvl])
-                    where = np.nonzero(ids_l == ep2)[0]
-                    entry_rows[lvl + 1] = int(where[0]) if len(where) else 0
+            entry_rows[lvl + 1] = cache["row_of"][lvl][ep]
         return {
-            "upper_ids": tuple(upper_ids),
-            "upper_nbrs": tuple(upper_nbrs),
-            "upper_down": tuple(upper_down),
+            "upper_ids": cache["upper_ids"][:top_level],
+            "upper_nbrs": upper_nbrs,
+            "upper_down": cache["upper_down"][:top_level],
             "entry_rows": jnp.asarray(entry_rows),
             "num_levels": top_level,
         }
@@ -370,25 +404,40 @@ class HnswEngine(VectorIndexEngine):
     ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
         """Batched reference pruning; returns per-base selected ids and sims."""
         b = len(base_ids)
-        c = min(cand_ids.shape[1], _PRUNE_CAND_CAP)
+        c = _PRUNE_CAND_CAP
+        if cand_ids.shape[1] < c:
+            pad = c - cand_ids.shape[1]
+            cand_ids = np.pad(cand_ids, ((0, 0), (0, pad)), constant_values=-1)
+            cand_sims = np.pad(cand_sims, ((0, 0), (0, pad)), constant_values=-np.inf)
         cand_ids = cand_ids[:, :c]
         cand_sims = cand_sims[:, :c]
         valid = cand_ids >= 0
         safe = np.clip(cand_ids, 0, None)
         keep = np.zeros((b, c), dtype=bool)
-        sub = 128
+        dev_codes, dev_norms = self._build_codes_norms()
+        sub = 512
         for s in range(0, b, sub):
             e = min(s + sub, b)
+            # pad the tail sub-batch to the full width: one compiled variant;
+            # ship ids only -- candidate vectors gather on device
+            w = e - s
+            sl_sims = np.full((sub, c), -np.inf, np.float32)
+            sl_ids = np.zeros((sub, c), np.int32)
+            sl_valid = np.zeros((sub, c), bool)
+            sl_sims[:w] = cand_sims[s:e]
+            sl_ids[:w] = safe[s:e]
+            sl_valid[:w] = valid[s:e]
             keep[s:e] = np.asarray(
-                select_neighbors_batch(
-                    jnp.asarray(cand_sims[s:e]),
-                    jnp.asarray(data[safe[s:e]]),
-                    jnp.asarray(valid[s:e]),
-                    jnp.asarray(norms[safe[s:e]]),
+                select_neighbors_ids(
+                    jnp.asarray(sl_sims),
+                    jnp.asarray(sl_ids),
+                    jnp.asarray(sl_valid),
+                    dev_codes,
+                    dev_norms,
                     metric=self._search_metric,
                     max_out=max_out,
                 )
-            )
+            )[:w]
         out_ids, out_sims = [], []
         for bi in range(b):
             k = keep[bi] & valid[bi]
@@ -397,85 +446,147 @@ class HnswEngine(VectorIndexEngine):
         return out_ids, out_sims
 
     def _reverse_link_batch(self, data, norms, g, new_ids, sel_ids, sel_sims):
-        """Reverse updates at L0: append backlink or re-prune on overflow."""
-        overflow_targets = []
-        for bi, node in enumerate(new_ids):
-            for nbr in sel_ids[bi]:
-                nbr = int(nbr)
-                row = g.l0[nbr]
-                slot = np.nonzero(row < 0)[0]
-                if len(slot):
-                    row[slot[0]] = node
-                else:
-                    overflow_targets.append((nbr, int(node)))
-        if overflow_targets:
-            self._reprune_overflow(
-                data, norms, g.l0, overflow_targets, self.m0_out(), None
-            )
+        """Reverse updates at L0, fully vectorized: free slots fill by grouped
+        rank; overflowing targets re-prune once per chunk with ALL their new
+        links as candidates (reference `reverse_update_neighbors` batched)."""
+        self._reverse_link_any(data, norms, g.l0, new_ids, sel_ids, None)
 
     def _reverse_link_upper(self, data, norms, g, li, new_ids, sel_ids, sel_sims):
-        row_of = g.row_of[li]
-        ids_l = g.upper_ids[li]
-        nbrs_l = g.upper_nbrs[li]
-        overflow_targets = []
-        for bi, node in enumerate(new_ids):
-            for nbr in sel_ids[bi]:
-                r = row_of[int(nbr)]
-                row = nbrs_l[r]
-                slot = np.nonzero(row < 0)[0]
-                if len(slot):
-                    row[slot[0]] = row_of[int(node)]
-                else:
-                    overflow_targets.append((int(nbr), int(node)))
-        if overflow_targets:
-            self._reprune_overflow(
-                data, norms, nbrs_l, overflow_targets, self.m, (row_of, ids_l)
-            )
+        row_of = self._row_of_arr(g, li)
+        self._reverse_link_any(
+            data, norms, g.upper_nbrs[li], new_ids, sel_ids, (row_of, g.upper_ids[li])
+        )
 
-    def _reprune_overflow(self, data, norms, adj, targets, max_out, upper):
-        """Re-prune a full neighbor list + 1 new link (reference
-        `reverse_update_neighbors`)."""
-        b = len(targets)
-        c = max_out + 1
-        base = np.asarray([t for t, _ in targets], dtype=np.int32)
-        newl = np.asarray([l for _, l in targets], dtype=np.int32)
-        cand = np.full((b, c), -1, dtype=np.int32)
-        for i, (t, l) in enumerate(targets):
-            row_idx = upper[0][t] if upper else t
-            existing = adj[row_idx]  # rows (upper) or node ids (L0), -1 padded
-            if upper:
-                ids = np.where(existing >= 0, upper[1][np.clip(existing, 0, None)], -1)
-            else:
-                ids = existing
-            cand[i, : len(ids)] = ids
-            cand[i, -1] = l
-        valid = cand >= 0
-        safe = np.clip(cand, 0, None)
-        # similarity of each candidate to its base point
-        base_vecs = data[base]
+    def _row_of_arr(self, g, li) -> np.ndarray:
+        if not hasattr(self, "_row_of_cache"):
+            self._row_of_cache = {}
+        if li not in self._row_of_cache:
+            arr = np.full(g.levels.shape[0], -1, np.int32)
+            arr[g.upper_ids[li]] = np.arange(len(g.upper_ids[li]), dtype=np.int32)
+            self._row_of_cache[li] = arr
+        return self._row_of_cache[li]
+
+    def _reverse_link_any(self, data, norms, adj, new_ids, sel_ids, upper):
+        """adj rows hold node ids (L0) or level rows (upper)."""
+        max_out = adj.shape[1]
+        # flatten (nbr, node) pairs
+        counts = np.asarray([len(x) for x in sel_ids], dtype=np.int64)
+        if counts.sum() == 0:
+            return
+        pair_nbr = np.concatenate([np.asarray(x, dtype=np.int64) for x in sel_ids])
+        pair_node = np.repeat(np.asarray(new_ids, dtype=np.int64), counts)
+        if upper is not None:
+            row_of, ids_l = upper
+            pair_row = row_of[pair_nbr]
+            pair_val = row_of[pair_node]
+        else:
+            pair_row = pair_nbr
+            pair_val = pair_node
+
+        order = np.argsort(pair_row, kind="stable")
+        rows_s = pair_row[order]
+        vals_s = pair_val[order]
+        nbrs_s = pair_nbr[order]
+        uniq_rows, starts, per = np.unique(rows_s, return_index=True, return_counts=True)
+        rank = np.arange(len(rows_s)) - np.repeat(starts, per)
+        fill = (adj[uniq_rows] >= 0).sum(1).astype(np.int64)
+        slot = np.repeat(fill, per) + rank
+        ok = slot < max_out
+        adj[rows_s[ok], slot[ok]] = vals_s[ok]
+
+        # overflow: re-prune each overflowing row once, with all its new links
+        over = ~ok
+        if not over.any():
+            return
+        ov_rows = rows_s[over]
+        ov_nbrs = nbrs_s[over]
+        ov_vals = vals_s[over]
+        ov_nodes = pair_node[order][over]
+        uq, ustart, ucnt = np.unique(ov_rows, return_index=True, return_counts=True)
+        extra_cap = int(min(ucnt.max(initial=1), 16))
+        b = len(uq)
+        c = max_out + extra_cap
+        cand_ids = np.full((b, c), -1, dtype=np.int64)  # node ids for scoring
+        cand_val = np.full((b, c), -1, dtype=np.int64)  # adj payload (row or id)
+        existing = adj[uq]  # (b, max_out)
+        if upper is not None:
+            ex_ids = np.where(existing >= 0, upper[1][np.clip(existing, 0, None)], -1)
+        else:
+            ex_ids = existing
+        cand_ids[:, :max_out] = ex_ids
+        cand_val[:, :max_out] = existing
+        urank = np.arange(len(ov_rows)) - np.repeat(ustart, ucnt)
+        group = np.repeat(np.arange(b), ucnt)
+        keep_extra = urank < extra_cap
+        cand_ids[group[keep_extra], max_out + urank[keep_extra]] = ov_nodes[keep_extra]
+        cand_val[group[keep_extra], max_out + urank[keep_extra]] = ov_vals[keep_extra]
+
+        base_ids = uq if upper is None else upper[1][uq]
+        valid = cand_ids >= 0
+        safe = np.clip(cand_ids, 0, None)
+        base_vecs = data[base_ids]
         cand_vecs = data[safe]
-        dots = np.einsum("bd,bcd->bc", base_vecs, cand_vecs, dtype=np.float64)
+        dots = np.einsum("bd,bcd->bc", base_vecs, cand_vecs)
         if self._search_metric == MetricType.IP:
             sims = dots
         elif self._search_metric == MetricType.L2:
-            sims = -(norms[base][:, None] + norms[safe] - 2.0 * dots)
+            sims = -(norms[base_ids][:, None] + norms[safe] - 2.0 * dots)
         else:
-            denom = np.sqrt(norms[base])[:, None] * np.sqrt(norms[safe])
+            denom = np.sqrt(norms[base_ids])[:, None] * np.sqrt(norms[safe])
             sims = np.where(denom > 0, dots / np.where(denom > 0, denom, 1), 1.0)
-        sims = np.where(valid, sims, -np.inf)
-        order = np.argsort(-sims, axis=1)
-        cand_sorted = np.take_along_axis(cand, order, 1)
-        sims_sorted = np.take_along_axis(sims, order, 1).astype(np.float32)
-        sel_ids, _ = self._prune_batch(
-            data, norms, base, cand_sorted, sims_sorted, max_out
-        )
-        for i, (t, _) in enumerate(targets):
-            row_idx = upper[0][t] if upper else t
-            chosen = sel_ids[i]
-            if upper:
-                chosen = np.asarray([upper[0][int(x)] for x in chosen], dtype=np.int32)
-            adj[row_idx] = -1
-            adj[row_idx, : len(chosen)] = chosen
+        sims = np.where(valid, sims, -np.inf).astype(np.float32)
+        order2 = np.argsort(-sims, axis=1, kind="stable")
+        ids_sorted = np.take_along_axis(cand_ids, order2, 1)
+        val_sorted = np.take_along_axis(cand_val, order2, 1)
+        sims_sorted = np.take_along_axis(sims, order2, 1)
+        keep = self._prune_keep_mask(data, norms, ids_sorted, sims_sorted, max_out)
+        adj[uq] = -1
+        for i in range(b):
+            chosen = val_sorted[i][keep[i] & (ids_sorted[i] >= 0)][:max_out]
+            adj[uq[i], : len(chosen)] = chosen
+
+    def _prune_keep_mask(self, data, norms, cand_ids, cand_sims, max_out):
+        """Device pairwise-prune keep mask over desc-sorted candidates."""
+        b, c0 = cand_ids.shape
+        c = _PRUNE_CAND_CAP
+        if c0 < c:
+            cand_ids = np.pad(cand_ids, ((0, 0), (0, c - c0)), constant_values=-1)
+            cand_sims = np.pad(
+                cand_sims, ((0, 0), (0, c - c0)), constant_values=-np.inf
+            )
+        cand_ids = cand_ids[:, :c]
+        cand_sims = cand_sims[:, :c]
+        valid = cand_ids >= 0
+        safe = np.clip(cand_ids, 0, None)
+        keep = np.zeros((b, c), dtype=bool)
+        dev_codes, dev_norms = self._build_codes_norms()
+        sub = 512
+        for st in range(0, b, sub):
+            e = min(st + sub, b)
+            w = e - st
+            sl_sims = np.full((sub, c), -np.inf, np.float32)
+            sl_ids = np.zeros((sub, c), np.int32)
+            sl_valid = np.zeros((sub, c), bool)
+            sl_sims[:w] = cand_sims[st:e]
+            sl_ids[:w] = safe[st:e]
+            sl_valid[:w] = valid[st:e]
+            keep[st:e] = np.asarray(
+                select_neighbors_ids(
+                    jnp.asarray(sl_sims),
+                    jnp.asarray(sl_ids),
+                    jnp.asarray(sl_valid),
+                    dev_codes,
+                    dev_norms,
+                    metric=self._search_metric,
+                    max_out=max_out,
+                )
+            )[:w]
+        return keep[:, :c0]
+
+    def _build_codes_norms(self):
+        # device-resident fp32 codes + squared norms for build-time pruning
+        # (set by _rebuild before _build_graph runs)
+        return self._codes, self._norms
 
     # ------------- search -------------
     def _search_impl(self, queries, topk, mask, param):

@@ -63,6 +63,11 @@ class CollectionImpl:
         self._next_segment_id = 0
         self._version_id = 0
         self._closed = False
+        # per-query hierarchical stage timing (reference Profiler,
+        # `src/db/common/profiler.h:26-105`): enable to capture
+        # `last_profile` JSON after each query
+        self.debug_profiling = False
+        self.last_profile: Optional[str] = None
 
     # ================= lifecycle =================
     @classmethod
@@ -378,9 +383,13 @@ class CollectionImpl:
         topk: int,
         filter_str: Optional[str] = None,
         param: Optional[QueryParam] = None,
+        profiler=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Search one vector field over all segments.
         Returns (similarity (Q, topk) desc, doc_ids (Q, topk), -1 invalid)."""
+        from ..utils.profiler import Profiler
+
+        prof = profiler or Profiler(enabled=False)
         vs = self.schema.vector(field_name)
         if vs is None:
             raise ZvecError(
@@ -400,7 +409,8 @@ class CollectionImpl:
                 continue
             alive = self.deletes.alive_mask(seg.doc_id_start, seg.doc_count)
             if filter_str:
-                fmask = self._filter_mask_for_segment(seg, filter_str)
+                with prof.stage(f"filter seg_{seg.meta.segment_id}"):
+                    fmask = self._filter_mask_for_segment(seg, filter_str)
                 alive = alive & fmask
                 # brute-force-by-keys: ultra-selective filters bypass the index
                 # and score the surviving rows exactly (`doc_filter.cc:120-122`)
@@ -416,7 +426,8 @@ class CollectionImpl:
                         all_sims.append(sims)
                         all_ids.append(ids)
                         continue
-            sims, ids = seg.search(field_name, queries, topk, alive, param)
+            with prof.stage(f"vector_scan seg_{seg.meta.segment_id}"):
+                sims, ids = seg.search(field_name, queries, topk, alive, param)
             all_sims.append(sims)
             all_ids.append(ids)
         nq = nq_sparse if vs.data_type.is_sparse_vector else queries.shape[0]
@@ -448,12 +459,18 @@ class CollectionImpl:
         param: Optional[QueryParam] = None,
     ) -> List[Doc]:
         """Single-vector query returning ranked Docs."""
+        from ..utils.profiler import Profiler
+
         vs = self.schema.vector(field_name)
         if isinstance(vector, dict):
             q = [vector]
         else:
             q = np.asarray(vector)[None, :]
-        sims, ids = self.query_field(field_name, q, topk, filter_str, param)
+        prof = Profiler(enabled=self.debug_profiling)
+        sims, ids = self.query_field(field_name, q, topk, filter_str, param, prof)
+        if self.debug_profiling:
+            prof.finish()
+            self.last_profile = prof.to_json()
         metric = vs.index_param.metric_type
         docs: List[Doc] = []
         for sim, doc_id in zip(sims[0], ids[0]):

@@ -256,6 +256,27 @@ def hnsw_search(
 
 
 @partial(jax.jit, static_argnames=("metric", "max_out"))
+def select_neighbors_ids(
+    cand_sims: jax.Array,  # (B, C) similarity to base, desc-sorted
+    cand_ids: jax.Array,  # (B, C) row ids into codes (clipped safe)
+    cand_valid: jax.Array,  # (B, C)
+    codes: jax.Array,  # (N_pad, D) device-resident
+    norms: jax.Array,  # (N_pad,)
+    *,
+    metric: MetricType,
+    max_out: int,
+):
+    """`select_neighbors_batch` with the candidate gather ON DEVICE — callers
+    ship (B, C) int32 ids instead of (B, C, D) vectors (the vector upload
+    dominates through a remote-transfer path)."""
+    vecs = codes[cand_ids]
+    nrm = norms[cand_ids]
+    return select_neighbors_batch(
+        cand_sims, vecs, cand_valid, nrm, metric=metric, max_out=max_out
+    )
+
+
+@partial(jax.jit, static_argnames=("metric", "max_out"))
 def select_neighbors_batch(
     cand_sims: jax.Array,  # (B, C) similarity to the base point, desc-sorted
     cand_vecs: jax.Array,  # (B, C, D) candidate vectors
