@@ -1,0 +1,165 @@
+"""Exception / edge-case behavior suite (reference analog:
+`python/tests/detail/test_collection_exceptions.py`)."""
+
+import numpy as np
+import pytest
+
+import zvec_tpu
+from zvec_tpu import (
+    CollectionSchema,
+    DataType,
+    Doc,
+    FieldSchema,
+    FlatIndexParam,
+    HnswIndexParam,
+    IVFIndexParam,
+    MetricType,
+    StatusCode,
+    VectorQuery,
+    VectorSchema,
+    ZvecError,
+)
+from zvec_tpu.db.collection_impl import MAX_WRITE_BATCH_SIZE
+
+
+@pytest.fixture
+def coll(tmp_path, rng):
+    schema = CollectionSchema(
+        "ex",
+        fields=[FieldSchema("n", DataType.INT64, nullable=True)],
+        vectors=[
+            VectorSchema("e", DataType.VECTOR_FP32, 4, FlatIndexParam(MetricType.L2))
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "ex"), schema)
+    c.insert([Doc(id=f"x{i}", vectors={"e": np.ones(4, np.float32) * i}) for i in range(5)])
+    yield c
+    c._impl.close()
+
+
+def test_schema_validation_errors():
+    with pytest.raises(ValueError):
+        FieldSchema("f", DataType.VECTOR_FP32)  # vector type on scalar field
+    with pytest.raises(ValueError):
+        VectorSchema("v", DataType.INT64, 8)  # scalar type on vector field
+    with pytest.raises(ValueError):
+        VectorSchema("v", DataType.VECTOR_FP32, 0)  # dense needs dimension
+    with pytest.raises(ValueError):
+        CollectionSchema(None)  # type: ignore
+    with pytest.raises(TypeError):
+        CollectionSchema("c", fields=[42])  # type: ignore
+
+
+def test_param_validation_errors():
+    with pytest.raises(ValueError):
+        HnswIndexParam(m=0)
+    with pytest.raises(ValueError):
+        HnswIndexParam(ef_construction=-1)
+    with pytest.raises(ValueError):
+        IVFIndexParam(n_list=-5)
+    from zvec_tpu import HnswQueryParam, IVFQueryParam
+
+    with pytest.raises(ValueError):
+        HnswQueryParam(ef=0)
+    with pytest.raises(ValueError):
+        IVFQueryParam(nprobe=0)
+
+
+def test_write_batch_limit(coll):
+    docs = [
+        Doc(id=f"b{i}", vectors={"e": np.zeros(4, np.float32)})
+        for i in range(MAX_WRITE_BATCH_SIZE + 1)
+    ]
+    with pytest.raises(ZvecError) as exc:
+        coll.insert(docs)
+    assert exc.value.code == StatusCode.INVALID_ARGUMENT
+
+
+def test_bad_doc_statuses(coll):
+    sts = coll.insert(
+        [
+            Doc(id="", vectors={"e": np.zeros(4, np.float32)}),  # empty pk
+            Doc(id="ok1", vectors={"e": np.zeros(3, np.float32)}),  # bad dim
+            Doc(id="ok2", vectors={}),  # missing vector
+            Doc(id="ok3", fields={"nope": 1}, vectors={"e": np.zeros(4, np.float32)}),
+            Doc(id="ok4", fields={"n": "str"}, vectors={"e": np.zeros(4, np.float32)}),
+            Doc(id="good", vectors={"e": np.zeros(4, np.float32)}),
+        ]
+    )
+    codes = [s.code for s in sts]
+    assert codes[:5] == [StatusCode.INVALID_ARGUMENT] * 5
+    assert codes[5] == StatusCode.OK
+    # failed docs were not written
+    assert coll.fetch("ok1") == {}
+    assert coll.fetch("good") != {}
+
+
+def test_int_range_checks(tmp_path):
+    schema = CollectionSchema(
+        "rng",
+        fields=[
+            FieldSchema("i32", DataType.INT32, nullable=True),
+            FieldSchema("u32", DataType.UINT32, nullable=True),
+        ],
+        vectors=[VectorSchema("e", DataType.VECTOR_FP32, 2)],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "rng"), schema)
+    v = np.zeros(2, np.float32)
+    assert c.insert(Doc(id="a", fields={"i32": 2**31}, vectors={"e": v})).code == StatusCode.INVALID_ARGUMENT
+    assert c.insert(Doc(id="b", fields={"u32": -1}, vectors={"e": v})).code == StatusCode.INVALID_ARGUMENT
+    assert c.insert(Doc(id="c", fields={"i32": -(2**31)}, vectors={"e": v})).is_ok()
+    c._impl.close()
+
+
+def test_query_empty_collection(tmp_path):
+    schema = CollectionSchema(
+        "empty", vectors=[VectorSchema("e", DataType.VECTOR_FP32, 4)]
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "empty"), schema)
+    res = c.query(VectorQuery("e", vector=np.zeros(4, np.float32)), topk=5)
+    assert res == []
+    assert c.fetch("any") == {}
+    assert c.stats.doc_count == 0
+    c._impl.close()
+
+
+def test_query_requires_vector(coll):
+    with pytest.raises(ValueError):
+        coll.query(None, topk=5)
+    with pytest.raises(ValueError):
+        coll.query(VectorQuery("e"), topk=5)  # neither id nor vector
+
+
+def test_query_by_missing_id(coll):
+    with pytest.raises(ValueError):
+        coll.query(VectorQuery("e", id="missing"), topk=3)
+
+
+def test_open_missing_path(tmp_path):
+    with pytest.raises(ZvecError) as exc:
+        zvec_tpu.open(str(tmp_path / "nothing"))
+    assert exc.value.code == StatusCode.NOT_FOUND
+
+
+def test_nullable_enforcement(tmp_path):
+    schema = CollectionSchema(
+        "nn",
+        fields=[FieldSchema("req", DataType.INT64, nullable=False)],
+        vectors=[VectorSchema("e", DataType.VECTOR_FP32, 2)],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "nn"), schema)
+    st = c.insert(Doc(id="a", vectors={"e": np.zeros(2, np.float32)}))
+    assert st.code == StatusCode.INVALID_ARGUMENT
+    st = c.insert(
+        Doc(id="a", fields={"req": 1}, vectors={"e": np.zeros(2, np.float32)})
+    )
+    assert st.is_ok()
+    c._impl.close()
+
+
+def test_sparse_metric_restriction():
+    # sparse vectors support IP only at query time; schema accepts the field
+    from zvec_tpu.core.sparse_flat import SparseFlatEngine
+
+    e = SparseFlatEngine()
+    assert e.metric == MetricType.IP

@@ -198,7 +198,7 @@ class HnswEngine(VectorIndexEngine):
         dev = None
         while pos < n:
             cur = pos
-            chunk = int(min(1024, max(32, cur // 4)))
+            chunk = int(min(4096, max(32, cur // 4)))
             chunk = min(chunk, n - pos)
             new_ids = np.arange(pos, pos + chunk, dtype=np.int32)
 
@@ -229,7 +229,7 @@ class HnswEngine(VectorIndexEngine):
                     dev_stale = False
                 budget = jnp.int32(efc * self.m0_out())
                 # pad the chunk to a fixed bucket: stable shapes = one compile
-                q_bucket = 128 if chunk <= 128 else 1024
+                q_bucket = 128 if chunk <= 128 else (1024 if chunk <= 1024 else 4096)
                 qs_pad = np.zeros((q_bucket, qs.shape[1]), np.float32)
                 qs_pad[:chunk] = qs
                 sims, ids = hnsw_search(
