@@ -142,3 +142,25 @@ def test_create_invert_index_ddl(coll):
 def test_vector_index_on_scalar_field_fails(coll):
     with pytest.raises(ValueError):
         coll.create_index("price", HnswIndexParam())
+
+
+def test_insert_after_optimize_and_reopen(tmp_path, coll):
+    """Regression: compaction must restart the empty writing segment's doc_id
+    range (stale doc_id_start broke post-optimize inserts)."""
+    coll.delete("d1")
+    coll.optimize()
+    st = coll.insert(
+        Doc(id="post1", vectors={"e": np.zeros(8, np.float32)}, fields={"price": 1.0})
+    )
+    assert st.is_ok()
+    path = coll.path
+    coll.flush()
+    coll._impl.close()
+    c2 = zvec_tpu.open(path)
+    st = c2.insert(
+        Doc(id="post2", vectors={"e": np.ones(8, np.float32)}, fields={"price": 2.0})
+    )
+    assert st.is_ok()
+    assert c2.fetch("post1")["post1"].field("price") == 1.0
+    assert c2.fetch("post2")["post2"].field("price") == 2.0
+    c2._impl.close()

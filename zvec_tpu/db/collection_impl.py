@@ -698,6 +698,10 @@ class CollectionImpl:
             for d in range(seg.doc_id_start, seg.doc_id_start + seg.doc_count):
                 self.deletes.unmark(d)
         self._next_doc_id = next_id
+        # the (empty) writing segment's id range must restart after the
+        # compaction target's range
+        if self.writing is not None and self.writing.doc_count == 0:
+            self.writing.meta.doc_id_start = self._next_doc_id
         for pk, doc_id in remap.items():
             self.idmap.upsert(pk, doc_id)
         self.segments = [target]
