@@ -192,7 +192,9 @@ class HnswEngine(VectorIndexEngine):
         self._level_codes_cache = {}
         self._row_of_cache = {}
 
-        # chunked insertion
+        # chunked insertion; L0 adjacency stays device-resident with
+        # touched-row updates (full re-upload is the 1M-build bottleneck)
+        self._l0_dev = None
         pos = 1  # node 0 seeds the graph
         dev_stale = True
         dev = None
@@ -232,11 +234,13 @@ class HnswEngine(VectorIndexEngine):
                 q_bucket = 128 if chunk <= 128 else (1024 if chunk <= 1024 else 4096)
                 qs_pad = np.zeros((q_bucket, qs.shape[1]), np.float32)
                 qs_pad[:chunk] = qs
+                if self._l0_dev is None:
+                    self._l0_dev = jnp.asarray(g.l0)
                 sims, ids = hnsw_search(
                     jnp.asarray(qs_pad),
                     self._codes_np(data),
                     self._norms_np(norms),
-                    jnp.asarray(g.l0),
+                    self._l0_dev,
                     dev["upper_ids"],
                     dev["upper_nbrs"],
                     dev["upper_down"],
@@ -264,7 +268,13 @@ class HnswEngine(VectorIndexEngine):
                 g.l0[node, : len(chosen)] = chosen
 
             # ---- reverse links at L0 ----
-            self._reverse_link_batch(data, norms, g, new_ids, sel_ids, sel_sims)
+            touched = self._reverse_link_batch(
+                data, norms, g, new_ids, sel_ids, sel_sims
+            )
+            rows = np.asarray(new_ids, dtype=np.int64)
+            if touched is not None:
+                rows = np.union1d(rows, touched)
+            self._l0_dev_update(g, rows)
 
             # ---- upper levels: exact candidates over level members ----
             for lvl in range(1, g.max_level + 1):
@@ -449,7 +459,7 @@ class HnswEngine(VectorIndexEngine):
         """Reverse updates at L0, fully vectorized: free slots fill by grouped
         rank; overflowing targets re-prune once per chunk with ALL their new
         links as candidates (reference `reverse_update_neighbors` batched)."""
-        self._reverse_link_any(data, norms, g.l0, new_ids, sel_ids, None)
+        return self._reverse_link_any(data, norms, g.l0, new_ids, sel_ids, None)
 
     def _reverse_link_upper(self, data, norms, g, li, new_ids, sel_ids, sel_sims):
         row_of = self._row_of_arr(g, li)
@@ -488,6 +498,7 @@ class HnswEngine(VectorIndexEngine):
         vals_s = pair_val[order]
         nbrs_s = pair_nbr[order]
         uniq_rows, starts, per = np.unique(rows_s, return_index=True, return_counts=True)
+        touched = uniq_rows
         rank = np.arange(len(rows_s)) - np.repeat(starts, per)
         fill = (adj[uniq_rows] >= 0).sum(1).astype(np.int64)
         slot = np.repeat(fill, per) + rank
@@ -497,7 +508,7 @@ class HnswEngine(VectorIndexEngine):
         # overflow: re-prune each overflowing row once, with all its new links
         over = ~ok
         if not over.any():
-            return
+            return touched
         ov_rows = rows_s[over]
         ov_nbrs = nbrs_s[over]
         ov_vals = vals_s[over]
@@ -544,6 +555,7 @@ class HnswEngine(VectorIndexEngine):
         for i in range(b):
             chosen = val_sorted[i][keep[i] & (ids_sorted[i] >= 0)][:max_out]
             adj[uq[i], : len(chosen)] = chosen
+        return touched
 
     def _prune_keep_mask(self, data, norms, cand_ids, cand_sims, max_out):
         """Device pairwise-prune keep mask over desc-sorted candidates."""
@@ -582,6 +594,20 @@ class HnswEngine(VectorIndexEngine):
                 )
             )[:w]
         return keep[:, :c0]
+
+    def _l0_dev_update(self, g, rows: np.ndarray) -> None:
+        # apply touched adjacency rows to the device-resident L0 copy
+        if getattr(self, '_l0_dev', None) is None:
+            return
+        n_bkt = 1 << max(int(np.ceil(np.log2(max(len(rows), 1)))), 5)
+        rows_p = np.zeros(n_bkt, dtype=np.int32)
+        rows_p[: len(rows)] = rows
+        if len(rows):
+            rows_p[len(rows):] = rows[0]  # idempotent pad
+        vals_p = g.l0[rows_p]
+        self._l0_dev = self._l0_dev.at[jnp.asarray(rows_p)].set(
+            jnp.asarray(vals_p)
+        )
 
     def _build_codes_norms(self):
         # device-resident fp32 codes + squared norms for build-time pruning
