@@ -1,0 +1,66 @@
+"""End-to-end coverage of every supported vector data type
+(reference DataType catalog, `src/include/zvec/db/type.h:34-68`)."""
+
+import numpy as np
+import pytest
+
+import zvec_tpu
+from zvec_tpu import (
+    CollectionSchema,
+    DataType,
+    Doc,
+    FlatIndexParam,
+    MetricType,
+    VectorQuery,
+    VectorSchema,
+)
+
+
+@pytest.mark.parametrize(
+    "dtype,np_dtype",
+    [
+        (DataType.VECTOR_FP16, np.float16),
+        (DataType.VECTOR_FP32, np.float32),
+        (DataType.VECTOR_FP64, np.float64),
+    ],
+)
+def test_float_vector_dtypes_end_to_end(tmp_path, rng, dtype, np_dtype):
+    d = 8
+    schema = CollectionSchema(
+        "vt",
+        vectors=[VectorSchema("v", dtype, d, FlatIndexParam(MetricType.L2))],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "vt"), schema)
+    xs = rng.standard_normal((50, d)).astype(np_dtype)
+    c.insert([Doc(id=f"v{i}", vectors={"v": xs[i]}) for i in range(50)])
+    res = c.query(VectorQuery("v", vector=xs[7]), topk=3)
+    assert res[0].id == "v7"
+    fetched = c.fetch("v7")["v7"].vector("v")
+    np.testing.assert_allclose(fetched, xs[7].astype(np.float64), rtol=1e-2)
+    # persistence roundtrip keeps the dtype's values
+    c.flush()
+    c._impl.close()
+    c2 = zvec_tpu.open(str(tmp_path / "vt"))
+    assert c2.query(VectorQuery("v", vector=xs[3]), topk=1)[0].id == "v3"
+    c2._impl.close()
+
+
+def test_int8_vector_field(tmp_path, rng):
+    d = 8
+    schema = CollectionSchema(
+        "vi",
+        vectors=[
+            VectorSchema("v", DataType.VECTOR_INT8, d, FlatIndexParam(MetricType.IP))
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "vi"), schema)
+    xs = rng.integers(-100, 100, (40, d)).astype(np.int8)
+    c.insert([Doc(id=f"i{i}", vectors={"v": xs[i]}) for i in range(40)])
+    q = xs[5].astype(np.float32)
+    res = c.query(VectorQuery("v", vector=xs[5]), topk=3)
+    ip = xs.astype(np.float32) @ q
+    assert res[0].id == f"i{np.argmax(ip)}"
+    assert res[0].score == pytest.approx(float(ip.max()), rel=1e-5)
+    got = c.fetch("i5")["i5"].vector("v")
+    assert got == xs[5].tolist()
+    c._impl.close()
