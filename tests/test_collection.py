@@ -223,3 +223,25 @@ def test_destroy(tmp_path, schema, rng):
     c.insert(docs)
     c.destroy()
     assert not os.path.exists(path)
+
+
+def test_parquet_forward_format(tmp_path, schema, rng, monkeypatch):
+    """Forward blocks can persist as Parquet (reference FileFormat duality)."""
+    from zvec_tpu.utils.config import GlobalConfig
+
+    monkeypatch.setattr(GlobalConfig.instance(), "forward_file_format", "parquet")
+    path = str(tmp_path / "pq")
+    c = zvec_tpu.create_and_open(path, schema)
+    docs, vecs = make_docs(rng, 20)
+    c.insert(docs)
+    c.flush()
+    c._impl.close()
+    # sniff: file really is parquet
+    fwd = path + "/seg_0/forward.arrow"
+    with open(fwd, "rb") as fh:
+        assert fh.read(4) == b"PAR1"
+    monkeypatch.setattr(GlobalConfig.instance(), "forward_file_format", "ipc")
+    c2 = zvec_tpu.open(path)  # loads parquet transparently
+    assert c2.query(VectorQuery("emb", vector=vecs[3]), topk=1)[0].id == "doc3"
+    assert c2.fetch("doc5")["doc5"].field("title") == "t5"
+    c2._impl.close()

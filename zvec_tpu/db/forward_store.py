@@ -23,15 +23,37 @@ import pyarrow.ipc as ipc
 from ..model.schema import CollectionSchema
 from ..typing.enum import DataType
 
-__all__ = ["ForwardStore", "arrow_type_for", "write_arrow", "PK_COLUMN"]
+__all__ = ["ForwardStore", "arrow_type_for", "write_arrow", "read_forward_table", "PK_COLUMN"]
 
 
-def write_arrow(table: "pa.Table", path: str) -> None:
-    """Atomically write an Arrow IPC file."""
+def write_arrow(table: "pa.Table", path: str, file_format: str = None) -> None:
+    """Atomically write a forward block as Arrow IPC or Parquet (the
+    reference's dual `FileFormat`, `mmap_forward_store.cc:41-71`)."""
+    if file_format is None:
+        from ..utils.config import GlobalConfig
+
+        file_format = GlobalConfig.instance().forward_file_format
     tmp = path + ".tmp"
-    with ipc.new_file(tmp, table.schema) as writer:
-        writer.write_table(table)
+    if file_format == "parquet":
+        import pyarrow.parquet as pq
+
+        pq.write_table(table, tmp)
+    else:
+        with ipc.new_file(tmp, table.schema) as writer:
+            writer.write_table(table)
     os.replace(tmp, path)
+
+
+def read_forward_table(path: str) -> "pa.Table":
+    """Read a forward block, sniffing IPC vs Parquet by magic bytes."""
+    with open(path, "rb") as fh:
+        magic = fh.read(6)
+    if magic[:4] == b"PAR1":
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path)
+    with pa.memory_map(path) as source:
+        return ipc.open_file(source).read_all()
 
 PK_COLUMN = "_pk"
 
@@ -254,8 +276,7 @@ class ForwardStore:
     @classmethod
     def load(cls, schema: CollectionSchema, path: str) -> "ForwardStore":
         store = cls(schema)
-        with pa.memory_map(path) as source:
-            store._table = ipc.open_file(source).read_all()
+        store._table = read_forward_table(path)
         store._count = store._table.num_rows
         store._writable = False
         store._scalars = {}

@@ -77,6 +77,10 @@ class GlobalConfig:
         self.invert_to_forward_scan_ratio = 0.9
         self.brute_force_by_keys_ratio = 0.1
         self.memory_limit_mb = cgroup_memory_limit_mb()
+        # forward block format: 'ipc' (memory-mapped Arrow) or 'parquet'
+        # (reference supports both, `mmap_forward_store.cc:41-71`)
+        self.forward_file_format = "ipc"
+
 
     @classmethod
     def instance(cls) -> "GlobalConfig":
@@ -116,6 +120,8 @@ class GlobalConfig:
             raise ValueError("brute_force_by_keys_ratio must be in [0, 1]")
         if self.memory_limit_mb <= 0:
             raise ValueError("memory_limit_mb must be > 0")
+        if self.forward_file_format not in ("ipc", "parquet"):
+            raise ValueError("forward_file_format must be 'ipc' or 'parquet'")
         if not isinstance(self.log_level, LogLevel):
             self.log_level = LogLevel(self.log_level)
         if not isinstance(self.log_type, LogType):
