@@ -140,3 +140,20 @@ def test_hnsw_through_collection(tmp_path, rng):
     assert eng.index_type == IndexType.HNSW
     assert eng._loaded_aux is not None  # graph came from disk
     c2._impl.close()
+
+
+def test_hnsw_radius_range_search(rng):
+    n, d = 1500, 8
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    engine = HnswEngine(
+        MetricType.L2, d, HnswIndexParam(MetricType.L2, m=8, ef_construction=40)
+    )
+    engine.bind_data(lambda: xs, lambda: 1)
+    q = xs[3:4]
+    sims, idx = engine.search(q, 20, param=HnswQueryParam(ef=50, radius=4.0))
+    # every returned doc is within squared-L2 distance 4.0
+    for j, i in enumerate(idx[0]):
+        if i >= 0:
+            d2 = ((q[0] - xs[i]) ** 2).sum()
+            assert d2 <= 4.0 + 1e-3
+    assert idx[0][0] == 3  # self within radius

@@ -161,3 +161,15 @@ def test_ivf_quantized_with_filter_through_collection(tmp_path, rng):
     )
     assert res[0].id == "v3"
     c2._impl.close()
+
+
+def test_stratified_train(rng):
+    from zvec_tpu.ops.kmeans import stratified_train
+
+    xs = rng.standard_normal((5000, 8)).astype(np.float32)
+    cents = stratified_train(xs, 300, rng)
+    assert cents.shape == (300, 8)
+    assert np.isfinite(cents).all()
+    # centroids cover the data: average point-to-centroid distance is finite/small
+    d = ((xs[:500, None, :] - cents[None, :, :]) ** 2).sum(-1).min(1)
+    assert d.mean() < ((xs[:500] ** 2).sum(1)).mean()

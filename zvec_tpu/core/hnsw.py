@@ -701,6 +701,19 @@ class HnswEngine(VectorIndexEngine):
             sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
             idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
         sims = np.where(idx >= 0, sims, -np.inf)
+        radius = float(getattr(param, "radius", 0.0) or 0.0)
+        if radius > 0.0:
+            # range search: keep results within `radius` of the query
+            # (distance metrics: score <= radius; IP: score >= radius)
+            from ..ops.distance import similarity_to_score
+
+            scores = np.asarray(similarity_to_score(sims, self.metric))
+            if self.metric == MetricType.IP:
+                ok = scores >= radius
+            else:
+                ok = scores <= radius
+            sims = np.where(ok, sims, -np.inf)
+            idx = np.where(ok, idx, -1)
         return sims, idx
 
     # ------------- persistence -------------

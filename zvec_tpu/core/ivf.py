@@ -171,7 +171,14 @@ class IvfEngine(VectorIndexEngine):
         else:
             k = self._effective_n_list(self._n)
             rng = np.random.default_rng(0xC0FFEE + self._n)
-            seeds = kmeanspp_seed(data, k, rng)
+            if k >= 256:
+                # stratified two-level training at large K (reference
+                # StratifiedCluster role)
+                from ..ops.kmeans import stratified_train
+
+                seeds = stratified_train(data, k, rng, iters=self.n_iters)
+            else:
+                seeds = kmeanspp_seed(data, k, rng)
             centroids, assign1 = lloyd(
                 jnp.asarray(data), jnp.asarray(seeds), iters=self.n_iters
             )

@@ -19,7 +19,7 @@ import numpy as np
 
 from .distance import squared_l2_matrix
 
-__all__ = ["kmeanspp_seed", "lloyd", "assign"]
+__all__ = ["kmeanspp_seed", "lloyd", "assign", "assign_top2", "stratified_train"]
 
 
 def kmeanspp_seed(
@@ -91,6 +91,51 @@ def lloyd(
 
     _, assigns = jax.lax.scan(final_body, None, data_b)
     return centroids, assigns.reshape(n)
+
+
+def stratified_train(
+    data: np.ndarray,
+    k: int,
+    rng: np.random.Generator,
+    iters: int = 10,
+) -> np.ndarray:
+    """Two-level stratified k-means (reference `StratifiedCluster`,
+    `src/core/algorithm/cluster/`): cluster into ~sqrt(k) coarse strata, then
+    train centroids within each stratum proportionally to its mass. Cheaper
+    than flat k-means at large K and gives better-balanced lists."""
+    n = data.shape[0]
+    k = min(k, n)
+    k1 = max(int(np.sqrt(k)), 1)
+    coarse_seeds = kmeanspp_seed(data, k1, rng)
+    coarse, assign1 = lloyd(jnp.asarray(data), jnp.asarray(coarse_seeds), iters=max(iters // 2, 2))
+    coarse = np.asarray(coarse)
+    assign1 = np.asarray(assign1)
+    counts = np.bincount(assign1, minlength=k1).astype(np.float64)
+    # allocate fine centroids proportionally (>=1 per non-empty stratum)
+    alloc = np.maximum((counts / max(counts.sum(), 1) * k).astype(np.int64), 1)
+    alloc[counts == 0] = 0
+    while alloc.sum() > k:
+        alloc[np.argmax(alloc)] -= 1
+    while 0 < alloc.sum() < k:
+        alloc[np.argmax(counts - alloc)] += 1
+    out = []
+    for s in range(k1):
+        if alloc[s] == 0:
+            continue
+        pts = data[assign1 == s]
+        if len(pts) == 0:
+            continue
+        if alloc[s] == 1 or len(pts) <= alloc[s]:
+            out.append(pts[: max(int(alloc[s]), 1)])
+            continue
+        seeds = kmeanspp_seed(pts, int(alloc[s]), rng)
+        fine, _ = lloyd(jnp.asarray(pts), jnp.asarray(seeds), iters=max(iters // 2, 2))
+        out.append(np.asarray(fine))
+    cents = np.concatenate(out, axis=0)[:k]
+    if len(cents) < k:  # top up from data points
+        extra = data[rng.choice(n, k - len(cents), replace=False)]
+        cents = np.concatenate([cents, extra], axis=0)
+    return cents.astype(np.float32)
 
 
 @jax.jit
