@@ -82,6 +82,11 @@ class HnswEngine(VectorIndexEngine):
             if params is not None
             else QuantizeType.UNDEFINED
         )
+        # chunked-build schedule: chunk = min(cap, cur/divisor). Larger chunks
+        # cut tunnel round trips; smaller ones improve graph quality (nodes in
+        # one chunk don't see each other during insertion).
+        self.build_chunk_cap = 4096
+        self.build_chunk_divisor = 4
         self._graph: Optional[_Graph] = None
         self._n = 0
         # device state
@@ -200,7 +205,7 @@ class HnswEngine(VectorIndexEngine):
         dev = None
         while pos < n:
             cur = pos
-            chunk = int(min(4096, max(32, cur // 4)))
+            chunk = int(min(self.build_chunk_cap, max(32, cur // self.build_chunk_divisor)))
             chunk = min(chunk, n - pos)
             new_ids = np.arange(pos, pos + chunk, dtype=np.int32)
 
