@@ -684,8 +684,9 @@ class HnswEngine(VectorIndexEngine):
                 metric=self._search_metric,
                 ef=ef,
                 topk=k,
-                max_steps=4 * ef,
+                max_steps=ef + 64,
                 num_levels=self._dev["num_levels"],
+                frontier=4,  # 4-way beam: ~4x fewer sequential steps
             )
             sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
         if use_refiner:

@@ -65,7 +65,7 @@ def _batched_sims(q, vecs, metric, norms=None, dequant=None):
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "ef", "topk", "max_steps", "num_levels"),
+    static_argnames=("metric", "ef", "topk", "max_steps", "num_levels", "frontier"),
 )
 def hnsw_search(
     q: jax.Array,  # (Q, D) f32
@@ -85,6 +85,7 @@ def hnsw_search(
     topk: int,
     max_steps: int,
     num_levels: int,  # number of upper levels present
+    frontier: int = 1,  # candidates expanded per step (F-way beam)
 ):
     """Batched HNSW search. Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad)."""
     nq, d = q.shape
@@ -171,12 +172,14 @@ def hnsw_search(
     def body(state):
         res_s, res_i, cand_s, cand_i, cand_x, visited, scanned, done, step = state
 
-        # 1. pick best unexpanded candidate per query
+        # 1. pick the F best unexpanded candidates per query (F-way beam:
+        #    F nodes expand per step, cutting the sequential step count ~Fx)
         avail = (~cand_x) & (cand_i >= 0)
         masked = jnp.where(avail, cand_s, NEG_INF)
-        best_pos = jnp.argmax(masked, axis=1)
-        best_sim = jnp.take_along_axis(masked, best_pos[:, None], 1)[:, 0]
-        best_id = jnp.take_along_axis(cand_i, best_pos[:, None], 1)[:, 0]
+        f_sims, f_pos = jax.lax.top_k(masked, frontier)  # (Q, F)
+        f_ids = jnp.take_along_axis(cand_i, f_pos, 1)
+        f_ok = f_sims > NEG_INF / 2
+        best_sim = f_sims[:, 0]
         has_avail = jnp.any(avail, axis=1)
 
         # 2. termination: candidates exhausted, or best candidate cannot beat
@@ -192,19 +195,34 @@ def hnsw_search(
         done = done | newly_done
         active = ~done
 
-        # 3. expand: mark chosen candidate expanded
-        cand_x = jnp.where(
-            (jnp.arange(cand_x.shape[1])[None, :] == best_pos[:, None])
-            & active[:, None],
-            True,
-            cand_x,
-        )
+        # 3. expand: mark the chosen candidates expanded
+        pos_eq = (
+            jnp.arange(cand_x.shape[1])[None, :, None] == f_pos[:, None, :]
+        ) & f_ok[:, None, :]
+        cand_x = jnp.where(pos_eq.any(-1) & active[:, None], True, cand_x)
 
-        # 4. gather neighbor ids (Q, M0)
-        safe_best = jnp.clip(best_id, 0)
-        nbrs = l0_nbrs[safe_best]
-        valid = (nbrs >= 0) & active[:, None]
+        # 4. gather neighbor ids (Q, F*M0)
+        nbrs3 = l0_nbrs[jnp.clip(f_ids, 0)]  # (Q, F, M0)
+        valid3 = (nbrs3 >= 0) & f_ok[:, :, None]
+        nbrs = nbrs3.reshape(nbrs3.shape[0], -1)
+        valid = valid3.reshape(nbrs.shape) & active[:, None]
         nbrs_safe = jnp.clip(nbrs, 0)
+
+        # 4b. intra-step dedup (two frontier nodes may share a neighbor; the
+        #     bitset scatter-add below requires unique ids per row)
+        if frontier > 1:
+            order = jnp.argsort(jnp.where(valid, nbrs_safe, 2**30), axis=1)
+            sorted_ids = jnp.take_along_axis(nbrs_safe, order, 1)
+            dup_sorted = jnp.concatenate(
+                [
+                    jnp.zeros((nbrs.shape[0], 1), bool),
+                    sorted_ids[:, 1:] == sorted_ids[:, :-1],
+                ],
+                axis=1,
+            )
+            inv = jnp.argsort(order, axis=1)
+            dup = jnp.take_along_axis(dup_sorted, inv, 1)
+            valid = valid & ~dup
 
         # 5. visited test + set (bitset; disjoint bits of unique fresh ids
         #    let scatter-add act as scatter-or)
