@@ -255,8 +255,9 @@ class HnswEngine(VectorIndexEngine):
                     metric=self._search_metric,
                     ef=efc,
                     topk=efc,
-                    max_steps=2 * efc,
+                    max_steps=efc // 2 + 64,
                     num_levels=dev["num_levels"],
+                    frontier=4,
                 )
                 sims, ids = np.asarray(sims)[:chunk], np.asarray(ids)[:chunk]
                 # guard: mask out not-yet-inserted nodes (>= cur)
