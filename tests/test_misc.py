@@ -181,3 +181,36 @@ def test_query_profiling(coll):
     names = [c["stage"] for c in tree["children"]]
     assert any("filter" in n for n in names)
     assert any("vector_scan" in n for n in names)
+
+
+def test_group_by_sparse_vector(tmp_path, rng):
+    from zvec_tpu import FlatIndexParam
+
+    schema = zvec_tpu.CollectionSchema(
+        "gs",
+        fields=[FieldSchema("g", DataType.STRING)],
+        vectors=[
+            VectorSchema("sv", DataType.SPARSE_VECTOR_FP32, 0, FlatIndexParam(MetricType.IP))
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "gs"), schema)
+    rows = [{int(d): 1.0 for d in rng.choice(50, 5, replace=False)} for _ in range(30)]
+    c.insert(
+        [
+            Doc(id=f"s{i}", vectors={"sv": rows[i]}, fields={"g": f"g{i%3}"})
+            for i in range(30)
+        ]
+    )
+    res = c.group_by_query(
+        zvec_tpu.VectorQuery("sv", vector=rows[0]),
+        group_by_field="g",
+        group_count=2,
+        group_topk=1,
+    )
+    assert len(res) == 2 and res[0].id == "s0"
+    c._impl.close()
+
+
+def test_topk_validation(coll):
+    with pytest.raises(Exception):
+        coll.query(VectorQuery("e", vector=coll._xs[0]), topk=0)

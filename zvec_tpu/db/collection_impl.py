@@ -387,6 +387,8 @@ class CollectionImpl:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Search one vector field over all segments.
         Returns (similarity (Q, topk) desc, doc_ids (Q, topk), -1 invalid)."""
+        if topk <= 0:
+            raise ZvecError(StatusCode.INVALID_ARGUMENT, f"topk must be positive, got {topk}")
         from ..utils.profiler import Profiler
 
         prof = profiler or Profiler(enabled=False)
@@ -526,12 +528,12 @@ class CollectionImpl:
                 f"unknown vector field '{query.field_name}'",
             )
         overscan = max(group_count * group_topk * 4, 64)
+        if isinstance(query.vector, dict):
+            gq = [query.vector]
+        else:
+            gq = np.asarray(query.vector, dtype=np.float32)[None, :]
         sims, ids = self.query_field(
-            query.field_name,
-            np.asarray(query.vector, dtype=np.float32)[None, :],
-            overscan,
-            filter_str,
-            query.param,
+            query.field_name, gq, overscan, filter_str, query.param
         )
         metric = vs.index_param.metric_type
         groups: Dict[Any, List[Tuple[float, int]]] = {}
