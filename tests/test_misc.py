@@ -214,3 +214,29 @@ def test_group_by_sparse_vector(tmp_path, rng):
 def test_topk_validation(coll):
     with pytest.raises(Exception):
         coll.query(VectorQuery("e", vector=coll._xs[0]), topk=0)
+
+
+def test_no_vector_collection_scan(tmp_path):
+    """Schemas without vector fields use the filter-only scan executor."""
+    schema = zvec_tpu.CollectionSchema(
+        "nv",
+        fields=[
+            FieldSchema("name", DataType.STRING),
+            FieldSchema("age", DataType.INT64),
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "nv"), schema)
+    c.insert(
+        [
+            Doc(id=f"u{i}", fields={"name": f"user{i}", "age": 20 + i})
+            for i in range(30)
+        ]
+    )
+    res = c.query(topk=5, filter="age >= 40")
+    assert len(res) == 5
+    assert all(r.field("age") >= 40 for r in res)
+    res = c.query(topk=100)
+    assert len(res) == 30
+    with pytest.raises(ValueError):
+        c.query(VectorQuery("none", vector=[1.0]), topk=3)
+    c._impl.close()
