@@ -240,3 +240,32 @@ def test_no_vector_collection_scan(tmp_path):
     with pytest.raises(ValueError):
         c.query(VectorQuery("none", vector=[1.0]), topk=3)
     c._impl.close()
+
+
+def test_radius_across_segments(tmp_path, rng):
+    """Radius range search applies across sealed + writing segments (any
+    engine), not only inside the HNSW kernel."""
+    from zvec_tpu import HnswIndexParam, HnswQueryParam
+
+    schema = zvec_tpu.CollectionSchema(
+        "rad",
+        vectors=[
+            VectorSchema(
+                "e", DataType.VECTOR_FP32, 8,
+                HnswIndexParam(MetricType.L2, m=8, ef_construction=40),
+            )
+        ],
+        max_doc_count_per_segment=1100,
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "rad"), schema)
+    xs = rng.standard_normal((1300, 8)).astype(np.float32)
+    for s in range(0, 1300, 650):
+        c.insert([Doc(id=f"r{i}", vectors={"e": xs[i]}) for i in range(s, s + 650)])
+    # query near a doc in the WRITING segment (flat engine must honor radius)
+    res = c.query(
+        VectorQuery("e", vector=xs[1200], param=HnswQueryParam(ef=50, radius=2.0)),
+        topk=20,
+    )
+    assert res and all(r.score <= 2.0 for r in res)
+    assert res[0].id == "r1200"
+    c._impl.close()

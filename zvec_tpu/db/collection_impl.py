@@ -441,6 +441,17 @@ class CollectionImpl:
         cat_s = np.concatenate(all_sims, axis=1)
         cat_i = np.concatenate(all_ids, axis=1)
         cat_s = np.where(cat_i >= 0, cat_s, -np.inf)
+        radius = float(getattr(param, "radius", 0.0) or 0.0)
+        if radius > 0.0:
+            # range search across ALL segments/engines: keep results within
+            # `radius` (distance metrics: score <= radius; IP: score >= radius)
+            metric = vs.index_param.metric_type
+            scores = np.asarray(similarity_to_score(cat_s, metric))
+            from ..typing.enum import MetricType
+
+            ok = scores >= radius if metric == MetricType.IP else scores <= radius
+            cat_s = np.where(ok, cat_s, -np.inf)
+            cat_i = np.where(ok, cat_i, -1)
         order = np.argsort(-cat_s, axis=1, kind="stable")[:, :topk]
         out_s = np.take_along_axis(cat_s, order, axis=1)
         out_i = np.take_along_axis(cat_i, order, axis=1)
