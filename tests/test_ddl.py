@@ -164,3 +164,17 @@ def test_insert_after_optimize_and_reopen(tmp_path, coll):
     assert c2.fetch("post1")["post1"].field("price") == 1.0
     assert c2.fetch("post2")["post2"].field("price") == 2.0
     c2._impl.close()
+
+
+def test_create_index_concurrent_pool(coll):
+    """Per-segment index builds run on the optimize pool when concurrency > 1."""
+    from zvec_tpu import IndexOption
+
+    coll.create_index(
+        "e",
+        HnswIndexParam(MetricType.L2, m=8, ef_construction=40),
+        IndexOption(concurrency=2),
+    )
+    for seg in coll._impl.segments:
+        assert "e" in seg.meta.indexes
+    assert coll.query(VectorQuery("e", vector=coll._xs[77]), topk=1)[0].id == "d77"

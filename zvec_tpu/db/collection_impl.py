@@ -636,10 +636,29 @@ class CollectionImpl:
                 from ..typing.enum import IndexType
 
                 self.schema._replace_vector(field_name, vs._with_index_param(params))
-                for seg in self.segments:
-                    if params.index_type != IndexType.FLAT:
-                        seg.build_index(field_name, params)
+                if params.index_type != IndexType.FLAT:
+                    # per-segment builds run on the optimize pool (reference
+                    # executes CreateVectorIndexTasks on a ThreadPool,
+                    # `collection.cc:608-620`)
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    from ..utils.config import GlobalConfig
+
+                    workers = concurrency or GlobalConfig.instance().optimize_threads
+                    targets = [s_ for s_ in self.segments if s_.doc_count > 0]
+                    if len(targets) > 1 and workers > 1:
+                        with ThreadPoolExecutor(max_workers=workers) as pool:
+                            list(
+                                pool.map(
+                                    lambda s_: s_.build_index(field_name, params),
+                                    targets,
+                                )
+                            )
                     else:
+                        for seg in targets:
+                            seg.build_index(field_name, params)
+                else:
+                    for seg in self.segments:
                         seg.drop_index(field_name)
             self._commit_version()
 
