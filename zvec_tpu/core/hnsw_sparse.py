@@ -168,8 +168,9 @@ class SparseHnswEngine(SparseFlatEngine):
             budget,
             ef=ef,
             topk=k,
-            max_steps=4 * ef,
+            max_steps=ef + 64,
             vocab=self._vocab,
+            frontier=4,
         )
         sims = np.asarray(sims)
         idx = np.asarray(idx).astype(np.int64)

@@ -37,7 +37,7 @@ def _sparse_rows_sims(q_dense, doc_idx_rows, doc_val_rows, vocab):
     return contrib.sum(-1)
 
 
-@partial(jax.jit, static_argnames=("ef", "topk", "max_steps", "vocab"))
+@partial(jax.jit, static_argnames=("ef", "topk", "max_steps", "vocab", "frontier"))
 def hnsw_sparse_search(
     q_idx: jax.Array,  # (Q, Pq)
     q_val: jax.Array,  # (Q, Pq)
@@ -52,6 +52,7 @@ def hnsw_sparse_search(
     topk: int,
     max_steps: int,
     vocab: int,
+    frontier: int = 1,
 ):
     nq = q_idx.shape[0]
     n_pad = doc_idx.shape[0]
@@ -103,9 +104,10 @@ def hnsw_sparse_search(
         res_s, res_i, cand_s, cand_i, cand_x, visited, scanned, done, step = state
         avail = (~cand_x) & (cand_i >= 0)
         masked = jnp.where(avail, cand_s, NEG_INF)
-        best_pos = jnp.argmax(masked, axis=1)
-        best_sim = jnp.take_along_axis(masked, best_pos[:, None], 1)[:, 0]
-        best_id = jnp.take_along_axis(cand_i, best_pos[:, None], 1)[:, 0]
+        f_sims, f_pos = jax.lax.top_k(masked, frontier)
+        f_ids = jnp.take_along_axis(cand_i, f_pos, 1)
+        f_ok = f_sims > NEG_INF / 2
+        best_sim = f_sims[:, 0]
         has_avail = jnp.any(avail, axis=1)
 
         res_min = res_s[:, -1]
@@ -118,16 +120,30 @@ def hnsw_sparse_search(
         done = done | newly_done
         active = ~done
 
-        cand_x = jnp.where(
-            (jnp.arange(cand_x.shape[1])[None, :] == best_pos[:, None])
-            & active[:, None],
-            True,
-            cand_x,
-        )
+        pos_eq = (
+            jnp.arange(cand_x.shape[1])[None, :, None] == f_pos[:, None, :]
+        ) & f_ok[:, None, :]
+        cand_x = jnp.where(pos_eq.any(-1) & active[:, None], True, cand_x)
 
-        nbrs = l0_nbrs[jnp.clip(best_id, 0)]
-        valid = (nbrs >= 0) & active[:, None]
+        nbrs3 = l0_nbrs[jnp.clip(f_ids, 0)]  # (Q, F, M0)
+        valid3 = (nbrs3 >= 0) & f_ok[:, :, None]
+        nbrs = nbrs3.reshape(nbrs3.shape[0], -1)
+        valid = valid3.reshape(nbrs.shape) & active[:, None]
         nbrs_safe = jnp.clip(nbrs, 0)
+
+        if frontier > 1:
+            # intra-step dedup keeps the bitset scatter-add sound
+            order = jnp.argsort(jnp.where(valid, nbrs_safe, 2**30), axis=1)
+            sorted_ids = jnp.take_along_axis(nbrs_safe, order, 1)
+            dup_sorted = jnp.concatenate(
+                [
+                    jnp.zeros((nbrs.shape[0], 1), bool),
+                    sorted_ids[:, 1:] == sorted_ids[:, :-1],
+                ],
+                axis=1,
+            )
+            inv = jnp.argsort(order, axis=1)
+            valid = valid & ~jnp.take_along_axis(dup_sorted, inv, 1)
 
         word_idx = nbrs_safe // 32
         bit = jnp.uint32(1) << (nbrs_safe % 32).astype(jnp.uint32)
