@@ -157,3 +157,24 @@ def test_hnsw_radius_range_search(rng):
             d2 = ((q[0] - xs[i]) ** 2).sum()
             assert d2 <= 4.0 + 1e-3
     assert idx[0][0] == 3  # self within radius
+
+
+def test_hnsw_clustered_high_recall(rng):
+    """Clustered data (the realistic regime): near-perfect recall at small ef.
+    Guards graph-build quality — measured 1.000 at ef=32 on-chip at 30K/1M."""
+    n, d, k = 3000, 32, 10
+    centers = rng.standard_normal((60, d)).astype(np.float32)
+    xs = (centers[rng.integers(0, 60, n)] + 0.25 * rng.standard_normal((n, d))).astype(
+        np.float32
+    )
+    qs = xs[rng.choice(n, 16, replace=False)] + 0.05 * rng.standard_normal(
+        (16, d)
+    ).astype(np.float32)
+    engine = HnswEngine(
+        MetricType.L2, d, HnswIndexParam(MetricType.L2, m=8, ef_construction=80)
+    )
+    engine.bind_data(lambda: xs, lambda: 1)
+    _, idx = engine.search(qs, k, param=HnswQueryParam(ef=48))
+    expect = brute_topk(qs, xs, MetricType.L2, k)
+    hits = sum(len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(16))
+    assert hits / (16 * k) >= 0.95
