@@ -163,3 +163,24 @@ def test_sparse_metric_restriction():
 
     e = SparseFlatEngine()
     assert e.metric == MetricType.IP
+
+
+def test_memory_limit_soft_cap(tmp_path, rng, monkeypatch):
+    from zvec_tpu.utils.config import GlobalConfig
+
+    schema = CollectionSchema(
+        "mem", vectors=[VectorSchema("e", DataType.VECTOR_FP32, 256)]
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "mem"), schema)
+    xs = rng.standard_normal((200, 256)).astype(np.float32)
+    assert all(
+        s.is_ok()
+        for s in c.insert([Doc(id=f"m{i}", vectors={"e": xs[i]}) for i in range(100)])
+    )
+    # shrink the cap below current usage: further writes refused, reads fine
+    monkeypatch.setattr(GlobalConfig.instance(), "memory_limit_mb", 0.05)
+    sts = c.insert([Doc(id="over", vectors={"e": xs[0]})])
+    assert sts[0].code == StatusCode.RESOURCE_EXHAUSTED
+    assert c.fetch("m5") != {}
+    assert len(c.query(VectorQuery("e", vector=xs[1]), topk=3)) == 3
+    c._impl.close()

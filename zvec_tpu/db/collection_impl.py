@@ -211,6 +211,34 @@ class CollectionImpl:
             for batch_start in range(0, len(pks), MAX_WRITE_BATCH_SIZE):
                 self.delete(pks[batch_start : batch_start + MAX_WRITE_BATCH_SIZE])
 
+    def _estimated_bytes(self) -> int:
+        """Approximate resident bytes (vector data dominates)."""
+        total = 0
+        segs = list(self.segments) + ([self.writing] if self.writing else [])
+        for seg in segs:
+            row = 0
+            for vs in self.schema.vectors:
+                if vs.data_type.is_sparse_vector:
+                    row += 8 * 64  # nnz estimate
+                else:
+                    row += vs.dimension * 4
+            total += seg.doc_count * (row + 64)
+        return total
+
+    def _check_memory_limit(self) -> Optional[Status]:
+        """Soft memory cap (reference GlobalConfig memory_limit_mb,
+        `config.cc:33-40`): writes fail with RESOURCE_EXHAUSTED past it."""
+        from ..utils.config import GlobalConfig
+
+        limit = GlobalConfig.instance().memory_limit_mb * (1 << 20)
+        if self._estimated_bytes() >= limit:
+            return Status.error(
+                StatusCode.RESOURCE_EXHAUSTED,
+                f"collection exceeds memory_limit_mb="
+                f"{GlobalConfig.instance().memory_limit_mb}",
+            )
+        return None
+
     def _write_batch(self, op: int, docs: Sequence[Doc]) -> List[Status]:
         self._check_writable()
         if len(docs) > MAX_WRITE_BATCH_SIZE:
@@ -218,6 +246,9 @@ class CollectionImpl:
                 StatusCode.INVALID_ARGUMENT,
                 f"write batch size {len(docs)} exceeds {MAX_WRITE_BATCH_SIZE}",
             )
+        mem_err = self._check_memory_limit()
+        if mem_err is not None:
+            return [mem_err for _ in docs]
         statuses: List[Status] = []
         partial = op == codec.OP_UPDATE
         with self._lock:
