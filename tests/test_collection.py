@@ -236,8 +236,8 @@ def test_parquet_forward_format(tmp_path, schema, rng, monkeypatch):
     c.insert(docs)
     c.flush()
     c._impl.close()
-    # sniff: file really is parquet
-    fwd = path + "/seg_0/forward.arrow"
+    # sniff: the flush checkpoint really is parquet (flush writes ckpt_{gen})
+    fwd = path + "/seg_0/ckpt_1.arrow"
     with open(fwd, "rb") as fh:
         assert fh.read(4) == b"PAR1"
     monkeypatch.setattr(GlobalConfig.instance(), "forward_file_format", "ipc")

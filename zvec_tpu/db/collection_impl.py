@@ -35,15 +35,11 @@ from .idmap import IdMap
 from .segment import FORWARD_FILE, Segment
 from .validate import validate_doc
 from .version import SegmentMeta, Version, VersionManager
-from .wal import WalFile
-
 __all__ = ["CollectionImpl", "MAX_WRITE_BATCH_SIZE"]
 
 # reference `src/db/common/constants.h:62`
 MAX_WRITE_BATCH_SIZE = 1024
 
-_IDMAP_FILE = "idmap.arrow"
-_DELETE_FILE = "deletes.npy"
 _LOCK_FILE = ".lock"
 
 
@@ -63,6 +59,11 @@ class CollectionImpl:
         self._next_segment_id = 0
         self._version_id = 0
         self._closed = False
+        # version-named map snapshots (crash-atomic: each _snapshot_maps call
+        # writes fresh files named after the version about to commit; old ones
+        # are GC'd after the commit lands)
+        self._idmap_snapshot_name: Optional[str] = None
+        self._delete_snapshot_name: Optional[str] = None
         # per-query hierarchical stage timing (reference Profiler,
         # `src/db/common/profiler.h:26-105`): enable to capture
         # `last_profile` JSON after each query
@@ -118,10 +119,18 @@ class CollectionImpl:
 
     def _recover(self, version: Version) -> None:
         """Reference `collection.cc:1632-1690`: load manifest state, then
-        replay the writing segment's WAL on top of its checkpoint."""
+        replay the writing segment's WAL on top of its checkpoint.
+
+        `next_doc_id` is re-derived from checkpoint rows + WAL replay rather
+        than trusted from the manifest: a version may be committed while the
+        WAL holds records newer than the checkpoint (e.g. create_index after
+        unflushed inserts), so the manifest's counter can be ahead of what a
+        checkpoint-only load reconstructs."""
         self._version_id = version.version_id
         self._next_doc_id = version.next_doc_id
         self._next_segment_id = version.next_segment_id
+        self._idmap_snapshot_name = version.idmap_snapshot
+        self._delete_snapshot_name = version.delete_snapshot
         if version.idmap_snapshot:
             self.idmap = IdMap.load(os.path.join(self.path, version.idmap_snapshot))
         if version.delete_snapshot:
@@ -134,18 +143,29 @@ class CollectionImpl:
             else:
                 seg = Segment.open_writing(self.path, meta, self.schema)
                 # load the flush checkpoint (if any), then WAL on top
-                fwd = os.path.join(seg.directory, FORWARD_FILE)
-                if meta.doc_count > 0 and os.path.exists(fwd):
-                    seg.store = _load_writable(self.schema, fwd)
-                    seg.meta.doc_count = seg.store.count
+                ckpt = seg.checkpoint_path(meta.gen)
+                if os.path.exists(ckpt):
+                    seg.store = ForwardStore.load(self.schema, ckpt).thaw()
+                seg.meta.doc_count = seg.store.count
                 self.writing = seg
+                self._next_doc_id = seg.doc_id_start + seg.store.count
                 self._replay_wal(seg)
+                seg.gc_stale_files()
+        self._gc_snapshots()
+        # orphan segment dirs (written but never committed, e.g. a crash
+        # mid-compaction before the version swap)
+        live_dirs = {m.dirname for m in version.segments}
+        for name in os.listdir(self.path):
+            if name.startswith("seg_") and name not in live_dirs:
+                import shutil
+
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         if self.writing is None:
             self._rotate_writing_segment()
             self._commit_version()
 
     def _replay_wal(self, seg: Segment) -> None:
-        wal = WalFile(os.path.join(seg.directory, "wal.log"))
+        wal = seg.wal
         for payload in wal.replay():
             op, pk, fields, vectors = codec.decode_record(payload)
             if op == codec.OP_INSERT:
@@ -309,7 +329,10 @@ class CollectionImpl:
         }
         merged_vectors.update(vectors)
         self.deletes.mark(old_id)
-        self._maybe_rotate()
+        # NOTE: no rotation here — the staged WAL record already went to the
+        # current writing segment (rotation happens in _write_batch BEFORE the
+        # record is staged); rotating mid-apply would seal away the WAL record
+        # while the merged re-insert lands unlogged in the new segment.
         doc_id = self.writing.apply_insert(pk, merged_fields, merged_vectors)
         assert doc_id == self._next_doc_id
         self._next_doc_id += 1
@@ -345,6 +368,7 @@ class CollectionImpl:
         self._rotate_writing_segment()
         self._snapshot_maps()
         self._commit_version()
+        self._gc_snapshots()
         old.seal()
         # auto-build the schema's index on the sealed segment
         self._build_indexes_for(old)
@@ -372,19 +396,46 @@ class CollectionImpl:
 
     # ================= durability =================
     def flush(self) -> None:
-        """Durability checkpoint (reference `segment.cc:2079-2177`): persist the
-        writing segment's forward store + map snapshots, commit a version, then
-        drop the WAL."""
+        """Crash-atomic durability checkpoint (reference `segment.cc:2079-2177`):
+        write ckpt_{g+1} + rotate to wal_{g+1}, snapshot the maps under
+        version-named files, commit one version referencing all of them, then
+        GC the generation-g files. A crash at any point leaves CURRENT pointing
+        at a self-consistent (checkpoint, WAL, snapshots) set."""
         self._check_writable()
         with self._lock:
-            self.writing.flush()
+            self.writing.write_checkpoint()
             self._snapshot_maps()
             self._commit_version()
-            self.writing.drop_wal()
+            self.writing.gc_stale_files()
+            self._gc_snapshots()
 
     def _snapshot_maps(self) -> None:
-        self.idmap.snapshot(os.path.join(self.path, _IDMAP_FILE))
-        self.deletes.snapshot(os.path.join(self.path, _DELETE_FILE))
+        """Write map snapshots named after the version about to commit.
+
+        Must only be called at a WAL-consistency point: the snapshots + the
+        writing segment's current (checkpoint, WAL) pair are committed together
+        and WAL replay reconstructs everything after them."""
+        vid = self._version_id + 1
+        idmap_name = f"idmap_{vid}.arrow"
+        delete_name = f"deletes_{vid}.npy"
+        self.idmap.snapshot(os.path.join(self.path, idmap_name))
+        self.deletes.snapshot(os.path.join(self.path, delete_name))
+        self._idmap_snapshot_name = idmap_name
+        self._delete_snapshot_name = delete_name
+
+    def _gc_snapshots(self) -> None:
+        keep = {self._idmap_snapshot_name, self._delete_snapshot_name}
+        for name in os.listdir(self.path):
+            if (
+                name.startswith("idmap_")
+                and name.endswith(".arrow")
+                or name.startswith("deletes_")
+                and name.endswith(".npy")
+            ) and name not in keep:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
     def _commit_version(self) -> None:
         self._version_id += 1
@@ -397,12 +448,8 @@ class CollectionImpl:
             metas,
             self._next_doc_id,
             self._next_segment_id,
-            delete_snapshot=_DELETE_FILE
-            if os.path.exists(os.path.join(self.path, _DELETE_FILE))
-            else None,
-            idmap_snapshot=_IDMAP_FILE
-            if os.path.exists(os.path.join(self.path, _IDMAP_FILE))
-            else None,
+            delete_snapshot=self._delete_snapshot_name,
+            idmap_snapshot=self._idmap_snapshot_name,
         )
         self.versions.commit(version)
 
@@ -736,41 +783,51 @@ class CollectionImpl:
 
     def _compact_segments(self) -> None:
         """Merge all sealed segments into a fresh one, dropping deleted docs
-        (the MixedStreamerReducer role, `mixed_streamer_reducer.h:30-42`)."""
+        (the MixedStreamerReducer role, `mixed_streamer_reducer.h:30-42`).
+
+        Streams whole Arrow tables (filter + concat), as the reference streams
+        record batches (`segment_helper.cc:74-120`) — no per-row Python loop."""
+        import pyarrow as pa
+
+        from .forward_store import PK_COLUMN, write_arrow
+
         sources = self.segments
         meta = SegmentMeta(
             segment_id=self._next_segment_id,
             doc_id_start=self._next_doc_id,
-            state="writing",
+            state="sealed",
         )
         self._next_segment_id += 1
-        target = Segment.create(self.path, meta, self.schema)
-        remap: Dict[str, int] = {}
-        next_id = self._next_doc_id
+        tables = []
         for seg in sources:
             alive = self.deletes.alive_mask(seg.doc_id_start, seg.doc_count)
-            for local in np.nonzero(alive)[0]:
-                pk, fields, vectors = seg.store.row(int(local))
-                target.apply_insert(pk, fields, vectors)
-                remap[pk] = next_id
-                next_id += 1
+            table = seg.store._table
+            if table is None:
+                table = seg.store.to_arrow()
+            if not alive.all():
+                table = table.filter(pa.array(alive))
+            tables.append(table)
+        merged = pa.concat_tables(tables).combine_chunks()
+        meta.doc_count = merged.num_rows
+        target_dir = os.path.join(self.path, meta.dirname)
+        os.makedirs(target_dir, exist_ok=True)
+        write_arrow(merged, os.path.join(target_dir, FORWARD_FILE))
         # swap: commit new version with target sealed, then destroy sources
-        target.flush()
-        target.meta.state = "sealed"
         for seg in sources:
-            for d in range(seg.doc_id_start, seg.doc_id_start + seg.doc_count):
-                self.deletes.unmark(d)
-        self._next_doc_id = next_id
+            self.deletes.unmark_range(seg.doc_id_start, seg.doc_count)
+        self._next_doc_id = meta.doc_id_start + meta.doc_count
         # the (empty) writing segment's id range must restart after the
         # compaction target's range
         if self.writing is not None and self.writing.doc_count == 0:
             self.writing.meta.doc_id_start = self._next_doc_id
-        for pk, doc_id in remap.items():
-            self.idmap.upsert(pk, doc_id)
+        self.idmap.bulk_upsert(
+            merged.column(PK_COLUMN).to_pylist(), meta.doc_id_start
+        )
+        target = Segment.open_sealed(self.path, meta, self.schema)
         self.segments = [target]
         self._snapshot_maps()
         self._commit_version()
-        target.seal()
+        self._gc_snapshots()
         self._build_indexes_for(target)
         self._commit_version()
         for seg in sources:
@@ -900,22 +957,6 @@ def _exact_over_rows(seg, field_name, queries, topk, alive, vs):
     sims[:, :k] = np.take_along_axis(s, order, 1)
     ids[:, :k] = rows[order] + seg.doc_id_start
     return sims, ids
-
-
-def _load_writable(schema: CollectionSchema, path: str) -> ForwardStore:
-    """Load a flush checkpoint back into a writable store (writing-segment
-    recovery base)."""
-    sealed = ForwardStore.load(schema, path)
-    store = ForwardStore(schema)
-    for i in range(sealed.count):
-        pk, fields, vectors = sealed.row(i)
-        vecs = {}
-        for vs in schema.vectors:
-            v = vectors.get(vs.name)
-            if v is not None:
-                vecs[vs.name] = v if isinstance(v, dict) else np.asarray(v)
-        store.append(pk, fields, vecs)
-    return store
 
 
 def _reseal(seg: Segment) -> None:

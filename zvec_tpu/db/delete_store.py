@@ -39,6 +39,13 @@ class DeleteStore:
             self._deleted.discard(doc_id)
             self._version += 1
 
+    def unmark_range(self, start: int, count: int) -> None:
+        """Drop all tombstones in [start, start+count) (compaction cleanup)."""
+        before = len(self._deleted)
+        self._deleted = {d for d in self._deleted if not start <= d < start + count}
+        if len(self._deleted) != before:
+            self._version += 1
+
     def is_deleted(self, doc_id: int) -> bool:
         return doc_id in self._deleted
 

@@ -284,6 +284,25 @@ class ForwardStore:
         store._sparse = {}
         return store
 
+    def thaw(self) -> "ForwardStore":
+        """Columnar sealed→writable conversion (writing-segment recovery base).
+        Bulk Arrow→python per column, no per-row reconstruction (reference
+        streams record batches, `segment_helper.cc:74-120`)."""
+        assert not self._writable and self._table is not None
+        store = ForwardStore(self.schema)
+        n = self._count
+        store._count = n
+        store._pks = self._table.column(PK_COLUMN).to_pylist()
+        for f in self.schema.fields:
+            store._scalars[f.name] = self._table.column(f.name).to_pylist()
+        for v in self.schema.vectors:
+            if v.data_type.is_sparse_vector:
+                store._sparse[v.name] = self.sparse_rows(v.name)
+            else:
+                mat = np.array(self.dense_matrix(v.name))  # writable copy
+                store._dense[v.name] = mat
+        return store
+
     # schema evolution hooks (add/drop column) operate on writable stores only
     def add_column(self, name: str, data_type: DataType, default=None) -> None:
         assert self._writable

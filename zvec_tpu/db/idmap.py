@@ -33,6 +33,10 @@ class IdMap:
     def upsert(self, pk: str, doc_id: int) -> None:
         self._map[pk] = doc_id
 
+    def bulk_upsert(self, pks: List[str], doc_id_start: int) -> None:
+        """Assign consecutive doc_ids starting at `doc_id_start` (compaction remap)."""
+        self._map.update(zip(pks, range(doc_id_start, doc_id_start + len(pks))))
+
     def remove(self, pk: str) -> None:
         self._map.pop(pk, None)
 

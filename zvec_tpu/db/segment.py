@@ -30,7 +30,14 @@ from .wal import WalFile
 __all__ = ["Segment"]
 
 FORWARD_FILE = "forward.arrow"
-WAL_FILE = "wal.log"
+
+
+def wal_filename(gen: int) -> str:
+    return f"wal_{gen}.log"
+
+
+def ckpt_filename(gen: int) -> str:
+    return f"ckpt_{gen}.arrow"
 
 
 class Segment:
@@ -61,7 +68,7 @@ class Segment:
     ) -> "Segment":
         directory = os.path.join(root, meta.dirname)
         os.makedirs(directory, exist_ok=True)
-        wal = WalFile(os.path.join(directory, WAL_FILE))
+        wal = WalFile(os.path.join(directory, wal_filename(meta.gen)))
         return cls(directory, meta, schema, ForwardStore(schema), wal)
 
     @classmethod
@@ -82,7 +89,7 @@ class Segment:
         """Reopen the writing segment; caller replays its WAL through
         `apply_*` to reconstruct in-memory state."""
         directory = os.path.join(root, meta.dirname)
-        wal = WalFile(os.path.join(directory, WAL_FILE))
+        wal = WalFile(os.path.join(directory, wal_filename(meta.gen)))
         return cls(directory, meta, schema, ForwardStore(schema), wal)
 
     def _load_built_indexes(self) -> None:
@@ -263,24 +270,50 @@ class Segment:
 
     # ------------- durability -------------
     def flush(self) -> None:
-        """Persist forward store (+ engine aux). After the version manifest
-        commits, the WAL can be dropped (reference `segment.cc:2079-2177`)."""
+        """Persist the final forward file (seal path only — checkpoints of a
+        still-writing segment go through `write_checkpoint`)."""
         self.store.seal(os.path.join(self.directory, FORWARD_FILE))
 
-    def drop_wal(self) -> None:
+    def checkpoint_path(self, gen: int) -> str:
+        return os.path.join(self.directory, ckpt_filename(gen))
+
+    def write_checkpoint(self) -> None:
+        """Crash-atomic flush, phase 1 (reference `segment.cc:2079-2177`):
+        write ckpt_{gen+1}.arrow and rotate to a fresh wal_{gen+1}.log, then
+        bump meta.gen. The caller must commit a version next (making the new
+        pair live) and then call `gc_stale_files()`. A crash before that
+        commit leaves CURRENT on the old self-consistent (ckpt, WAL) pair."""
+        new_gen = self.meta.gen + 1
+        self.store.seal(self.checkpoint_path(new_gen))
         if self.wal is not None:
-            self.wal.remove()
-            self.wal = None
-            # reopen lazily if more writes come
-            self.wal = WalFile(os.path.join(self.directory, WAL_FILE))
+            self.wal.close()
+        self.wal = WalFile(os.path.join(self.directory, wal_filename(new_gen)))
+        self.wal.open_for_append()
+        self.meta.gen = new_gen
+
+    def gc_stale_files(self) -> None:
+        """Remove checkpoint/WAL generations other than the committed one."""
+        keep = {wal_filename(self.meta.gen), ckpt_filename(self.meta.gen)}
+        for name in os.listdir(self.directory):
+            if (name.startswith("wal_") or name.startswith("ckpt_")) and name not in keep:
+                try:
+                    os.remove(os.path.join(self.directory, name))
+                except OSError:
+                    pass
 
     def seal(self) -> None:
         """Seal: persist and become immutable (reference `dump`, `segment.cc:2062`)."""
         self.flush()
         if self.wal is not None:
-            self.wal.remove()
+            self.wal.close()
             self.wal = None
         self.meta.state = "sealed"
+        for name in os.listdir(self.directory):
+            if name.startswith("wal_") or name.startswith("ckpt_"):
+                try:
+                    os.remove(os.path.join(self.directory, name))
+                except OSError:
+                    pass
         self.store = ForwardStore.load(
             self.schema, os.path.join(self.directory, FORWARD_FILE)
         )

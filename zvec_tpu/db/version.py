@@ -26,12 +26,20 @@ class SegmentMeta:
         doc_count: int = 0,
         state: str = "writing",  # writing | sealed
         indexes: Optional[Dict[str, Dict[str, Any]]] = None,  # field -> index descriptor
+        gen: int = 0,  # checkpoint/WAL generation (writing segments only)
     ):
         self.segment_id = segment_id
         self.doc_id_start = doc_id_start
         self.doc_count = doc_count
         self.state = state
         self.indexes = indexes or {}
+        # Crash-atomic flush: each flush writes ckpt_{gen+1}.arrow + rotates to
+        # wal_{gen+1}.log, THEN commits a version with the bumped gen, THEN
+        # deletes the gen-g files. A crash at any point leaves CURRENT pointing
+        # at one self-consistent (checkpoint, WAL) pair — the WAL always holds
+        # exactly the operations after its checkpoint (reference analog: WAL
+        # dropped only after manifest commit, `segment.cc:2160-2168`).
+        self.gen = gen
 
     @property
     def dirname(self) -> str:
@@ -44,6 +52,7 @@ class SegmentMeta:
             "doc_count": self.doc_count,
             "state": self.state,
             "indexes": self.indexes,
+            "gen": self.gen,
         }
 
     @classmethod
@@ -54,6 +63,7 @@ class SegmentMeta:
             d.get("doc_count", 0),
             d.get("state", "writing"),
             d.get("indexes", {}),
+            d.get("gen", 0),
         )
 
 
