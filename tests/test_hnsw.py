@@ -178,3 +178,46 @@ def test_hnsw_clustered_high_recall(rng):
     expect = brute_topk(qs, xs, MetricType.L2, k)
     hits = sum(len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(16))
     assert hits / (16 * k) >= 0.95
+
+
+def test_hnsw_quantized_brute_force_path_dequants(rng):
+    """The is_linear / small-n brute-force branch must score quantized codes
+    asymmetrically (dequant epilogue), matching the fp32 oracle ranking."""
+    from zvec_tpu.typing import QuantizeType
+    from zvec_tpu.model.param.param import QueryParam
+
+    n, d, k = 400, 16, 10  # below the brute-force threshold
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((8, d)).astype(np.float32)
+    engine = HnswEngine(
+        MetricType.L2,
+        d,
+        HnswIndexParam(MetricType.L2, m=8, quantize_type=QuantizeType.INT8),
+    )
+    engine.bind_data(lambda: xs, lambda: 1)
+    sims, idx = engine.search(qs, k, param=HnswQueryParam(ef=64))
+    expect = brute_topk(qs, xs, MetricType.L2, k)
+    hits = sum(len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(len(qs)))
+    assert hits / (len(qs) * k) >= 0.9  # int8 rounding tolerance
+    # scores must be in the fp32 distance range, not raw-int8-code range
+    d0 = ((qs[0] - xs[expect[0, 0]]) ** 2).sum()
+    assert sims[0, 0] == pytest.approx(-d0, rel=0.1, abs=0.5)
+
+
+def test_hnsw_ip_second_rebuild_reaugments(rng):
+    """A second rebuild of an IP-metric engine must re-apply MIPS augmentation
+    (the search metric must not latch to L2)."""
+    n, d, k = 1500, 16, 5
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((6, d)).astype(np.float32)
+    version = [1]
+    engine = HnswEngine(MetricType.IP, d, HnswIndexParam(MetricType.IP, m=8))
+    engine.bind_data(lambda: xs, lambda: version[0])
+    _sims, idx1 = engine.search(qs, k, param=HnswQueryParam(ef=100))
+    version[0] = 2  # force a rebuild on the next search
+    sims, idx2 = engine.search(qs, k, param=HnswQueryParam(ef=100))
+    expect = brute_topk(qs, xs, MetricType.IP, k)
+    hits = sum(len(set(idx2[i][idx2[i] >= 0]) & set(expect[i])) for i in range(len(qs)))
+    assert hits / (len(qs) * k) >= 0.85
+    # top-1 similarity equals the true inner product
+    assert sims[0, 0] == pytest.approx(float(qs[0] @ xs[expect[0, 0]]), rel=1e-3)

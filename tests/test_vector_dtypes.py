@@ -42,6 +42,11 @@ def test_float_vector_dtypes_end_to_end(tmp_path, rng, dtype, np_dtype):
     c._impl.close()
     c2 = zvec_tpu.open(str(tmp_path / "vt"))
     assert c2.query(VectorQuery("v", vector=xs[3]), topk=1)[0].id == "v3"
+    # storage must be full-width for the schema dtype: fp64 roundtrips exactly
+    # (no silent fp32 downcast in WAL or forward file)
+    refetched = np.asarray(c2.fetch("v7")["v7"].vector("v"))
+    if np_dtype == np.float64:
+        np.testing.assert_array_equal(refetched, xs[7])
     c2._impl.close()
 
 

@@ -108,8 +108,10 @@ class HnswEngine(VectorIndexEngine):
         # and traversed in the augmented L2 space where L2-NN ranking equals
         # IP ranking (reference MipsConverter/MipsSquaredEuclidean,
         # `mips_converter.cc:657`). Similarities convert back at the boundary.
-        self._mips = self._search_metric == MetricType.IP
-        self._search_metric = MetricType.L2 if self._mips else self._search_metric
+        # Derived from self.metric (not the previous _search_metric) so a
+        # second rebuild of the same engine re-augments correctly.
+        self._mips = self.metric == MetricType.IP
+        self._search_metric = MetricType.L2 if self._mips else self.metric
         if self._mips:
             data, self._mips_max_norm2 = mips_augment(data)
         n_pad = round_up(self._n, _ROW_ALIGN)
@@ -655,6 +657,7 @@ class HnswEngine(VectorIndexEngine):
                 k,
                 mask=jnp.asarray(full_mask),
                 x_sq_norms=self._norms,
+                dequant=self._dequant,
             )
             sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
         else:

@@ -171,9 +171,9 @@ def _encode_list(buf: bytearray, value: list) -> None:
     _encode_array(buf, arr)
 
 
-def _encode_array(buf: bytearray, arr: np.ndarray) -> None:
+def _encode_array(buf: bytearray, arr: np.ndarray, is_vector: bool = False) -> None:
     dt = arr.dtype
-    if dt in _DTYPE_TO_VEC and arr.ndim == 1 and dt != np.dtype(np.float64):
+    if dt in _DTYPE_TO_VEC and arr.ndim == 1 and (is_vector or dt != np.dtype(np.float64)):
         tag = _DTYPE_TO_VEC[dt]
     elif dt in _DTYPE_TO_ARR:
         tag = _DTYPE_TO_ARR[dt]
@@ -269,10 +269,9 @@ def encode_record(
         if isinstance(value, dict):
             _encode_sparse(buf, value)
         else:
-            arr = np.asarray(value)
-            if arr.dtype == np.float64:
-                arr = arr.astype(np.float32)
-            _encode_array(buf, arr)
+            # vectors persist in their schema storage dtype (fp64 stays fp64 —
+            # _T_VEC_F64; reference stores VECTOR_FP64 full-width)
+            _encode_array(buf, np.asarray(value), is_vector=True)
     return bytes(buf)
 
 

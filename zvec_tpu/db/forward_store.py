@@ -261,12 +261,10 @@ class ForwardStore:
                     type=_SPARSE_TYPE,
                 )
             else:
+                # persist in the schema's storage dtype (fp16 → halffloat,
+                # fp64 → float64) — no silent fp32 downcast
                 mat = self._dense[v.name][: self._count]
-                flat = pa.array(
-                    np.ascontiguousarray(mat, dtype=np.float32).reshape(-1)
-                    if mat.dtype != np.int8
-                    else mat.reshape(-1)
-                )
+                flat = pa.array(np.ascontiguousarray(mat).reshape(-1))
                 arrays[v.name] = pa.FixedSizeListArray.from_arrays(flat, v.dimension)
         return pa.table(arrays)
 
