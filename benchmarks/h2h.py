@@ -1,0 +1,258 @@
+"""Head-to-head harness: zvec_tpu vs the reference zvec core engine.
+
+The reference C++ core tools (txt2vecs / local_builder / recall_original /
+bench_original, from `/root/reference/tools/core/`) are built out-of-tree with
+small header shims for the absent vendored third-parties (gflags / yaml-cpp /
+magic_enum / sparsehash / roaring; see BASELINE.md "head-to-head setup" for
+the exact deltas). Both systems run on IDENTICAL data with IDENTICAL graph
+parameters (M=50 upper / 100 L0, ef_construction=500 — the shared defaults,
+`hnsw_entity.h:500-503`).
+
+Usage:
+    python benchmarks/h2h.py gen --kind gaussian --n 30000 --dim 128
+    python benchmarks/h2h.py ref-build --kind gaussian --n 30000 --dim 128
+    python benchmarks/h2h.py ref-recall --kind gaussian --n 30000 --dim 128 --ef 64
+    python benchmarks/h2h.py tpu-recall --kind gaussian --n 30000 --dim 128 --ef 64
+
+Work dir: /tmp/h2h (datasets are regenerated deterministically from seed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+WORK = os.environ.get("H2H_DIR", "/tmp/h2h")
+REF_BIN = os.environ.get("REF_BIN", "/tmp/refbuild/bin")
+SEED = 1234
+
+
+def dataset_name(kind: str, n: int, dim: int) -> str:
+    return f"{kind}_{n}_{dim}"
+
+
+def make_data(kind: str, n: int, dim: int, nq: int = 1000):
+    rng = np.random.default_rng(SEED)
+    if kind == "gaussian":
+        X = rng.standard_normal((n, dim)).astype(np.float32)
+        Q = rng.standard_normal((nq, dim)).astype(np.float32)
+    elif kind == "clustered":
+        # the round-1 recall-guard generator: well-separated centers + noise
+        k = max(32, n // 10_000)
+        centers = rng.standard_normal((k, dim)).astype(np.float32) * 5.0
+        asn = rng.integers(0, k, n)
+        X = centers[asn] + rng.standard_normal((n, dim)).astype(np.float32)
+        qn = rng.integers(0, k, nq)
+        Q = centers[qn] + rng.standard_normal((nq, dim)).astype(np.float32)
+    else:
+        raise ValueError(kind)
+    return X, Q
+
+
+def exact_gt(X: np.ndarray, Q: np.ndarray, k: int = 100) -> np.ndarray:
+    """Blocked exact L2 ground truth (host numpy, fp64 accumulate)."""
+    gt = np.zeros((Q.shape[0], k), dtype=np.int64)
+    xn = (X.astype(np.float64) ** 2).sum(1)
+    for i in range(0, Q.shape[0], 64):
+        q = Q[i : i + 64].astype(np.float64)
+        d = (q**2).sum(1)[:, None] + xn[None, :] - 2.0 * (q @ X.astype(np.float64).T)
+        gt[i : i + 64] = np.argpartition(d, k, axis=1)[:, :k]
+        # order the partition
+        part = np.take_along_axis(d, gt[i : i + 64], axis=1)
+        order = np.argsort(part, axis=1)
+        gt[i : i + 64] = np.take_along_axis(gt[i : i + 64], order, axis=1)
+    return gt
+
+
+def write_txt(path: str, mat: np.ndarray) -> None:
+    with open(path, "w") as fh:
+        for i, row in enumerate(mat):
+            fh.write(str(i) + ";" + " ".join(f"{v:.6f}" for v in row) + "\n")
+
+
+def cmd_gen(args):
+    os.makedirs(WORK, exist_ok=True)
+    name = dataset_name(args.kind, args.n, args.dim)
+    X, Q = make_data(args.kind, args.n, args.dim, args.nq)
+    np.save(f"{WORK}/{name}_base.npy", X)
+    np.save(f"{WORK}/{name}_query.npy", Q)
+    gt = exact_gt(X, Q)
+    np.save(f"{WORK}/{name}_gt.npy", gt)
+    write_txt(f"{WORK}/{name}_base.txt", X)
+    write_txt(f"{WORK}/{name}_query.txt", Q)
+    with open(f"{WORK}/{name}_gt.txt", "w") as fh:
+        for i in range(gt.shape[0]):
+            fh.write(str(i) + ";" + " ".join(str(int(v)) for v in gt[i]) + "\n")
+    subprocess.run(
+        [
+            f"{REF_BIN}/txt2vecs",
+            "--input", f"{WORK}/{name}_base.txt",
+            "--output", f"{WORK}/{name}.vecs",
+            "--type", "float",
+            "--method", "L2",
+            "--dimension", str(args.dim),
+        ],
+        check=True,
+        stdout=subprocess.DEVNULL,
+    )
+    print(f"generated {name} (base/query/gt npy+txt, .vecs)")
+
+
+def cmd_ref_build(args):
+    name = dataset_name(args.kind, args.n, args.dim)
+    cfg = f"""BuilderCommon:
+    BuilderClass: HnswStreamer
+    BuildFile: {WORK}/{name}.vecs
+    NeedTrain: false
+    DumpPath: {WORK}/{name}.dump.index
+    IndexPath: {WORK}/{name}.index
+    MetricName: SquaredEuclidean
+    ThreadCount: {args.threads}
+
+BuilderParams:
+    proxima.hnsw.streamer.max_neighbor_count: !!int {args.m}
+    proxima.hnsw.streamer.efconstruction: !!int {args.efc}
+    proxima.general.builder.thread_count: !!int {args.threads}
+"""
+    cfg_path = f"{WORK}/{name}_build.yaml"
+    with open(cfg_path, "w") as fh:
+        fh.write(cfg)
+    t0 = time.time()
+    subprocess.run([f"{REF_BIN}/local_builder", cfg_path], check=True)
+    dt = time.time() - t0
+    print(json.dumps({"ref_build_secs": round(dt, 1), "dataset": name}))
+
+
+def cmd_ref_recall(args):
+    name = dataset_name(args.kind, args.n, args.dim)
+    cfg = f"""SearcherCommon:
+    SearcherClass: HnswStreamer
+    IndexPath: {WORK}/{name}.index
+    MetricName: SquaredEuclidean
+    TopK: {args.topk_list}
+    QueryFile: {WORK}/{name}_query.txt
+    QueryType: float
+    GroundTruthFile: {WORK}/{name}_gt.txt
+    RecallThreadCount: {args.threads}
+    CompareById: true
+
+SearcherParams:
+    proxima.hnsw.streamer.max_neighbor_count: !!int {args.m}
+    proxima.hnsw.streamer.ef: !!int {args.ef}
+"""
+    cfg_path = f"{WORK}/{name}_recall_ef{args.ef}.yaml"
+    with open(cfg_path, "w") as fh:
+        fh.write(cfg)
+    out = subprocess.run(
+        [f"{REF_BIN}/recall_original", cfg_path], check=True, capture_output=True, text=True
+    )
+    print(out.stdout[-600:])
+
+
+def cmd_ref_bench(args):
+    name = dataset_name(args.kind, args.n, args.dim)
+    cfg = f"""SearcherCommon:
+    SearcherClass: HnswStreamer
+    IndexPath: {WORK}/{name}.index
+    MetricName: SquaredEuclidean
+    TopK: {args.topk}
+    QueryFile: {WORK}/{name}_query.txt
+    QueryType: float
+    BenchThreadCount: {args.threads}
+    BenchSecs: {args.secs}
+
+SearcherParams:
+    proxima.hnsw.streamer.max_neighbor_count: !!int {args.m}
+    proxima.hnsw.streamer.ef: !!int {args.ef}
+"""
+    cfg_path = f"{WORK}/{name}_bench_ef{args.ef}.yaml"
+    with open(cfg_path, "w") as fh:
+        fh.write(cfg)
+    out = subprocess.run(
+        [f"{REF_BIN}/bench_original", cfg_path], check=True, capture_output=True, text=True
+    )
+    print(out.stdout[-1500:])
+
+
+def cmd_tpu_recall(args):
+    name = dataset_name(args.kind, args.n, args.dim)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from zvec_tpu.core.hnsw import HnswEngine
+    from zvec_tpu.model.param.param import HnswIndexParam, HnswQueryParam
+    from zvec_tpu.typing import MetricType
+
+    X = np.load(f"{WORK}/{name}_base.npy")
+    Q = np.load(f"{WORK}/{name}_query.npy")
+    gt = np.load(f"{WORK}/{name}_gt.npy")
+    engine = HnswEngine(
+        MetricType.L2,
+        X.shape[1],
+        HnswIndexParam(MetricType.L2, m=args.m, ef_construction=args.efc),
+    )
+    engine.bind_data(lambda: X, lambda: 1)
+    t0 = time.time()
+    engine.search(Q[:1], 1, param=HnswQueryParam(ef=args.ef))  # force build
+    build_secs = time.time() - t0
+    efs = [int(e) for e in args.ef_sweep.split(",")] if args.ef_sweep else [args.ef]
+    for ef in efs:
+        t0 = time.time()
+        sims, idx = engine.search(Q, 10, param=HnswQueryParam(ef=ef))
+        search_secs = time.time() - t0
+        hits = sum(
+            len(set(idx[i][idx[i] >= 0]) & set(gt[i, :10])) for i in range(len(Q))
+        )
+        print(
+            json.dumps(
+                {
+                    "dataset": name,
+                    "ef": ef,
+                    "recall_at_10": round(hits / (len(Q) * 10), 4),
+                    "build_secs": round(build_secs, 1),
+                    "batch_search_secs": round(search_secs, 2),
+                    "qps_batch": round(len(Q) / search_secs, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for c in ("gen", "ref-build", "ref-recall", "ref-bench", "tpu-recall"):
+        sp = sub.add_parser(c)
+        sp.add_argument("--kind", default="gaussian")
+        sp.add_argument("--n", type=int, default=30000)
+        sp.add_argument("--dim", type=int, default=128)
+        sp.add_argument("--nq", type=int, default=1000)
+        sp.add_argument("--m", type=int, default=50)
+        sp.add_argument("--efc", type=int, default=500)
+        sp.add_argument("--ef", type=int, default=64)
+        sp.add_argument("--topk", type=int, default=10)
+        sp.add_argument("--topk_list", default="1,10")
+        sp.add_argument("--ef-sweep", default="", dest="ef_sweep")
+        sp.add_argument("--threads", type=int, default=1)
+        sp.add_argument("--secs", type=int, default=20)
+        sp.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    {
+        "gen": cmd_gen,
+        "ref-build": cmd_ref_build,
+        "ref-recall": cmd_ref_recall,
+        "ref-bench": cmd_ref_bench,
+        "tpu-recall": cmd_tpu_recall,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,19 @@ def test_filter_errors(coll):
 
 def test_unsatisfiable_filter(coll):
     assert q(coll, "price < 0") == []
+
+
+def test_has_prefix_suffix(coll):
+    # categories cycle tech/news/sports over ids 0..19
+    tech = [i for i in range(20) if i % 3 == 0]
+    news = [i for i in range(20) if i % 3 == 1]
+    sports = [i for i in range(20) if i % 3 == 2]
+    assert q(coll, "category HAS_PREFIX 'te'") == tech
+    assert q(coll, "category HAS_PREFIX 'n'") == news
+    assert q(coll, "category HAS_SUFFIX 'ports'") == sports
+    assert q(coll, "category HAS_SUFFIX 's'") == sorted(news + sports)
+    assert q(coll, "category NOT HAS_PREFIX 'te'") == sorted(news + sports)
+    assert q(coll, "category NOT HAS_SUFFIX 's'") == tech
+    assert q(coll, "category HAS_PREFIX 'zzz'") == []
+    with pytest.raises(FilterError):
+        compile_filter("category HAS_PREFIX 5")

@@ -129,3 +129,18 @@ def test_inverted_used_in_collection(tmp_path, rng):
     res = c2.query(VectorQuery("e", vector=xs[42]), topk=2, filter="cat = 'c2'")
     assert all(int(r.id[1:]) % 5 == 2 for r in res)
     c2._impl.close()
+
+
+def test_has_prefix_suffix_ops():
+    vals = np.asarray(["apple", "banana", "apricot", "cherry", "banana"], dtype=object)
+    idx = InvertedColumnIndex.build(
+        vals, np.zeros(5, bool), DataType.STRING, False, True
+    )
+    assert sorted(idx.query("HAS_PREFIX", "ap").tolist()) == [0, 2]
+    assert sorted(idx.query("HAS_SUFFIX", "ana").tolist()) == [1, 4]
+    assert idx.supports("HAS_PREFIX") and idx.supports("HAS_SUFFIX")
+    # without extended wildcard, suffix falls back to a term scan
+    idx2 = InvertedColumnIndex.build(
+        vals, np.zeros(5, bool), DataType.STRING, False, False
+    )
+    assert sorted(idx2.query("HAS_SUFFIX", "ana").tolist()) == [1, 4]

@@ -666,10 +666,24 @@ class CollectionImpl:
 
     # ---- filter hooks (implemented by the filter phase) ----
     def _filter_mask_for_segment(self, seg: Segment, filter_str: str) -> np.ndarray:
+        """Compile + evaluate, with a per-segment (filter, write_version) mask
+        cache: sealed segments never re-evaluate the same filter (the reference
+        caches Acero plan results per DocFilter; Python-loop evaluation over
+        10M rows per query would otherwise dominate latency)."""
+        cache = getattr(seg, "_filter_mask_cache", None)
+        if cache is None:
+            cache = seg._filter_mask_cache = {}
+        hit = cache.get(filter_str)
+        if hit is not None and hit[0] == seg._write_version:
+            return hit[1]
         from .filter import compile_filter
 
         compiled = compile_filter(filter_str, self.schema)
-        return compiled.evaluate(seg)
+        mask = compiled.evaluate(seg)
+        if len(cache) > 64:
+            cache.clear()
+        cache[filter_str] = (seg._write_version, mask)
+        return mask
 
     def _filter_only_doc_ids(self, filter_str: str) -> List[int]:
         with self._lock:
@@ -846,6 +860,7 @@ class CollectionImpl:
                 default_fn = compile_value_expression(expression, self.schema)
             for seg in [*self.segments, self.writing]:
                 _add_column_to_segment(seg, field_schema, default_fn)
+                seg._write_version += 1
             self._commit_version()
 
     def drop_column(self, field_name: str) -> None:
@@ -859,6 +874,7 @@ class CollectionImpl:
             for seg in [*self.segments, self.writing]:
                 seg.store.drop_column(field_name)
                 seg.schema = self.schema
+                seg._write_version += 1
                 if seg.meta.state == "sealed":
                     _reseal(seg)
             self._commit_version()
@@ -880,6 +896,7 @@ class CollectionImpl:
             for seg in [*self.segments, self.writing]:
                 seg.store.rename_column(old_name, target_name)
                 seg.schema = self.schema
+                seg._write_version += 1
                 if seg.meta.state == "sealed":
                     _reseal(seg)
             self._commit_version()

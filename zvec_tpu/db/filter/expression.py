@@ -50,6 +50,8 @@ _KEYWORDS = {
     "FALSE",
     "CONTAIN_ALL",
     "CONTAIN_ANY",
+    "HAS_PREFIX",
+    "HAS_SUFFIX",
 }
 
 
@@ -204,6 +206,24 @@ class RelNode(Node):
                 count=len(col),
             )
             return mask if self.op == "LIKE" else ~mask & ~ctx.null_mask(self.field)
+
+        if self.op in ("HAS_PREFIX", "HAS_SUFFIX", "NOT_HAS_PREFIX", "NOT_HAS_SUFFIX"):
+            # reference CompareOp::HAS_PREFIX/HAS_SUFFIX (`type.h:107-108`,
+            # served by `inverted_column_indexer_search.cc:797-803`)
+            col = ctx.column(self.field)
+            probe = (
+                (lambda v: v.startswith(self.value))
+                if "PREFIX" in self.op
+                else (lambda v: v.endswith(self.value))
+            )
+            mask = np.fromiter(
+                (v is not None and isinstance(v, str) and probe(v) for v in col),
+                dtype=bool,
+                count=len(col),
+            )
+            if self.op.startswith("NOT_"):
+                return ~mask & ~ctx.null_mask(self.field)
+            return mask
 
         if self.op in ("CONTAIN_ALL", "CONTAIN_ANY", "NOT_CONTAIN_ALL", "NOT_CONTAIN_ANY"):
             col = ctx.column(self.field)
@@ -378,6 +398,13 @@ class _Parser:
                 self.next()
                 values = self.parse_value_list()
                 return RelNode(name, ("NOT_" if negate else "") + kw, values, func)
+            if t.kind == "kw" and t.value in ("HAS_PREFIX", "HAS_SUFFIX"):
+                kw = t.value
+                self.next()
+                value = self.parse_constant()
+                if not isinstance(value, str):
+                    raise FilterError(f"{kw} expects a string constant")
+                return RelNode(name, ("NOT_" if negate else "") + kw, value, func)
             if t.kind == "kw" and t.value == "IS":
                 if negate:
                     raise FilterError("unexpected NOT before IS")

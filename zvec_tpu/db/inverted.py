@@ -120,6 +120,10 @@ class InvertedColumnIndex:
             return True
         if op in ("LIKE",) and self._sorted_terms is not None:
             return True
+        if op == "HAS_PREFIX" and self._sorted_terms is not None:
+            return True
+        if op == "HAS_SUFFIX" and self._sorted_terms is not None:
+            return True
         return False
 
     def evaluate_ratio(self, op: str, value) -> float:
@@ -182,6 +186,21 @@ class InvertedColumnIndex:
             return self._complement(self._query_terms("CONTAIN_ALL", value))
         if op == "LIKE":
             return self._query_like(value)
+        if op == "HAS_PREFIX":
+            # range scan over sorted terms (reference
+            # `inverted_column_indexer_search.cc:797` get_bitmap_prefix)
+            return self._prefix_rows(self._sorted_terms, value, rev=False)
+        if op == "HAS_SUFFIX":
+            # reversed-term range scan when available
+            # (`inverted_column_indexer_search.cc:801` get_bitmap_suffix)
+            if self._sorted_terms_rev is not None:
+                return self._prefix_rows(self._sorted_terms_rev, value[::-1], rev=True)
+            parts = [
+                rows
+                for term, rows in self._postings.items()
+                if isinstance(term, str) and term.endswith(value)
+            ]
+            return _union(parts)
         raise ValueError(f"unsupported term op {op}")
 
     def _query_like(self, pattern: str) -> np.ndarray:
