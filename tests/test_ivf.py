@@ -173,3 +173,37 @@ def test_stratified_train(rng):
     # centroids cover the data: average point-to-centroid distance is finite/small
     d = ((xs[:500, None, :] - cents[None, :, :]) ** 2).sum(-1).min(1)
     assert d.mean() < ((xs[:500] ** 2).sum(1)).mean()
+
+
+def test_ivf_skewed_cluster_no_padding_blowup(rng):
+    """One dominant cluster must not pad every list to its length: memory is
+    O(N*D), and recall on the dominant cluster stays exact-ish."""
+    from zvec_tpu.core.ivf import IvfEngine
+    from zvec_tpu.model.param.param import IVFIndexParam, IVFQueryParam
+    from zvec_tpu.typing import MetricType
+
+    d = 16
+    # 20k rows in one tight cluster + 2k spread over 63 others
+    big = rng.standard_normal((20000, d)).astype(np.float32) * 0.05
+    rest_centers = rng.standard_normal((63, d)).astype(np.float32) * 10
+    rest = (
+        rest_centers[rng.integers(0, 63, 2000)]
+        + rng.standard_normal((2000, d)).astype(np.float32) * 0.05
+    )
+    xs = np.concatenate([big, rest]).astype(np.float32)
+    engine = IvfEngine(
+        MetricType.L2, d, IVFIndexParam(MetricType.L2, n_list=64, n_iters=5)
+    )
+    engine.bind_data(lambda: xs, lambda: 1)
+    engine.search(xs[:1], 1, param=IVFQueryParam(nprobe=4))  # build
+    # padded storage must stay near N rows, not K * Lmax
+    total_slots = engine._lists_ids.shape[0] * engine._lists_ids.shape[1]
+    assert total_slots < 3.5 * len(xs), (  # old global-Lmax padding was ~58x
+        f"padding blowup: {total_slots} slots for {len(xs)} rows"
+    )
+    # a query inside the dominant cluster still finds its true neighbors
+    q = big[7][None, :]
+    d2 = ((xs - q) ** 2).sum(1)
+    expect = set(np.argsort(d2)[:10])
+    sims, idx = engine.search(q, 10, param=IVFQueryParam(nprobe=8))
+    assert len(set(idx[0][idx[0] >= 0]) & expect) >= 8

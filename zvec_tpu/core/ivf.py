@@ -227,21 +227,48 @@ class IvfEngine(VectorIndexEngine):
         assign_rows = np.asarray(assign_rows, dtype=np.int64)
         assign_lists = np.asarray(assign_lists, dtype=np.int64)
         counts = np.bincount(assign_lists, minlength=k)
-        lmax = int(max(counts.max(initial=1), 1))
+        n_entries = len(assign_rows)
+
+        # Bucketed padding: a skewed cluster must not inflate every list to
+        # its length (a 100k-row list with K=1024 would allocate
+        # (1024, 100k, D) — ~51GB at D=128 fp32). Lists longer than a bucket
+        # cap split into virtual sublists sharing the (replicated) centroid,
+        # so HBM stays O(N*D + K*B*D). The probe's top-k over centroids then
+        # naturally spends extra probes on heavy clusters (the reference
+        # instead scans variable-length list blocks, `ivf_entity.cc:587-734`).
+        bucket = int(
+            np.ceil(max(8, min(counts.max(initial=1), 2 * n_entries / max(k, 1) + 8)) / 8)
+            * 8
+        )
+        n_chunks = np.maximum(1, -(-counts // bucket))  # ceil_div, >=1
+        v_of_list = np.zeros(k + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=v_of_list[1:])
+        kv = int(v_of_list[-1])
+        lmax = int(min(max(counts.max(initial=1), 1), bucket))
+
         order = np.argsort(assign_lists, kind="stable")
         sorted_lists = assign_lists[order]
         sorted_rows = assign_rows[order]
         starts = np.zeros(k + 1, dtype=np.int64)
         np.cumsum(counts, out=starts[1:])
         slots = np.arange(len(order)) - starts[sorted_lists]
-        lists_codes = np.zeros((k, lmax, data.shape[1]), dtype=codes.dtype)
-        lists_norms = np.zeros((k, lmax), dtype=np.float32)
-        lists_ids = np.full((k, lmax), -1, dtype=np.int32)
-        lists_codes[sorted_lists, slots] = codes[sorted_rows]
-        lists_norms[sorted_lists, slots] = deq_norms[sorted_rows]
-        lists_ids[sorted_lists, slots] = sorted_rows
+        v_lists = v_of_list[sorted_lists] + slots // bucket
+        v_slots = slots % bucket
 
-        self._centroids = jnp.asarray(centroids.astype(np.float32))
+        lists_codes = np.zeros((kv, lmax, data.shape[1]), dtype=codes.dtype)
+        lists_norms = np.zeros((kv, lmax), dtype=np.float32)
+        lists_ids = np.full((kv, lmax), -1, dtype=np.int32)
+        lists_codes[v_lists, v_slots] = codes[sorted_rows]
+        lists_norms[v_lists, v_slots] = deq_norms[sorted_rows]
+        lists_ids[v_lists, v_slots] = sorted_rows
+        v_centroids = np.repeat(centroids, n_chunks, axis=0)
+        # nprobe compensation: a real list split into C chunks needs C probes
+        # to be scanned fully (all C share the centroid similarity, so they
+        # rank adjacently) — widen the probe count by the worst split so
+        # "nprobe lists" keeps the reference's full-list-scan semantics.
+        self._extra_probes = int(n_chunks.max(initial=1)) - 1
+
+        self._centroids = jnp.asarray(v_centroids.astype(np.float32))
         self._lists_codes = jnp.asarray(lists_codes)
         self._lists_norms = jnp.asarray(lists_norms)
         self._lists_ids = jnp.asarray(lists_ids)
@@ -276,7 +303,7 @@ class IvfEngine(VectorIndexEngine):
         # every list (`ivf_searcher.cc:185` threshold behavior)
         if self._n < _BRUTE_FORCE_THRESHOLD or getattr(param, "is_linear", False):
             nprobe = k_lists
-        nprobe = min(nprobe, k_lists)
+        nprobe = min(nprobe + getattr(self, "_extra_probes", 0), k_lists)
         dmask = jnp.asarray(mask) if mask is not None else None
         # SOAR spilling duplicates rows across lists: overscan and dedupe
         scan_k = 2 * topk if self.use_soar else topk
