@@ -1,0 +1,152 @@
+"""Query-during-optimize stress (reference analog:
+`python/tests/detail/test_collection_concurrency.py:89-344`).
+
+optimize() runs its heavy merge outside the collection lock; readers must
+keep serving consistent results from the old segment list until the version
+swap, and writes that land during the merge must survive reconciliation.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import zvec_tpu
+from zvec_tpu import (
+    CollectionSchema,
+    DataType,
+    Doc,
+    FieldSchema,
+    FlatIndexParam,
+    MetricType,
+    VectorQuery,
+    VectorSchema,
+)
+
+
+@pytest.fixture
+def schema():
+    return CollectionSchema(
+        "opt",
+        fields=[FieldSchema("price", DataType.DOUBLE, nullable=True)],
+        vectors=[
+            VectorSchema("emb", DataType.VECTOR_FP32, 16, FlatIndexParam(MetricType.L2))
+        ],
+        max_doc_count_per_segment=300,
+    )
+
+
+def test_query_during_optimize(tmp_path, schema, rng):
+    c = zvec_tpu.create_and_open(str(tmp_path / "c"), schema)
+    n = 700  # several sealed segments + a writing one
+    X = rng.standard_normal((n, 16)).astype(np.float32)
+    for lo in range(0, n, 100):
+        c.insert(
+            [
+                Doc(id=f"d{i}", vectors={"emb": X[i]}, fields={"price": float(i)})
+                for i in range(lo, min(lo + 100, n))
+            ]
+        )
+    c.delete([f"d{i}" for i in range(0, 50)])
+
+    errors = []
+    stop = threading.Event()
+    query_counts = [0]
+
+    def reader():
+        try:
+            while not stop.is_set():
+                qi = int(np.random.default_rng(query_counts[0]).integers(50, n))
+                res = c.query(VectorQuery("emb", vector=X[qi]), topk=3)
+                if not res or res[0].id != f"d{qi}":
+                    errors.append(f"bad top1 for d{qi}: {[r.id for r in res]}")
+                    return
+                ids = {r.id for r in res}
+                if any(int(i[1:]) < 50 for i in ids):
+                    errors.append(f"deleted doc surfaced: {ids}")
+                    return
+                query_counts[0] += 1
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    def writer():
+        try:
+            i = n
+            while not stop.is_set():
+                v = np.random.default_rng(i).standard_normal(16).astype(np.float32)
+                c.insert(Doc(id=f"w{i}", vectors={"emb": v}, fields={"price": 1.0}))
+                i += 1
+                time.sleep(0.002)
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=reader) for _ in range(2)] + [
+        threading.Thread(target=writer)
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(0.1)
+    c.optimize()
+    time.sleep(0.3)  # keep hammering after the swap
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
+    assert query_counts[0] > 0, "readers never ran"
+
+    # post-conditions: one compacted segment, deletes dropped, data intact
+    assert len(c._impl.segments) == 1
+    res = c.query(VectorQuery("emb", vector=X[60]), topk=1)
+    assert res[0].id == "d60"
+    assert c.query(VectorQuery("emb", vector=X[10]), topk=1)[0].id != "d10"
+    c._impl.close()
+
+
+def test_writes_during_optimize_survive(tmp_path, schema, rng):
+    """Delete + update racing the merge must win over the compacted copy."""
+    c = zvec_tpu.create_and_open(str(tmp_path / "c"), schema)
+    X = rng.standard_normal((400, 16)).astype(np.float32)
+    for lo in range(0, 400, 100):
+        c.insert(
+            [
+                Doc(id=f"d{i}", vectors={"emb": X[i]}, fields={"price": float(i)})
+                for i in range(lo, lo + 100)
+            ]
+        )
+
+    impl = c._impl
+    raced = threading.Event()
+    orig_build = impl._build_indexes_for
+
+    def slow_build(seg):
+        if seg in impl.segments:  # seal-time build (phase 1, lock held) — skip
+            return orig_build(seg)
+        # target build, phase 2 (outside the lock): race a delete + an update
+        newv = rng.standard_normal(16).astype(np.float32)
+        c.delete("d5")
+        c.update(Doc(id="d6", vectors={"emb": newv}, fields={"price": 999.0}))
+        c._race_vec = newv
+        raced.set()
+        return orig_build(seg)
+
+    impl._build_indexes_for = slow_build
+    c.optimize()
+    impl._build_indexes_for = orig_build
+    assert raced.is_set()
+
+    assert c.fetch("d5") == {}
+    got = c.fetch("d6")["d6"]
+    assert got.field("price") == 999.0
+    top = c.query(VectorQuery("emb", vector=c._race_vec), topk=1)
+    assert top[0].id == "d6"
+    # the stale compacted copies must not surface
+    res = c.query(VectorQuery("emb", vector=X[5]), topk=3)
+    assert all(r.id != "d5" for r in res)
+    # reopen: reconciliation must be durable
+    c.flush()
+    c._impl.close()
+    c2 = zvec_tpu.open(str(tmp_path / "c"))
+    assert c2.fetch("d5") == {}
+    assert c2.fetch("d6")["d6"].field("price") == 999.0
+    c2._impl.close()

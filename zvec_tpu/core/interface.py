@@ -82,6 +82,16 @@ class VectorIndexEngine:
         invalid slots have index -1)."""
         self._ensure_fresh()
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        n = getattr(self, "_n", None)
+        if mask is not None and n is not None and len(mask) != n:
+            # concurrent append race: the caller sized the alive mask from an
+            # older (or newer) doc_count than this engine's data snapshot.
+            # Rows beyond the mask stay invisible to this in-flight query
+            # (snapshot semantics); a shorter data snapshot truncates the mask.
+            if len(mask) < n:
+                mask = np.concatenate([mask, np.zeros(n - len(mask), dtype=bool)])
+            else:
+                mask = mask[:n]
         return self._search_impl(queries, topk, mask, param)
 
     # ---- persistence hooks (index-specific auxiliary state, e.g. HNSW graph) ----

@@ -462,9 +462,12 @@ class CollectionImpl:
         filter_str: Optional[str] = None,
         param: Optional[QueryParam] = None,
         profiler=None,
+        segs: Optional[List[Segment]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Search one vector field over all segments.
-        Returns (similarity (Q, topk) desc, doc_ids (Q, topk), -1 invalid)."""
+        Returns (similarity (Q, topk) desc, doc_ids (Q, topk), -1 invalid).
+        `segs` pins the segment snapshot (readers racing optimize() must
+        resolve returned doc_ids against the same snapshot they searched)."""
         if topk <= 0:
             raise ZvecError(StatusCode.INVALID_ARGUMENT, f"topk must be positive, got {topk}")
         from ..utils.profiler import Profiler
@@ -481,17 +484,18 @@ class CollectionImpl:
             nq_sparse = len(queries)
         else:
             queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-        with self._lock:
-            segs = list(self.segments) + ([self.writing] if self.writing else [])
+        if segs is None:
+            segs = self._segments_snapshot()
         all_sims, all_ids = [], []
         for seg in segs:
-            if seg.doc_count == 0:
+            n_rows = seg.doc_count  # snapshot once: writers may append mid-query
+            if n_rows == 0:
                 continue
-            alive = self.deletes.alive_mask(seg.doc_id_start, seg.doc_count)
+            alive = self.deletes.alive_mask(seg.doc_id_start, n_rows)
             if filter_str:
                 with prof.stage(f"filter seg_{seg.meta.segment_id}"):
                     fmask = self._filter_mask_for_segment(seg, filter_str)
-                alive = alive & fmask
+                alive = alive & _fit_mask(fmask, n_rows)
                 # brute-force-by-keys: ultra-selective filters bypass the index
                 # and score the surviving rows exactly (`doc_filter.cc:120-122`)
                 if not vs.data_type.is_sparse_vector:
@@ -499,7 +503,7 @@ class CollectionImpl:
 
                     ratio = GlobalConfig.instance().brute_force_by_keys_ratio
                     n_alive = int(alive.sum())
-                    if n_alive <= max(1, int(ratio * seg.doc_count)) and n_alive <= 50_000:
+                    if n_alive <= max(1, int(ratio * n_rows)) and n_alive <= 50_000:
                         sims, ids = _exact_over_rows(
                             seg, field_name, queries, topk, alive, vs
                         )
@@ -558,7 +562,10 @@ class CollectionImpl:
         else:
             q = np.asarray(vector)[None, :]
         prof = Profiler(enabled=self.debug_profiling)
-        sims, ids = self.query_field(field_name, q, topk, filter_str, param, prof)
+        segs = self._segments_snapshot()
+        sims, ids = self.query_field(
+            field_name, q, topk, filter_str, param, prof, segs=segs
+        )
         if self.debug_profiling:
             prof.finish()
             self.last_profile = prof.to_json()
@@ -569,7 +576,9 @@ class CollectionImpl:
                 break
             score = float(np.asarray(similarity_to_score(sim, metric)))
             docs.append(
-                self._materialize_doc(int(doc_id), score, include_vector, output_fields)
+                self._materialize_doc(
+                    int(doc_id), score, include_vector, output_fields, segs=segs
+                )
             )
         return docs
 
@@ -579,8 +588,9 @@ class CollectionImpl:
         score: Optional[float],
         include_vector: bool,
         output_fields: Optional[List[str]],
+        segs: Optional[List[Segment]] = None,
     ) -> Doc:
-        seg = self._segment_for_doc_id(doc_id)
+        seg = self._segment_for_doc_id(doc_id, segs)
         pk, fields, vectors = seg.row_by_doc_id(doc_id)
         if output_fields is not None:
             fields = {k: v for k, v in fields.items() if k in output_fields}
@@ -621,8 +631,9 @@ class CollectionImpl:
             gq = [query.vector]
         else:
             gq = np.asarray(query.vector, dtype=np.float32)[None, :]
+        segs = self._segments_snapshot()
         sims, ids = self.query_field(
-            query.field_name, gq, overscan, filter_str, query.param
+            query.field_name, gq, overscan, filter_str, query.param, segs=segs
         )
         metric = vs.index_param.metric_type
         groups: Dict[Any, List[Tuple[float, int]]] = {}
@@ -630,7 +641,7 @@ class CollectionImpl:
         for sim, doc_id in zip(sims[0], ids[0]):
             if doc_id < 0:
                 break
-            seg = self._segment_for_doc_id(int(doc_id))
+            seg = self._segment_for_doc_id(int(doc_id), segs)
             gval = seg.store.scalar_value(group_by_field, int(doc_id) - seg.doc_id_start)
             key = gval if not isinstance(gval, (list, np.ndarray)) else str(gval)
             if key not in groups:
@@ -643,20 +654,37 @@ class CollectionImpl:
             for sim, doc_id in groups[key]:
                 score = float(np.asarray(similarity_to_score(sim, metric)))
                 docs.append(
-                    self._materialize_doc(doc_id, score, include_vector, output_fields)
+                    self._materialize_doc(
+                        doc_id, score, include_vector, output_fields, segs=segs
+                    )
                 )
         return docs
 
     def fetch(self, pks: Sequence[str]) -> Dict[str, Doc]:
         out: Dict[str, Doc] = {}
-        for pk in pks:
-            doc_id = self.idmap.get(pk)
+        with self._lock:
+            resolved = [
+                (pk, self.idmap.get(pk)) for pk in pks
+            ]
+            segs = list(self.segments) + ([self.writing] if self.writing else [])
+        for pk, doc_id in resolved:
             if doc_id is None or self.deletes.is_deleted(doc_id):
                 continue
-            out[pk] = self._materialize_doc(doc_id, None, True, None)
+            out[pk] = self._materialize_doc(doc_id, None, True, None, segs=segs)
         return out
 
-    def _segment_for_doc_id(self, doc_id: int) -> Optional[Segment]:
+    def _segments_snapshot(self) -> List[Segment]:
+        with self._lock:
+            return list(self.segments) + ([self.writing] if self.writing else [])
+
+    def _segment_for_doc_id(
+        self, doc_id: int, segs: Optional[List[Segment]] = None
+    ) -> Optional[Segment]:
+        if segs is not None:
+            for seg in segs:
+                if seg.contains_doc_id(doc_id):
+                    return seg
+            return None
         if self.writing is not None and self.writing.contains_doc_id(doc_id):
             return self.writing
         for seg in self.segments:
@@ -786,64 +814,90 @@ class CollectionImpl:
 
     def optimize(self, concurrency: int = 0) -> None:
         """Compact: rotate the writing segment, then merge all sealed segments
-        into one with tombstones dropped (reference `collection.cc:786-920`)."""
+        into one with tombstones dropped (reference `collection.cc:786-920`).
+
+        Snapshot-isolated: the heavy merge + index build runs OUTSIDE the
+        collection lock (the reference runs CompactTasks on the optimize
+        ThreadPool, `collection.cc:608-620`). Queries keep serving from the
+        old segment list until the version swap; concurrent writes during the
+        merge are reconciled at swap time via the id map."""
         self._check_writable()
+        import pyarrow as pa
+
+        # ---- phase 1 (locked): freeze sources + reserve the target id range
         with self._lock:
             if self.writing.doc_count > 0:
                 self._seal_writing_segment()
-            if not self.segments:
+            sources = list(self.segments)
+            if not sources:
                 return
-            self._compact_segments()
+            alive_masks = [
+                self.deletes.alive_mask(s.doc_id_start, s.doc_count) for s in sources
+            ]
+            meta = SegmentMeta(
+                segment_id=self._next_segment_id,
+                doc_id_start=self._next_doc_id,
+                state="sealed",
+            )
+            self._next_segment_id += 1
+            merged_count = int(sum(int(m.sum()) for m in alive_masks))
+            # reserve [doc_id_start, doc_id_start + merged_count): concurrent
+            # inserts during the merge allocate after it
+            self._next_doc_id += merged_count
+            assert self.writing.doc_count == 0, (
+                "writing segment must be empty when its id range moves"
+            )
+            self.writing.meta.doc_id_start = self._next_doc_id
+            self._commit_version()
 
-    def _compact_segments(self) -> None:
-        """Merge all sealed segments into a fresh one, dropping deleted docs
-        (the MixedStreamerReducer role, `mixed_streamer_reducer.h:30-42`).
-
-        Streams whole Arrow tables (filter + concat), as the reference streams
-        record batches (`segment_helper.cc:74-120`) — no per-row Python loop."""
-        import pyarrow as pa
-
+        # ---- phase 2 (unlocked): merge tables + build target indexes.
+        # Sources are sealed (immutable); concurrent DML only touches the
+        # writing segment, the id map and the tombstone set.
         from .forward_store import PK_COLUMN, write_arrow
 
-        sources = self.segments
-        meta = SegmentMeta(
-            segment_id=self._next_segment_id,
-            doc_id_start=self._next_doc_id,
-            state="sealed",
-        )
-        self._next_segment_id += 1
         tables = []
-        for seg in sources:
-            alive = self.deletes.alive_mask(seg.doc_id_start, seg.doc_count)
+        old_ids = []
+        for seg, alive in zip(sources, alive_masks):
             table = seg.store._table
             if table is None:
                 table = seg.store.to_arrow()
             if not alive.all():
                 table = table.filter(pa.array(alive))
             tables.append(table)
+            old_ids.append(np.nonzero(alive)[0] + seg.doc_id_start)
         merged = pa.concat_tables(tables).combine_chunks()
-        meta.doc_count = merged.num_rows
+        old_ids = (
+            np.concatenate(old_ids) if old_ids else np.zeros(0, np.int64)
+        )
+        assert merged.num_rows == merged_count
+        meta.doc_count = merged_count
         target_dir = os.path.join(self.path, meta.dirname)
         os.makedirs(target_dir, exist_ok=True)
         write_arrow(merged, os.path.join(target_dir, FORWARD_FILE))
-        # swap: commit new version with target sealed, then destroy sources
-        for seg in sources:
-            self.deletes.unmark_range(seg.doc_id_start, seg.doc_count)
-        self._next_doc_id = meta.doc_id_start + meta.doc_count
-        # the (empty) writing segment's id range must restart after the
-        # compaction target's range
-        if self.writing is not None and self.writing.doc_count == 0:
-            self.writing.meta.doc_id_start = self._next_doc_id
-        self.idmap.bulk_upsert(
-            merged.column(PK_COLUMN).to_pylist(), meta.doc_id_start
-        )
         target = Segment.open_sealed(self.path, meta, self.schema)
-        self.segments = [target]
-        self._snapshot_maps()
-        self._commit_version()
-        self._gc_snapshots()
         self._build_indexes_for(target)
-        self._commit_version()
+        pks = merged.column(PK_COLUMN).to_pylist()
+
+        # ---- phase 3 (locked): reconcile concurrent writes + version swap
+        with self._lock:
+            current = self.idmap.multi_get(pks)
+            new_ids = meta.doc_id_start + np.arange(merged_count, dtype=np.int64)
+            for pk, cur, new_id, old_id in zip(pks, current, new_ids, old_ids):
+                if cur is not None and cur == old_id:
+                    self.idmap.upsert(pk, int(new_id))
+                else:
+                    # deleted or updated (re-inserted elsewhere) during the
+                    # merge — the compacted copy is stale
+                    self.deletes.mark(int(new_id))
+            for seg in sources:
+                self.deletes.unmark_range(seg.doc_id_start, seg.doc_count)
+            self.segments = [target]
+            self._snapshot_maps()
+            self._commit_version()
+            self._gc_snapshots()
+        # destroy outside the lock: in-flight readers that copied the old
+        # segment list keep valid references (mmap'd Arrow stays readable
+        # after unlink; device arrays are in HBM)
         for seg in sources:
             seg.destroy()
 
@@ -944,6 +998,16 @@ class CollectionImpl:
             raise ZvecError(StatusCode.PERMISSION_DENIED, "collection is read-only")
         if self._closed:
             raise ZvecError(StatusCode.FAILED_PRECONDITION, "collection is closed")
+
+
+def _fit_mask(mask: np.ndarray, n: int) -> np.ndarray:
+    """Resize a bool mask to n rows (concurrent-append snapshot semantics:
+    rows beyond the mask stay invisible)."""
+    if len(mask) == n:
+        return mask
+    if len(mask) < n:
+        return np.concatenate([mask, np.zeros(n - len(mask), dtype=bool)])
+    return mask[:n]
 
 
 def _exact_over_rows(seg, field_name, queries, topk, alive, vs):
