@@ -207,3 +207,25 @@ def test_ivf_skewed_cluster_no_padding_blowup(rng):
     expect = set(np.argsort(d2)[:10])
     sims, idx = engine.search(q, 10, param=IVFQueryParam(nprobe=8))
     assert len(set(idx[0][idx[0] >= 0]) & expect) >= 8
+
+
+def test_ivf_int4_packed(rng):
+    from zvec_tpu.core.ivf import IvfEngine
+    from zvec_tpu.model.param.param import IVFIndexParam, IVFQueryParam
+    from zvec_tpu.typing import MetricType, QuantizeType
+
+    n, d, k = 4000, 32, 10
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((5, d)).astype(np.float32)
+    engine = IvfEngine(
+        MetricType.L2,
+        d,
+        IVFIndexParam(MetricType.L2, n_list=32, quantize_type=QuantizeType.INT4),
+    )
+    engine.bind_data(lambda: xs, lambda: 1)
+    sims, idx = engine.search(qs, k, param=IVFQueryParam(nprobe=8))
+    assert engine._lists_codes.shape[-1] == d // 2  # packed bytes per row
+    dmat = ((qs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    expect = np.argsort(dmat, axis=1)[:, :k]
+    hits = sum(len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(len(qs)))
+    assert hits / (len(qs) * k) >= 0.5

@@ -1,6 +1,7 @@
 """Quantization tests (reference analog: `tests/core/` quantizer/metric tests,
 `integer_quantizer_reformer_test.cc`, `quantized_integer_metric_test.cc`)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -136,3 +137,76 @@ def test_quantized_collection_cosine_int8(tmp_path, rng):
         hits += len(got & expect)
     assert hits / 100 >= 0.8
     c._impl.close()
+
+
+def test_int4_nibble_packing_roundtrip(rng):
+    from zvec_tpu.ops.quantize import pack_int4, unpack_int4
+
+    for d in (16, 17, 128):
+        codes = rng.integers(-7, 8, (40, d)).astype(np.int8)
+        packed = pack_int4(codes)
+        assert packed.shape == (40, (d + 1) // 2)
+        np.testing.assert_array_equal(unpack_int4(packed, d), codes)
+
+
+def test_int4_flat_engine_packed_storage(rng):
+    """INT4 codes live nibble-packed in HBM (half of int8) and still rank
+    like the unpacked asymmetric scoring."""
+    from zvec_tpu.core.flat import FlatEngine
+    from zvec_tpu.model.param.param import FlatIndexParam
+    from zvec_tpu.typing import MetricType, QuantizeType
+
+    n, d, k = 3000, 32, 10
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((6, d)).astype(np.float32)
+    e4 = FlatEngine(
+        MetricType.L2, d, FlatIndexParam(MetricType.L2, QuantizeType.INT4)
+    )
+    e4.bind_data(lambda: xs, lambda: 1)
+    sims, idx = e4.search(qs, k)
+    # storage really is packed: d/2 bytes per row
+    assert e4._codes.shape[1] == d // 2
+    assert e4._codes.dtype == jnp.int8
+    # int4 ranking ~ fp32 oracle (coarse codes: top-10 overlap)
+    dmat = ((qs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    expect = np.argsort(dmat, axis=1)[:, :k]
+    hits = sum(len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(len(qs)))
+    assert hits / (len(qs) * k) >= 0.6
+    # and exactly matches the same engine scoring unpacked codes
+    from zvec_tpu.ops.quantize import unpack_int4
+    from zvec_tpu.ops.topk import blockwise_topk_search
+
+    unpacked = unpack_int4(np.asarray(e4._codes), d)
+    s2, i2 = blockwise_topk_search(
+        jnp.asarray(np.pad(qs, ((0, 2), (0, 0)))),  # same query bucket of 8
+        jnp.asarray(unpacked),
+        MetricType.L2,
+        k,
+        mask=jnp.asarray(np.arange(unpacked.shape[0]) < n),
+        x_sq_norms=e4._norms,
+        dequant=e4._dequant,
+    )
+    np.testing.assert_array_equal(idx, np.asarray(i2)[: len(qs)])
+    np.testing.assert_allclose(sims, np.asarray(s2)[: len(qs)], rtol=1e-5, atol=1e-4)
+
+
+def test_int4_hnsw_engine_packed(rng):
+    from zvec_tpu.core.hnsw import HnswEngine
+    from zvec_tpu.model.param.param import HnswIndexParam, HnswQueryParam
+    from zvec_tpu.typing import MetricType, QuantizeType
+
+    n, d, k = 2500, 32, 10
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((8, d)).astype(np.float32)
+    engine = HnswEngine(
+        MetricType.L2,
+        d,
+        HnswIndexParam(MetricType.L2, m=8, quantize_type=QuantizeType.INT4),
+    )
+    engine.bind_data(lambda: xs, lambda: 1)
+    sims, idx = engine.search(qs, k, param=HnswQueryParam(ef=100))
+    assert engine._codes.shape[1] == d // 2  # packed
+    dmat = ((qs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    expect = np.argsort(dmat, axis=1)[:, :k]
+    hits = sum(len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(len(qs)))
+    assert hits / (len(qs) * k) >= 0.55  # int4 + graph approx

@@ -143,9 +143,16 @@ class HnswEngine(VectorIndexEngine):
                 codes = store.astype(np.float16)
             padded_c = np.zeros((n_pad, codes.shape[1]), dtype=codes.dtype)
             padded_c[: self._n] = codes
-            self._codes = jnp.asarray(padded_c)
             deq = decode(padded_c, self._qparams)
             self._norms = jnp.asarray((deq.astype(np.float32) ** 2).sum(1))
+            if self.quantize == QuantizeType.INT4:
+                # nibble-packed HBM residency: halves gather + scan bandwidth
+                # vs int8 (`integer_quantizer_converter.cc:596-607`)
+                from ..ops.quantize import pack_int4
+
+                padded_c = pack_int4(padded_c)
+                self._int4_packed = True
+            self._codes = jnp.asarray(padded_c)
 
     def _device_graph(self, g: _Graph) -> Dict[str, Any]:
         upper_ids, upper_nbrs, upper_down = [], [], []
@@ -658,6 +665,7 @@ class HnswEngine(VectorIndexEngine):
                 mask=jnp.asarray(full_mask),
                 x_sq_norms=self._norms,
                 dequant=self._dequant,
+                int4_packed=getattr(self, "_int4_packed", False),
             )
             sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
         else:
@@ -690,6 +698,7 @@ class HnswEngine(VectorIndexEngine):
                 topk=k,
                 max_steps=ef + 64,
                 num_levels=self._dev["num_levels"],
+                int4_packed=getattr(self, "_int4_packed", False),
                 frontier=4,  # 4-way beam: ~4x fewer sequential steps
             )
             sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)

@@ -36,7 +36,7 @@ _BRUTE_FORCE_THRESHOLD = 1000
 _DEFAULT_NPROBE = 10
 
 
-@partial(jax.jit, static_argnames=("metric", "nprobe", "topk"))
+@partial(jax.jit, static_argnames=("metric", "nprobe", "topk", "int4_packed"))
 def _ivf_probe(
     q: jax.Array,  # (Q, D)
     centroids: jax.Array,  # (K, D)
@@ -49,6 +49,7 @@ def _ivf_probe(
     metric: MetricType,
     nprobe: int,
     topk: int,
+    int4_packed: bool = False,
 ):
     q = q.astype(jnp.float32)
     nq = q.shape[0]
@@ -66,16 +67,34 @@ def _ivf_probe(
     def step(carry, p):
         cs, ci = carry
         lst = sel[:, p]  # (Q,)
-        codes = lists_codes[lst]  # (Q, L, D)
+        codes = lists_codes[lst]  # (Q, L, D) or (Q, L, D/2) packed
         norms = lists_norms[lst]  # (Q, L)
         ids = lists_ids[lst]  # (Q, L)
-        if codes.dtype != jnp.float32:
-            codes = codes.astype(jnp.float32)
+        if int4_packed:
+            lo = (jnp.left_shift(codes, 4) >> 4).astype(jnp.float32)
+            hi = (codes >> 4).astype(jnp.float32)
+            d2 = codes.shape[-1]
+            q_even = q[:, 0 : 2 * d2 : 2]
+            q_odd = q[:, 1 : 2 * d2 : 2]
+            if q_odd.shape[1] < d2:
+                q_odd = jnp.pad(q_odd, ((0, 0), (0, d2 - q_odd.shape[1])))
+            dots = jnp.einsum(
+                "qd,qld->ql", q_even, lo, precision=jax.lax.Precision.HIGHEST
+            ) + jnp.einsum(
+                "qd,qld->ql", q_odd, hi, precision=jax.lax.Precision.HIGHEST
+            )
             if dequant is not None:
-                codes = codes * dequant[0] + dequant[1]
-        dots = jnp.einsum(
-            "qd,qld->ql", q, codes, precision=jax.lax.Precision.HIGHEST
-        )
+                dots = dequant[0] * dots + dequant[1] * jnp.sum(
+                    q, axis=-1, keepdims=True
+                )
+        else:
+            if codes.dtype != jnp.float32:
+                codes = codes.astype(jnp.float32)
+                if dequant is not None:
+                    codes = codes * dequant[0] + dequant[1]
+            dots = jnp.einsum(
+                "qd,qld->ql", q, codes, precision=jax.lax.Precision.HIGHEST
+            )
         if metric == MetricType.IP:
             sims = dots
         elif metric == MetricType.L2:
@@ -261,6 +280,16 @@ class IvfEngine(VectorIndexEngine):
         lists_codes[v_lists, v_slots] = codes[sorted_rows]
         lists_norms[v_lists, v_slots] = deq_norms[sorted_rows]
         lists_ids[v_lists, v_slots] = sorted_rows
+        self._int4_packed = self.quantize == QuantizeType.INT4
+        if self._int4_packed:
+            # nibble-pack list codes (2 per byte) — halves HBM + scan traffic
+            from ..ops.quantize import pack_int4
+
+            kv2, lmax2, dd = lists_codes.shape
+            lists_codes = (
+                pack_int4(lists_codes.reshape(kv2 * lmax2, dd))
+                .reshape(kv2, lmax2, (dd + 1) // 2)
+            )
         v_centroids = np.repeat(centroids, n_chunks, axis=0)
         # nprobe compensation: a real list split into C chunks needs C probes
         # to be scanned fully (all C share the centroid similarity, so they
@@ -318,6 +347,7 @@ class IvfEngine(VectorIndexEngine):
             metric=self.metric,
             nprobe=nprobe,
             topk=scan_k,
+            int4_packed=getattr(self, "_int4_packed", False),
         )
         sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
         if self.use_soar:

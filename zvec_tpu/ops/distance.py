@@ -44,8 +44,21 @@ def l2_norms(x: jax.Array) -> jax.Array:
     return jnp.sum(x * x, axis=-1)
 
 
+def _f32_dot(q: jax.Array, x: jax.Array) -> jax.Array:
+    return jax.lax.dot_general(
+        q,
+        x,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def ip_matrix(
-    q: jax.Array, x: jax.Array, dequant: tuple | None = None
+    q: jax.Array,
+    x: jax.Array,
+    dequant: tuple | None = None,
+    int4_packed: bool = False,
 ) -> jax.Array:
     """Inner products: (Q, D) x (N, D) -> (Q, N).
 
@@ -56,16 +69,27 @@ def ip_matrix(
     integer codes without materializing dequantized vectors (the asymmetric
     scoring of the reference's `quantized_integer_metric.cc`):
       dot(q, c*scale + bias) = scale * dot(q, c) + bias * sum(q).
+
+    `int4_packed`: `x` holds two int4 codes per byte ((N, ceil(D/2)) int8,
+    low nibble = even element). The dot splits into even/odd halves so the
+    packed array never expands in HBM:
+      dot(q, c) = dot(q_even, lo_nibbles) + dot(q_odd, hi_nibbles).
     """
-    if x.dtype != jnp.float32:
-        x = x.astype(jnp.float32)
-    dots = jax.lax.dot_general(
-        q,
-        x,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if int4_packed:
+        lo = jnp.left_shift(x, 4) >> 4  # sign-extended low nibble
+        hi = x >> 4
+        d2 = x.shape[-1]
+        q_even = q[:, 0 : 2 * d2 : 2]
+        q_odd = q[:, 1 : 2 * d2 : 2]
+        if q_odd.shape[1] < d2:  # odd logical D: pad-query column is zero
+            q_odd = jnp.pad(q_odd, ((0, 0), (0, d2 - q_odd.shape[1])))
+        dots = _f32_dot(q_even, lo.astype(jnp.float32)) + _f32_dot(
+            q_odd, hi.astype(jnp.float32)
+        )
+    else:
+        if x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)
+        dots = _f32_dot(q, x)
     if dequant is not None:
         scale, bias = dequant
         dots = scale * dots + bias * jnp.sum(q, axis=-1, keepdims=True)
@@ -77,6 +101,7 @@ def squared_l2_matrix(
     x: jax.Array,
     x_sq_norms: jax.Array | None = None,
     dequant: tuple | None = None,
+    int4_packed: bool = False,
 ) -> jax.Array:
     """Squared euclidean distances: ||q||^2 + ||x||^2 - 2 q.x -> (Q, N).
 
@@ -84,9 +109,10 @@ def squared_l2_matrix(
     must be the squared norms of the DEQUANTIZED codes.
     """
     if x_sq_norms is None:
+        assert not int4_packed, "packed int4 codes require precomputed norms"
         x_sq_norms = l2_norms(x)
     q_sq = l2_norms(q)
-    dots = ip_matrix(q, x, dequant)
+    dots = ip_matrix(q, x, dequant, int4_packed)
     d = q_sq[:, None] + x_sq_norms[None, :] - 2.0 * dots
     return jnp.maximum(d, 0.0)
 
@@ -96,17 +122,19 @@ def cosine_distance_matrix(
     x: jax.Array,
     x_sq_norms: jax.Array | None = None,
     dequant: tuple | None = None,
+    int4_packed: bool = False,
 ) -> jax.Array:
     """1 - cosine similarity -> (Q, N). Zero vectors get distance 0 (reference
     oracle convention, `distance_helper.py:73-74`)."""
-    return 1.0 - _cosine_similarity_matrix(q, x, x_sq_norms, dequant)
+    return 1.0 - _cosine_similarity_matrix(q, x, x_sq_norms, dequant, int4_packed)
 
 
-def _cosine_similarity_matrix(q, x, x_sq_norms=None, dequant=None):
+def _cosine_similarity_matrix(q, x, x_sq_norms=None, dequant=None, int4_packed=False):
     if x_sq_norms is None:
+        assert not int4_packed, "packed int4 codes require precomputed norms"
         x_sq_norms = l2_norms(x)
     q_sq = l2_norms(q)
-    dots = ip_matrix(q, x, dequant)
+    dots = ip_matrix(q, x, dequant, int4_packed)
     denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(x_sq_norms)[None, :]
     # Zero-magnitude convention: similarity 1 => distance 0 (reference oracle,
     # `distance_helper.py:73-74` returns 0.0 when either magnitude is 0).
@@ -139,15 +167,16 @@ def similarity_matrix(
     metric: MetricType,
     x_sq_norms: jax.Array | None = None,
     dequant: tuple | None = None,
+    int4_packed: bool = False,
 ) -> jax.Array:
     """Uniform larger-is-better similarity for any metric: (Q, N)."""
     metric = MetricType(metric)
     if metric == MetricType.IP:
-        return ip_matrix(q, x, dequant)
+        return ip_matrix(q, x, dequant, int4_packed)
     if metric == MetricType.L2:
-        return -squared_l2_matrix(q, x, x_sq_norms, dequant)
+        return -squared_l2_matrix(q, x, x_sq_norms, dequant, int4_packed)
     if metric == MetricType.COSINE:
-        return _cosine_similarity_matrix(q, x, x_sq_norms, dequant)
+        return _cosine_similarity_matrix(q, x, x_sq_norms, dequant, int4_packed)
     raise ValueError(f"unsupported metric {metric}")
 
 

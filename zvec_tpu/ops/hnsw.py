@@ -36,12 +36,32 @@ from .runtime import NEG_INF
 __all__ = ["hnsw_search", "select_neighbors_batch"]
 
 
-def _batched_sims(q, vecs, metric, norms=None, dequant=None):
+def _batched_sims(q, vecs, metric, norms=None, dequant=None, int4_packed=False):
     """q: (Q, D); vecs: (Q, M, D) -> (Q, M) similarity (larger = closer).
 
     `dequant=(scale, bias)` dequantizes gathered integer codes on the fly
     (gathers are tiny relative to the scan, so this is epilogue-cheap).
+    `int4_packed`: vecs holds two int4 codes per byte ((Q, M, ceil(D/2))
+    int8); the dot splits into even/odd nibble halves.
     """
+    if int4_packed:
+        lo = (jnp.left_shift(vecs, 4) >> 4).astype(jnp.float32)
+        hi = (vecs >> 4).astype(jnp.float32)
+        d2 = vecs.shape[-1]
+        q_even = q[:, 0 : 2 * d2 : 2]
+        q_odd = q[:, 1 : 2 * d2 : 2]
+        if q_odd.shape[1] < d2:
+            q_odd = jnp.pad(q_odd, ((0, 0), (0, d2 - q_odd.shape[1])))
+        dots = jnp.einsum(
+            "qd,qmd->qm", q_even, lo, precision=jax.lax.Precision.HIGHEST
+        ) + jnp.einsum(
+            "qd,qmd->qm", q_odd, hi, precision=jax.lax.Precision.HIGHEST
+        )
+        if dequant is not None:
+            dots = dequant[0] * dots + dequant[1] * jnp.sum(
+                q, axis=-1, keepdims=True
+            )
+        return _sims_from_dots(q, dots, metric, norms)
     if vecs.dtype != jnp.float32:
         vecs = vecs.astype(jnp.float32)
     if dequant is not None:
@@ -49,6 +69,10 @@ def _batched_sims(q, vecs, metric, norms=None, dequant=None):
     dots = jnp.einsum(
         "qd,qmd->qm", q, vecs, precision=jax.lax.Precision.HIGHEST
     )
+    return _sims_from_dots(q, dots, metric, norms)
+
+
+def _sims_from_dots(q, dots, metric, norms):
     if metric == MetricType.IP:
         return dots
     if metric == MetricType.L2:
@@ -65,7 +89,7 @@ def _batched_sims(q, vecs, metric, norms=None, dequant=None):
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "ef", "topk", "max_steps", "num_levels", "frontier"),
+    static_argnames=("metric", "ef", "topk", "max_steps", "num_levels", "frontier", "int4_packed"),
 )
 def hnsw_search(
     q: jax.Array,  # (Q, D) f32
@@ -86,6 +110,7 @@ def hnsw_search(
     max_steps: int,
     num_levels: int,  # number of upper levels present
     frontier: int = 1,  # candidates expanded per step (F-way beam)
+    int4_packed: bool = False,
 ):
     """Batched HNSW search. Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad)."""
     nq, d = q.shape
@@ -101,7 +126,8 @@ def hnsw_search(
             down_l = upper_down[lvl]
             cur_id = ids_l[cur_row]
             cur_sim = _batched_sims(
-                q, codes[cur_id][:, None, :], metric, norms[cur_id][:, None], dequant
+                q, codes[cur_id][:, None, :], metric, norms[cur_id][:, None], dequant,
+                int4_packed,
             )[:, 0]
 
             def descend(state):
@@ -109,7 +135,9 @@ def hnsw_search(
                 nrows = nbrs_l[cur_row]  # (Q, Mu)
                 valid = nrows >= 0
                 nids = ids_l[jnp.clip(nrows, 0)]
-                sims = _batched_sims(q, codes[nids], metric, norms[nids], dequant)
+                sims = _batched_sims(
+                    q, codes[nids], metric, norms[nids], dequant, int4_packed
+                )
                 sims = jnp.where(valid, sims, NEG_INF)
                 best = jnp.argmax(sims, axis=1)
                 best_sim = jnp.take_along_axis(sims, best[:, None], 1)[:, 0]
@@ -138,7 +166,8 @@ def hnsw_search(
     words = (n_pad + 31) // 32
 
     entry_sim = _batched_sims(
-        q, codes[entry_ids][:, None, :], metric, norms[entry_ids][:, None], dequant
+        q, codes[entry_ids][:, None, :], metric, norms[entry_ids][:, None], dequant,
+        int4_packed,
     )[:, 0]
 
     # Working result set is ef-wide (classic HNSW W); final answer slices topk.
@@ -234,7 +263,9 @@ def hnsw_search(
         visited = visited.at[qidx[:, None], word_idx].add(add_val)
 
         # 6. score all fresh neighbors in one shot
-        sims = _batched_sims(q, codes[nbrs_safe], metric, norms[nbrs_safe], dequant)
+        sims = _batched_sims(
+            q, codes[nbrs_safe], metric, norms[nbrs_safe], dequant, int4_packed
+        )
         sims = jnp.where(fresh, sims, NEG_INF)
         scanned = scanned + fresh.sum(axis=1, dtype=jnp.int32)
 

@@ -27,7 +27,15 @@ import numpy as np
 
 from ..typing.enum import QuantizeType
 
-__all__ = ["QuantParams", "train_quantizer", "encode", "decode", "storage_dtype"]
+__all__ = [
+    "QuantParams",
+    "train_quantizer",
+    "encode",
+    "decode",
+    "storage_dtype",
+    "pack_int4",
+    "unpack_int4",
+]
 
 
 class QuantParams(NamedTuple):
@@ -99,6 +107,33 @@ def decode(codes: np.ndarray, params: Optional[QuantParams]) -> np.ndarray:
     if params is None:
         return codes.astype(np.float32)
     return codes.astype(np.float32) * params.scale + params.bias
+
+
+def pack_int4(codes: np.ndarray) -> np.ndarray:
+    """Pack int4 codes (int8 array, values in [-8, 7]) two-per-byte:
+    element 2j in the low nibble, 2j+1 in the high nibble -> (N, ceil(D/2)).
+
+    The reference streams nibble-packed int4 the same way
+    (`integer_quantizer_converter.cc:596-607`); on TPU the packed array is
+    what lives in HBM — halving scan bandwidth vs int8 — and kernels unpack
+    with two shifts on the VPU.
+    """
+    n, d = codes.shape
+    if d % 2:
+        codes = np.concatenate([codes, np.zeros((n, 1), np.int8)], axis=1)
+    lo = codes[:, 0::2].astype(np.uint8) & 0x0F
+    hi = codes[:, 1::2].astype(np.uint8) & 0x0F
+    return (lo | (hi << 4)).astype(np.int8)
+
+
+def unpack_int4(packed: np.ndarray, d: int) -> np.ndarray:
+    """Inverse of pack_int4 -> (N, d) int8 (sign-extended nibbles)."""
+    lo = (packed.astype(np.int8) << 4) >> 4
+    hi = packed.astype(np.int8) >> 4
+    out = np.empty((packed.shape[0], packed.shape[1] * 2), np.int8)
+    out[:, 0::2] = lo
+    out[:, 1::2] = hi
+    return out[:, :d]
 
 
 def mips_augment(data: np.ndarray) -> Tuple[np.ndarray, float]:

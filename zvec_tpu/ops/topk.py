@@ -41,7 +41,7 @@ def _select_topk(sims: jax.Array, topk: int, mode: str):
     return jax.lax.top_k(sims, topk)
 
 
-@partial(jax.jit, static_argnames=("metric", "topk", "block_size", "mode"))
+@partial(jax.jit, static_argnames=("metric", "topk", "block_size", "mode", "int4_packed"))
 def blockwise_topk_search(
     q: jax.Array,
     codes: jax.Array,
@@ -52,6 +52,7 @@ def blockwise_topk_search(
     block_size: int = 65536,
     dequant: tuple | None = None,
     mode: str = "exact",
+    int4_packed: bool = False,
 ):
     """Exact top-k scan of `codes` for each query.
 
@@ -93,7 +94,7 @@ def blockwise_topk_search(
 
     def step(carry, inputs):
         (cs, ci), (block_idx, block, bnorms, bmask) = carry, inputs
-        sim = similarity_matrix(q, block, metric, bnorms, dequant)
+        sim = similarity_matrix(q, block, metric, bnorms, dequant, int4_packed)
         sim = apply_mask(sim, bmask)
         gidx = block_idx * block_size + jax.lax.broadcasted_iota(
             jnp.int32, (nq, block_size), 1
