@@ -1,17 +1,24 @@
 """Head-to-head harness: zvec_tpu vs the reference zvec core engine.
 
-The reference C++ core tools (txt2vecs / local_builder / recall_original /
-bench_original, from `/root/reference/tools/core/`) are built out-of-tree with
-small header shims for the absent vendored third-parties (gflags / yaml-cpp /
-magic_enum / sparsehash / roaring; see BASELINE.md "head-to-head setup" for
-the exact deltas). Both systems run on IDENTICAL data with IDENTICAL graph
-parameters (M=50 upper / 100 L0, ef_construction=500 — the shared defaults,
+The reference C++ core tools (txt2vecs / local_builder / recall / bench, from
+`/root/reference/tools/core/`) are built out-of-tree by
+`benchmarks/refshim/build_ref.sh` with small header shims for the absent
+vendored third-parties (gflags / yaml-cpp / magic_enum / sparsehash /
+roaring — their submodules are EMPTY in this container; see each shim header).
+Both systems run on IDENTICAL data with IDENTICAL graph parameters
+(M=50 upper / 100 L0, ef_construction=500 — the shared defaults,
 `hnsw_entity.h:500-503`).
 
+Build path: local_builder drives HnswStreamer directly (BuilderCommon YAML);
+recall/bench load the dump through the core_interface facade (IndexCommon
+YAML + IndexConfig/QueryParam JSON — `tools/core/helper.h:63`).
+
 Usage:
+    bash benchmarks/refshim/build_ref.sh
     python benchmarks/h2h.py gen --kind gaussian --n 30000 --dim 128
     python benchmarks/h2h.py ref-build --kind gaussian --n 30000 --dim 128
     python benchmarks/h2h.py ref-recall --kind gaussian --n 30000 --dim 128 --ef 64
+    python benchmarks/h2h.py ref-bench --kind gaussian --n 30000 --dim 128 --ef 64
     python benchmarks/h2h.py tpu-recall --kind gaussian --n 30000 --dim 128 --ef 64
 
 Work dir: /tmp/h2h (datasets are regenerated deterministically from seed).
@@ -129,55 +136,63 @@ BuilderParams:
     print(json.dumps({"ref_build_secs": round(dt, 1), "dataset": name}))
 
 
+INDEX_CONFIG = (
+    '{{"use_id_map":false,"data_type":"DT_FP32","dimension":{dim},'
+    '"index_type":"kHNSW","metric_type":"kL2sq"}}'
+)
+
+
 def cmd_ref_recall(args):
     name = dataset_name(args.kind, args.n, args.dim)
-    cfg = f"""SearcherCommon:
-    SearcherClass: HnswStreamer
+    cfg = f"""IndexCommon:
     IndexPath: {WORK}/{name}.index
-    MetricName: SquaredEuclidean
-    TopK: {args.topk_list}
+    IndexConfig: '{INDEX_CONFIG.format(dim=args.dim)}'
     QueryFile: {WORK}/{name}_query.txt
     QueryType: float
     GroundTruthFile: {WORK}/{name}_gt.txt
-    RecallThreadCount: {args.threads}
     CompareById: true
+    RecallThreadCount: !!int {args.threads}
+    TopK: {args.topk_list}
+    RetrievalMode: Dense
 
-SearcherParams:
-    proxima.hnsw.streamer.max_neighbor_count: !!int {args.m}
-    proxima.hnsw.streamer.ef: !!int {args.ef}
+QueryConfig:
+    QueryParam: '{{"ef_search":{args.ef},"index_type":"kHNSW"}}'
 """
     cfg_path = f"{WORK}/{name}_recall_ef{args.ef}.yaml"
     with open(cfg_path, "w") as fh:
         fh.write(cfg)
     out = subprocess.run(
-        [f"{REF_BIN}/recall_original", cfg_path], check=True, capture_output=True, text=True
+        [f"{REF_BIN}/recall", cfg_path], check=True, capture_output=True, text=True
     )
-    print(out.stdout[-600:])
+    for line in out.stdout.splitlines():
+        if line.startswith("Recall@") or line.startswith("Process query"):
+            print(line)
 
 
 def cmd_ref_bench(args):
     name = dataset_name(args.kind, args.n, args.dim)
-    cfg = f"""SearcherCommon:
-    SearcherClass: HnswStreamer
+    cfg = f"""IndexCommon:
     IndexPath: {WORK}/{name}.index
-    MetricName: SquaredEuclidean
-    TopK: {args.topk}
+    IndexConfig: '{INDEX_CONFIG.format(dim=args.dim)}'
     QueryFile: {WORK}/{name}_query.txt
     QueryType: float
-    BenchThreadCount: {args.threads}
-    BenchSecs: {args.secs}
+    TopK: {args.topk}
+    RetrievalMode: Dense
+    BenchThreadCount: !!int {args.threads}
+    BenchSecs: !!int {args.secs}
 
-SearcherParams:
-    proxima.hnsw.streamer.max_neighbor_count: !!int {args.m}
-    proxima.hnsw.streamer.ef: !!int {args.ef}
+QueryConfig:
+    QueryParam: '{{"ef_search":{args.ef},"index_type":"kHNSW"}}'
 """
     cfg_path = f"{WORK}/{name}_bench_ef{args.ef}.yaml"
     with open(cfg_path, "w") as fh:
         fh.write(cfg)
     out = subprocess.run(
-        [f"{REF_BIN}/bench_original", cfg_path], check=True, capture_output=True, text=True
+        [f"{REF_BIN}/bench", cfg_path], check=True, capture_output=True, text=True
     )
-    print(out.stdout[-1500:])
+    for line in out.stdout.splitlines():
+        if "qps" in line or "Percentile" in line or "Process query" in line:
+            print(line)
 
 
 def cmd_tpu_recall(args):
