@@ -222,10 +222,14 @@ class HnswEngine(VectorIndexEngine):
             qs = data[new_ids]
             efc = self.ef_construction
             if cur <= max(_BRUTE_FORCE_THRESHOLD, efc):
-                n_bkt = 1 << max(int(np.ceil(np.log2(cur))), 5)
+                # full visibility incl. the chunk itself: sequential-insert
+                # parity for the early graph (nodes may link within the chunk;
+                # the reference inserts one-by-one so node i sees all j<i)
+                vis = cur + chunk
+                n_bkt = 1 << max(int(np.ceil(np.log2(vis))), 5)
                 n_bkt = min(n_bkt, n)
                 prefix = np.zeros(n_bkt, dtype=bool)
-                prefix[:cur] = True
+                prefix[: min(vis, n_bkt)] = True
                 q_bkt = 1 << max(int(np.ceil(np.log2(chunk))), 5)
                 qs_p = np.zeros((q_bkt, d), np.float32)
                 qs_p[:chunk] = qs
@@ -238,6 +242,9 @@ class HnswEngine(VectorIndexEngine):
                 )
                 sims = np.asarray(sims)[:chunk]
                 ids = np.asarray(ids)[:chunk]
+                self_hit = ids == new_ids[:, None]
+                sims = np.where(self_hit, -np.inf, sims)
+                ids = np.where(self_hit, -1, ids)
             else:
                 if dev_stale or dev is None:
                     self._graph = g
@@ -273,6 +280,29 @@ class HnswEngine(VectorIndexEngine):
                 bad = (ids >= cur) | (ids < 0)
                 sims = np.where(bad, -np.inf, sims)
                 ids = np.where(bad, -1, ids)
+                # intra-chunk candidates: exact top-k of the chunk vs itself,
+                # merged (desc by sim) with the beam candidates before pruning.
+                # Sequential insertion lets node i link to earlier chunk-mates;
+                # the batched build recovers that with one extra device matmul.
+                k_intra = min(self.m0_out(), chunk)
+                s_i, i_i = blockwise_topk_search(
+                    jnp.asarray(qs_pad),
+                    jnp.asarray(qs_pad),
+                    self._search_metric,
+                    min(k_intra + 1, q_bucket),
+                    mask=jnp.asarray(np.arange(q_bucket) < chunk),
+                )
+                s_i = np.asarray(s_i)[:chunk]
+                i_i = np.asarray(i_i)[:chunk]
+                ids_i = np.where(i_i >= 0, i_i + pos, -1)
+                self_hit = ids_i == new_ids[:, None]
+                s_i = np.where(self_hit | (ids_i < 0), -np.inf, s_i)
+                ids_i = np.where(self_hit, -1, ids_i)
+                sims = np.concatenate([sims, s_i], axis=1)
+                ids = np.concatenate([ids, ids_i], axis=1)
+                order_m = np.argsort(-sims, axis=1, kind="stable")
+                sims = np.take_along_axis(sims, order_m, 1)
+                ids = np.take_along_axis(ids, order_m, 1)
 
             # ---- forward selection at L0 ----
             sel_ids, sel_sims = self._prune_batch(
@@ -298,8 +328,10 @@ class HnswEngine(VectorIndexEngine):
                 if len(in_chunk) == 0:
                     continue
                 members = g.upper_ids[li]
-                n_existing = int(np.searchsorted(members, cur))
-                if n_existing == 0:
+                # include in-chunk members: candidates are exact over the
+                # level, so this matches sequential-insertion visibility
+                n_existing = int(np.searchsorted(members, cur + chunk))
+                if n_existing <= 1:
                     continue
                 # cached full-size member codes + inserted-prefix mask:
                 # stable shapes, one compile per level
@@ -325,6 +357,9 @@ class HnswEngine(VectorIndexEngine):
                 s2 = np.asarray(s2)[: len(in_chunk)]
                 i2 = np.asarray(i2)[: len(in_chunk)]
                 cand_ids = np.where(i2 >= 0, members[np.clip(i2, 0, None)], -1)
+                self_hit = cand_ids == in_chunk[:, None]
+                s2 = np.where(self_hit, -np.inf, s2)
+                cand_ids = np.where(self_hit, -1, cand_ids)
                 sel2, ssim2 = self._prune_batch(
                     data, norms, in_chunk, cand_ids, s2, self.m
                 )

@@ -23,6 +23,10 @@ class VectorQuery:
     vector: VectorType = None
     param: Optional[Union[HnswQueryParam, IVFQueryParam, FlatQueryParam]] = None
 
+    def __post_init__(self) -> None:
+        # reference raises at construction (`vector_query.py:99-103`)
+        self._validate()
+
     def has_id(self) -> bool:
         return self.id is not None
 
