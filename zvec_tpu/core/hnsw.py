@@ -28,7 +28,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..model.param.param import HnswQueryParam, QueryParam
-from ..ops.hnsw import hnsw_search, select_neighbors_batch, select_neighbors_ids
+from ..ops.hnsw import (
+    hnsw_build_select,
+    hnsw_search,
+    prune_rows,
+    select_neighbors_batch,
+    select_neighbors_ids,
+    upper_forward_select,
+)
 from ..ops.quantize import (
     QuantParams,
     decode,
@@ -206,25 +213,28 @@ class HnswEngine(VectorIndexEngine):
         self._level_codes_cache = {}
         self._row_of_cache = {}
 
-        # chunked insertion; L0 adjacency stays device-resident with
-        # touched-row updates (full re-upload is the 1M-build bottleneck)
+        # device-resident adjacency (L0 + per upper level) with touched-row
+        # updates folded into the fused per-chunk program
         self._l0_dev = None
+        self._upper_dev: Dict[int, Any] = {}
+        pending_l0: List[np.ndarray] = []  # rows touched since last sync
+        pending_up: Dict[int, List[np.ndarray]] = {}
+        n_pad_codes = round_up(n, _ROW_ALIGN)
+        vb = 0 if n_pad_codes <= (1 << 21) else 21  # hashed visited at scale
+
         pos = 1  # node 0 seeds the graph
-        dev_stale = True
-        dev = None
         while pos < n:
             cur = pos
             chunk = int(min(self.build_chunk_cap, max(32, cur // self.build_chunk_divisor)))
             chunk = min(chunk, n - pos)
             new_ids = np.arange(pos, pos + chunk, dtype=np.int32)
-
-            # ---- L0 candidates via batched beam search over current graph ----
             qs = data[new_ids]
             efc = self.ef_construction
+            jobs: List[Dict[str, Any]] = []  # overflow re-prune jobs (1 RPC)
+
             if cur <= max(_BRUTE_FORCE_THRESHOLD, efc):
-                # full visibility incl. the chunk itself: sequential-insert
-                # parity for the early graph (nodes may link within the chunk;
-                # the reference inserts one-by-one so node i sees all j<i)
+                # ---- early phase: exact candidates incl. the chunk itself
+                # (sequential-insert parity for the young graph) ----
                 vis = cur + chunk
                 n_bkt = 1 << max(int(np.ceil(np.log2(vis))), 5)
                 n_bkt = min(n_bkt, n)
@@ -245,135 +255,158 @@ class HnswEngine(VectorIndexEngine):
                 self_hit = ids == new_ids[:, None]
                 sims = np.where(self_hit, -np.inf, sims)
                 ids = np.where(self_hit, -1, ids)
+                sel_ids, _ = self._prune_batch(
+                    data, norms, new_ids, ids, sims, self.m0_out()
+                )
+                sel_mat = np.full((chunk, self.m0_out()), -1, np.int64)
+                for bi in range(chunk):
+                    sel_mat[bi, : len(sel_ids[bi])] = sel_ids[bi]
             else:
-                if dev_stale or dev is None:
-                    self._graph = g
-                    dev = self._device_graph_partial(g, cur)
-                    dev_stale = False
-                budget = jnp.int32(efc * self.m0_out())
-                # pad the chunk to a fixed bucket: stable shapes = one compile
+                # ---- fused beam + intra-chunk + prune: ONE device program ----
+                self._graph = g
+                dev = self._device_graph_partial(g, cur)
+                nlv = dev["num_levels"]
+                if self._l0_dev is None:
+                    self._l0_dev = jnp.asarray(g.l0)
+                    pending_l0 = []
+                for li in range(nlv):
+                    if li not in self._upper_dev:
+                        self._upper_dev[li] = jnp.asarray(g.upper_nbrs[li])
+                        pending_up[li] = []
                 q_bucket = 128 if chunk <= 128 else (1024 if chunk <= 1024 else 4096)
                 qs_pad = np.zeros((q_bucket, qs.shape[1]), np.float32)
                 qs_pad[:chunk] = qs
-                if self._l0_dev is None:
-                    self._l0_dev = jnp.asarray(g.l0)
-                sims, ids = hnsw_search(
+                upd_rows, upd_vals = self._drain_pending(
+                    pending_l0, g.l0, 4 * q_bucket
+                )
+                up_r, up_v = [], []
+                for li in range(nlv):
+                    r, v = self._drain_pending(
+                        pending_up.get(li, []), g.upper_nbrs[li], 512
+                    )
+                    up_r.append(r)
+                    up_v.append(v)
+                pending_l0 = []
+                pending_up = {li: [] for li in pending_up}
+                sel_dev, _sims_dev, self._l0_dev, new_upper = hnsw_build_select(
                     jnp.asarray(qs_pad),
+                    jnp.int32(pos),
+                    jnp.int32(chunk),
+                    jnp.int32(cur),
                     self._codes_np(data),
                     self._norms_np(norms),
                     self._l0_dev,
                     dev["upper_ids"],
-                    dev["upper_nbrs"],
+                    tuple(self._upper_dev[li] for li in range(nlv)),
                     dev["upper_down"],
                     dev["entry_rows"],
-                    None,
-                    budget,
+                    upd_rows,
+                    upd_vals,
+                    tuple(up_r),
+                    tuple(up_v),
+                    jnp.int32(efc * self.m0_out()),
                     metric=self._search_metric,
                     ef=efc,
-                    topk=efc,
+                    cand_cap=_PRUNE_CAND_CAP,
                     max_steps=efc // 2 + 64,
-                    num_levels=dev["num_levels"],
+                    num_levels=nlv,
                     frontier=4,
+                    max_out=self.m0_out(),
+                    visited_bits=vb,
                 )
-                sims, ids = np.asarray(sims)[:chunk], np.asarray(ids)[:chunk]
-                # guard: mask out not-yet-inserted nodes (>= cur)
-                bad = (ids >= cur) | (ids < 0)
-                sims = np.where(bad, -np.inf, sims)
-                ids = np.where(bad, -1, ids)
-                # intra-chunk candidates: exact top-k of the chunk vs itself,
-                # merged (desc by sim) with the beam candidates before pruning.
-                # Sequential insertion lets node i link to earlier chunk-mates;
-                # the batched build recovers that with one extra device matmul.
-                k_intra = min(self.m0_out(), chunk)
-                s_i, i_i = blockwise_topk_search(
-                    jnp.asarray(qs_pad),
-                    jnp.asarray(qs_pad),
-                    self._search_metric,
-                    min(k_intra + 1, q_bucket),
-                    mask=jnp.asarray(np.arange(q_bucket) < chunk),
-                )
-                s_i = np.asarray(s_i)[:chunk]
-                i_i = np.asarray(i_i)[:chunk]
-                ids_i = np.where(i_i >= 0, i_i + pos, -1)
-                self_hit = ids_i == new_ids[:, None]
-                s_i = np.where(self_hit | (ids_i < 0), -np.inf, s_i)
-                ids_i = np.where(self_hit, -1, ids_i)
-                sims = np.concatenate([sims, s_i], axis=1)
-                ids = np.concatenate([ids, ids_i], axis=1)
-                order_m = np.argsort(-sims, axis=1, kind="stable")
-                sims = np.take_along_axis(sims, order_m, 1)
-                ids = np.take_along_axis(ids, order_m, 1)
+                for li in range(nlv):
+                    self._upper_dev[li] = new_upper[li]
+                sel_mat = np.asarray(sel_dev)[:chunk].astype(np.int64)
 
-            # ---- forward selection at L0 ----
-            sel_ids, sel_sims = self._prune_batch(
-                data, norms, new_ids, ids, sims, self.m0_out()
-            )
-            for bi, node in enumerate(new_ids):
-                chosen = sel_ids[bi]
-                g.l0[node, : len(chosen)] = chosen
+            # ---- forward writes at L0 ----
+            g.l0[new_ids] = sel_mat
+            pending_l0.append(new_ids.astype(np.int64))
 
-            # ---- reverse links at L0 ----
-            touched = self._reverse_link_batch(
-                data, norms, g, new_ids, sel_ids, sel_sims
-            )
-            rows = np.asarray(new_ids, dtype=np.int64)
-            if touched is not None:
-                rows = np.union1d(rows, touched)
-            self._l0_dev_update(g, rows)
+            # ---- reverse links at L0 (host fill; overflow prunes batched) ----
+            touched = self._reverse_fill(g.l0, new_ids, sel_mat, None, jobs)
+            if touched is not None and len(touched):
+                pending_l0.append(touched)
 
-            # ---- upper levels: exact candidates over level members ----
+            # ---- upper levels: fused exact-scan + prune per level ----
             for lvl in range(1, g.max_level + 1):
                 li = lvl - 1
                 in_chunk = new_ids[g.levels[new_ids] >= lvl]
                 if len(in_chunk) == 0:
                     continue
                 members = g.upper_ids[li]
-                # include in-chunk members: candidates are exact over the
-                # level, so this matches sequential-insertion visibility
+                # in-chunk members included: sequential-insert visibility
                 n_existing = int(np.searchsorted(members, cur + chunk))
                 if n_existing <= 1:
                     continue
-                # cached full-size member codes + inserted-prefix mask:
-                # stable shapes, one compile per level
                 if li not in self._level_codes_cache:
                     m_pad = round_up(len(members), 128)
                     mc = np.zeros((m_pad, d), np.float32)
                     mc[: len(members)] = data[members]
-                    self._level_codes_cache[li] = jnp.asarray(mc)
-                mcodes = self._level_codes_cache[li]
-                prefix = np.zeros(mcodes.shape[0], dtype=bool)
-                prefix[:n_existing] = True
+                    self._level_codes_cache[li] = (
+                        jnp.asarray(mc),
+                        jnp.asarray((mc.astype(np.float32) ** 2).sum(1)),
+                    )
+                mcodes, mnorms = self._level_codes_cache[li]
+                row_of = self._row_of_arr(g, li)
                 qc_bkt = 1 << max(int(np.ceil(np.log2(len(in_chunk)))), 3)
                 qc = np.zeros((qc_bkt, d), np.float32)
                 qc[: len(in_chunk)] = data[in_chunk]
-                k = min(efc, mcodes.shape[0])
-                s2, i2 = blockwise_topk_search(
+                nrows = np.zeros(qc_bkt, np.int32)
+                nrows[: len(in_chunk)] = row_of[in_chunk]
+                sel_rows, _ss = upper_forward_select(
                     jnp.asarray(qc),
+                    jnp.asarray(nrows),
                     mcodes,
-                    self._search_metric,
-                    k,
-                    mask=jnp.asarray(prefix),
+                    mnorms,
+                    jnp.int32(n_existing),
+                    metric=self._search_metric,
+                    cand_cap=min(_PRUNE_CAND_CAP, mcodes.shape[0]),
+                    max_out=self.m,
                 )
-                s2 = np.asarray(s2)[: len(in_chunk)]
-                i2 = np.asarray(i2)[: len(in_chunk)]
-                cand_ids = np.where(i2 >= 0, members[np.clip(i2, 0, None)], -1)
-                self_hit = cand_ids == in_chunk[:, None]
-                s2 = np.where(self_hit, -np.inf, s2)
-                cand_ids = np.where(self_hit, -1, cand_ids)
-                sel2, ssim2 = self._prune_batch(
-                    data, norms, in_chunk, cand_ids, s2, self.m
-                )
-                row_of = g.row_of[li]
+                sel_rows = np.asarray(sel_rows)[: len(in_chunk)].astype(np.int64)
                 nbrs_l = g.upper_nbrs[li]
-                for bi, node in enumerate(in_chunk):
-                    rows = [row_of[int(c)] for c in sel2[bi]]
-                    nbrs_l[row_of[int(node)], : len(rows)] = rows
-                self._reverse_link_upper(
-                    data, norms, g, li, in_chunk, sel2, ssim2
+                my_rows = row_of[in_chunk]
+                nbrs_l[my_rows] = sel_rows
+                sel_ids_mat = np.where(
+                    sel_rows >= 0, members[np.clip(sel_rows, 0, None)], -1
                 )
+                t_up = self._reverse_fill(
+                    nbrs_l, in_chunk, sel_ids_mat, (row_of, members), jobs
+                )
+                ups = [np.asarray(my_rows, dtype=np.int64)]
+                if t_up is not None and len(t_up):
+                    ups.append(t_up)
+                pending_up.setdefault(li, []).append(np.concatenate(ups))
+
+            # ---- one combined overflow re-prune RPC (L0 + upper rows) ----
+            extra_l0, extra_up = self._flush_overflow(jobs, g, data, norms)
+            if extra_l0 is not None and len(extra_l0):
+                pending_l0.append(extra_l0)
+            for li, rows_e in extra_up.items():
+                pending_up.setdefault(li, []).append(rows_e)
+
             pos += chunk
-            dev_stale = True
         return g
+
+    @staticmethod
+    def _drain_pending(chunks: List[np.ndarray], host_adj: np.ndarray, bucket: int):
+        """Pack pending touched rows into a fixed-size (rows, vals) update,
+        padded idempotently (repeat row 0 of the set, or row 0 of the array)."""
+        if chunks:
+            rows = np.unique(np.concatenate(chunks))
+        else:
+            rows = np.zeros(0, dtype=np.int64)
+        u = len(rows)
+        nbkt = bucket
+        while nbkt < u:
+            nbkt *= 2
+        rows_p = np.zeros(nbkt, dtype=np.int32)
+        rows_p[:u] = rows
+        # idempotent pad: repeat an arbitrary real row (or row 0 when empty)
+        pad_row = rows[0] if u else 0
+        rows_p[u:] = pad_row
+        vals_p = host_adj[rows_p].astype(np.int32)
+        return jnp.asarray(rows_p), jnp.asarray(vals_p)
 
     # small helpers keeping device uploads cached across chunks
     _codes_cache = None
@@ -438,9 +471,6 @@ class HnswEngine(VectorIndexEngine):
                 top_level = lvl + 1
             else:
                 break
-        upper_nbrs = tuple(
-            jnp.asarray(g.upper_nbrs[lvl]) for lvl in range(top_level)
-        )
         # entry: first inserted member of the top live level (or node 0)
         if top_level > 0:
             members = g.upper_ids[top_level - 1]
@@ -453,7 +483,6 @@ class HnswEngine(VectorIndexEngine):
             entry_rows[lvl + 1] = cache["row_of"][lvl][ep]
         return {
             "upper_ids": cache["upper_ids"][:top_level],
-            "upper_nbrs": upper_nbrs,
             "upper_down": cache["upper_down"][:top_level],
             "entry_rows": jnp.asarray(entry_rows),
             "num_levels": top_level,
@@ -505,18 +534,6 @@ class HnswEngine(VectorIndexEngine):
             out_sims.append(cand_sims[bi][k])
         return out_ids, out_sims
 
-    def _reverse_link_batch(self, data, norms, g, new_ids, sel_ids, sel_sims):
-        """Reverse updates at L0, fully vectorized: free slots fill by grouped
-        rank; overflowing targets re-prune once per chunk with ALL their new
-        links as candidates (reference `reverse_update_neighbors` batched)."""
-        return self._reverse_link_any(data, norms, g.l0, new_ids, sel_ids, None)
-
-    def _reverse_link_upper(self, data, norms, g, li, new_ids, sel_ids, sel_sims):
-        row_of = self._row_of_arr(g, li)
-        self._reverse_link_any(
-            data, norms, g.upper_nbrs[li], new_ids, sel_ids, (row_of, g.upper_ids[li])
-        )
-
     def _row_of_arr(self, g, li) -> np.ndarray:
         if not hasattr(self, "_row_of_cache"):
             self._row_of_cache = {}
@@ -526,19 +543,24 @@ class HnswEngine(VectorIndexEngine):
             self._row_of_cache[li] = arr
         return self._row_of_cache[li]
 
-    def _reverse_link_any(self, data, norms, adj, new_ids, sel_ids, upper):
-        """adj rows hold node ids (L0) or level rows (upper)."""
+    def _reverse_fill(self, adj, new_ids, sel_mat, upper, jobs):
+        """Reverse link fill (host): free slots fill by grouped rank;
+        overflowing rows are queued as a re-prune job (flushed once per
+        chunk in `_flush_overflow`). sel_mat holds GLOBAL neighbor ids
+        (-1 padded). Returns touched adjacency rows. Reference
+        `reverse_update_neighbors` (`hnsw_algorithm.cc:437-510`)."""
         max_out = adj.shape[1]
-        # flatten (nbr, node) pairs
-        counts = np.asarray([len(x) for x in sel_ids], dtype=np.int64)
-        if counts.sum() == 0:
-            return
-        pair_nbr = np.concatenate([np.asarray(x, dtype=np.int64) for x in sel_ids])
-        pair_node = np.repeat(np.asarray(new_ids, dtype=np.int64), counts)
+        valid = sel_mat >= 0
+        if not valid.any():
+            return None
+        pair_nbr = sel_mat[valid].astype(np.int64)
+        pair_node = np.broadcast_to(
+            np.asarray(new_ids, dtype=np.int64)[:, None], sel_mat.shape
+        )[valid]
         if upper is not None:
             row_of, ids_l = upper
-            pair_row = row_of[pair_nbr]
-            pair_val = row_of[pair_node]
+            pair_row = row_of[pair_nbr].astype(np.int64)
+            pair_val = row_of[pair_node].astype(np.int64)
         else:
             pair_row = pair_nbr
             pair_val = pair_node
@@ -546,7 +568,6 @@ class HnswEngine(VectorIndexEngine):
         order = np.argsort(pair_row, kind="stable")
         rows_s = pair_row[order]
         vals_s = pair_val[order]
-        nbrs_s = pair_nbr[order]
         uniq_rows, starts, per = np.unique(rows_s, return_index=True, return_counts=True)
         touched = uniq_rows
         rank = np.arange(len(rows_s)) - np.repeat(starts, per)
@@ -555,109 +576,99 @@ class HnswEngine(VectorIndexEngine):
         ok = slot < max_out
         adj[rows_s[ok], slot[ok]] = vals_s[ok]
 
-        # overflow: re-prune each overflowing row once, with all its new links
         over = ~ok
-        if not over.any():
-            return touched
-        ov_rows = rows_s[over]
-        ov_nbrs = nbrs_s[over]
-        ov_vals = vals_s[over]
-        ov_nodes = pair_node[order][over]
-        uq, ustart, ucnt = np.unique(ov_rows, return_index=True, return_counts=True)
-        extra_cap = int(min(ucnt.max(initial=1), 16))
-        b = len(uq)
-        c = max_out + extra_cap
-        cand_ids = np.full((b, c), -1, dtype=np.int64)  # node ids for scoring
-        cand_val = np.full((b, c), -1, dtype=np.int64)  # adj payload (row or id)
-        existing = adj[uq]  # (b, max_out)
-        if upper is not None:
-            ex_ids = np.where(existing >= 0, upper[1][np.clip(existing, 0, None)], -1)
-        else:
-            ex_ids = existing
-        cand_ids[:, :max_out] = ex_ids
-        cand_val[:, :max_out] = existing
-        urank = np.arange(len(ov_rows)) - np.repeat(ustart, ucnt)
-        group = np.repeat(np.arange(b), ucnt)
-        keep_extra = urank < extra_cap
-        cand_ids[group[keep_extra], max_out + urank[keep_extra]] = ov_nodes[keep_extra]
-        cand_val[group[keep_extra], max_out + urank[keep_extra]] = ov_vals[keep_extra]
-
-        base_ids = uq if upper is None else upper[1][uq]
-        valid = cand_ids >= 0
-        safe = np.clip(cand_ids, 0, None)
-        base_vecs = data[base_ids]
-        cand_vecs = data[safe]
-        dots = np.einsum("bd,bcd->bc", base_vecs, cand_vecs)
-        if self._search_metric == MetricType.IP:
-            sims = dots
-        elif self._search_metric == MetricType.L2:
-            sims = -(norms[base_ids][:, None] + norms[safe] - 2.0 * dots)
-        else:
-            denom = np.sqrt(norms[base_ids])[:, None] * np.sqrt(norms[safe])
-            sims = np.where(denom > 0, dots / np.where(denom > 0, denom, 1), 1.0)
-        sims = np.where(valid, sims, -np.inf).astype(np.float32)
-        order2 = np.argsort(-sims, axis=1, kind="stable")
-        ids_sorted = np.take_along_axis(cand_ids, order2, 1)
-        val_sorted = np.take_along_axis(cand_val, order2, 1)
-        sims_sorted = np.take_along_axis(sims, order2, 1)
-        keep = self._prune_keep_mask(data, norms, ids_sorted, sims_sorted, max_out)
-        adj[uq] = -1
-        for i in range(b):
-            chosen = val_sorted[i][keep[i] & (ids_sorted[i] >= 0)][:max_out]
-            adj[uq[i], : len(chosen)] = chosen
+        if over.any():
+            ov_rows = rows_s[over]
+            ov_nodes = pair_node[order][over]
+            uq, ustart, ucnt = np.unique(ov_rows, return_index=True, return_counts=True)
+            extra_cap = int(min(ucnt.max(initial=1), 16))
+            b = len(uq)
+            c = max_out + extra_cap
+            cand_ids = np.full((b, c), -1, dtype=np.int64)
+            existing = adj[uq]
+            if upper is not None:
+                ex_ids = np.where(
+                    existing >= 0, upper[1][np.clip(existing, 0, None)], -1
+                )
+            else:
+                ex_ids = existing
+            cand_ids[:, :max_out] = ex_ids
+            urank = np.arange(len(ov_rows)) - np.repeat(ustart, ucnt)
+            group = np.repeat(np.arange(b), ucnt)
+            ke = urank < extra_cap
+            cand_ids[group[ke], max_out + urank[ke]] = ov_nodes[ke]
+            base_ids = uq if upper is None else upper[1][uq]
+            jobs.append(
+                {
+                    "adj": adj,
+                    "uq": uq,
+                    "base_ids": np.asarray(base_ids, dtype=np.int64),
+                    "cand_ids": cand_ids,
+                    "max_out": max_out,
+                    "upper": upper,
+                }
+            )
         return touched
 
-    def _prune_keep_mask(self, data, norms, cand_ids, cand_sims, max_out):
-        """Device pairwise-prune keep mask over desc-sorted candidates."""
-        b, c0 = cand_ids.shape
-        c = _PRUNE_CAND_CAP
-        if c0 < c:
-            cand_ids = np.pad(cand_ids, ((0, 0), (0, c - c0)), constant_values=-1)
-            cand_sims = np.pad(
-                cand_sims, ((0, 0), (0, c - c0)), constant_values=-np.inf
+    def _flush_overflow(self, jobs, g, data, norms):
+        """Run ALL queued overflow re-prunes (L0 + upper levels) as one
+        device call; apply results to host adjacency. Returns touched L0
+        rows and {level: touched upper rows}."""
+        if not jobs:
+            return None, {}
+        cap = max(j["max_out"] for j in jobs)
+        width = max(j["cand_ids"].shape[1] for j in jobs)
+        total = sum(len(j["uq"]) for j in jobs)
+        bkt = 1 << max(int(np.ceil(np.log2(total))), 5)
+        base_p = np.zeros(bkt, np.int32)
+        cand_p = np.full((bkt, width), -1, np.int32)
+        off = 0
+        for j in jobs:
+            b = len(j["uq"])
+            base_p[off : off + b] = j["base_ids"]
+            cand_p[off : off + b, : j["cand_ids"].shape[1]] = j["cand_ids"]
+            off += b
+        sel = np.asarray(
+            prune_rows(
+                jnp.asarray(base_p),
+                jnp.asarray(cand_p),
+                *self._build_codes_norms(),
+                metric=self._search_metric,
+                max_out=cap,
             )
-        cand_ids = cand_ids[:, :c]
-        cand_sims = cand_sims[:, :c]
-        valid = cand_ids >= 0
-        safe = np.clip(cand_ids, 0, None)
-        keep = np.zeros((b, c), dtype=bool)
-        dev_codes, dev_norms = self._build_codes_norms()
-        sub = 512
-        for st in range(0, b, sub):
-            e = min(st + sub, b)
-            w = e - st
-            sl_sims = np.full((sub, c), -np.inf, np.float32)
-            sl_ids = np.zeros((sub, c), np.int32)
-            sl_valid = np.zeros((sub, c), bool)
-            sl_sims[:w] = cand_sims[st:e]
-            sl_ids[:w] = safe[st:e]
-            sl_valid[:w] = valid[st:e]
-            keep[st:e] = np.asarray(
-                select_neighbors_ids(
-                    jnp.asarray(sl_sims),
-                    jnp.asarray(sl_ids),
-                    jnp.asarray(sl_valid),
-                    dev_codes,
-                    dev_norms,
-                    metric=self._search_metric,
-                    max_out=max_out,
+        ).astype(np.int64)
+        touched_l0 = []
+        touched_up: Dict[int, List[np.ndarray]] = {}
+        off = 0
+        for j in jobs:
+            b = len(j["uq"])
+            rows_sel = sel[off : off + b, : j["max_out"]]
+            off += b
+            if j["upper"] is not None:
+                row_of = j["upper"][0]
+                vals = np.where(
+                    rows_sel >= 0, row_of[np.clip(rows_sel, 0, None)], -1
                 )
-            )[:w]
-        return keep[:, :c0]
-
-    def _l0_dev_update(self, g, rows: np.ndarray) -> None:
-        # apply touched adjacency rows to the device-resident L0 copy
-        if getattr(self, '_l0_dev', None) is None:
-            return
-        n_bkt = 1 << max(int(np.ceil(np.log2(max(len(rows), 1)))), 5)
-        rows_p = np.zeros(n_bkt, dtype=np.int32)
-        rows_p[: len(rows)] = rows
-        if len(rows):
-            rows_p[len(rows):] = rows[0]  # idempotent pad
-        vals_p = g.l0[rows_p]
-        self._l0_dev = self._l0_dev.at[jnp.asarray(rows_p)].set(
-            jnp.asarray(vals_p)
+                li = self._upper_li_of(g, j["upper"][1])
+                touched_up.setdefault(li, []).append(j["uq"].astype(np.int64))
+            else:
+                vals = rows_sel
+                touched_l0.append(j["uq"].astype(np.int64))
+            j["adj"][j["uq"]] = vals
+        out_up = {
+            li: np.unique(np.concatenate(v)) for li, v in touched_up.items()
+        }
+        out_l0 = (
+            np.unique(np.concatenate(touched_l0)) if touched_l0 else None
         )
+        return out_l0, out_up
+
+    @staticmethod
+    def _upper_li_of(g, ids_l) -> int:
+        for li, ids in enumerate(g.upper_ids):
+            if ids is ids_l:
+                return li
+        raise ValueError("unknown upper level")
 
     def _build_codes_norms(self):
         # device-resident fp32 codes + squared norms for build-time pruning

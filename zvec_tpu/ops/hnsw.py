@@ -33,7 +33,13 @@ from ..typing.enum import MetricType
 from .distance import similarity_matrix
 from .runtime import NEG_INF
 
-__all__ = ["hnsw_search", "select_neighbors_batch"]
+__all__ = [
+    "hnsw_search",
+    "select_neighbors_batch",
+    "hnsw_build_select",
+    "upper_forward_select",
+    "prune_rows",
+]
 
 
 def _batched_sims(q, vecs, metric, norms=None, dequant=None, int4_packed=False):
@@ -87,11 +93,20 @@ def _sims_from_dots(q, dots, metric, norms):
     raise ValueError(f"unsupported metric {metric}")
 
 
-@partial(
-    jax.jit,
-    static_argnames=("metric", "ef", "topk", "max_steps", "num_levels", "frontier", "int4_packed"),
-)
-def hnsw_search(
+def _visit_index(ids, visited_bits: int):
+    """Map node ids to visited-bitset bit positions. visited_bits=0 keeps the
+    exact id-indexed bitset; >0 hashes into a 2**visited_bits-bit set (build
+    at 10M scale: the exact bitset is N/8 bytes PER QUERY — a hashed set
+    trades rare false-positive 'visited' skips for bounded memory)."""
+    if visited_bits <= 0:
+        return ids
+    h = (ids.astype(jnp.uint32) * jnp.uint32(2654435761)) & jnp.uint32(
+        (1 << visited_bits) - 1
+    )
+    return h.astype(jnp.int32)
+
+
+def _beam_core(
     q: jax.Array,  # (Q, D) f32
     codes: jax.Array,  # (N_pad, D)
     norms: jax.Array,  # (N_pad,)
@@ -111,8 +126,10 @@ def hnsw_search(
     num_levels: int,  # number of upper levels present
     frontier: int = 1,  # candidates expanded per step (F-way beam)
     int4_packed: bool = False,
+    visited_bits: int = 0,
 ):
-    """Batched HNSW search. Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad)."""
+    """Batched HNSW search core (traced inline by its jitted callers).
+    Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad)."""
     nq, d = q.shape
     q = q.astype(jnp.float32)
 
@@ -163,7 +180,8 @@ def hnsw_search(
     # ---- level-0 beam search (`search_neighbors`) ----
     n_pad = codes.shape[0]
     m0 = l0_nbrs.shape[1]
-    words = (n_pad + 31) // 32
+    nbits = n_pad if visited_bits <= 0 else (1 << visited_bits)
+    words = (nbits + 31) // 32
 
     entry_sim = _batched_sims(
         q, codes[entry_ids][:, None, :], metric, norms[entry_ids][:, None], dequant,
@@ -187,8 +205,9 @@ def hnsw_search(
 
     visited = jnp.zeros((nq, words), jnp.uint32)
     qidx = jnp.arange(nq)
-    visited = visited.at[qidx, entry_ids // 32].set(
-        jnp.uint32(1) << (entry_ids % 32).astype(jnp.uint32)
+    entry_vix = _visit_index(entry_ids, visited_bits)
+    visited = visited.at[qidx, entry_vix // 32].set(
+        jnp.uint32(1) << (entry_vix % 32).astype(jnp.uint32)
     )
     scanned = jnp.ones((nq,), jnp.int32)
     done = jnp.zeros((nq,), bool)
@@ -238,10 +257,12 @@ def hnsw_search(
         nbrs_safe = jnp.clip(nbrs, 0)
 
         # 4b. intra-step dedup (two frontier nodes may share a neighbor; the
-        #     bitset scatter-add below requires unique ids per row)
-        if frontier > 1:
-            order = jnp.argsort(jnp.where(valid, nbrs_safe, 2**30), axis=1)
-            sorted_ids = jnp.take_along_axis(nbrs_safe, order, 1)
+        #     bitset scatter-add below requires unique bit positions per row
+        #     — dedup on the visit index so hashed collisions also collapse)
+        vix = _visit_index(nbrs_safe, visited_bits)
+        if frontier > 1 or visited_bits > 0:
+            order = jnp.argsort(jnp.where(valid, vix, 2**30), axis=1)
+            sorted_ids = jnp.take_along_axis(vix, order, 1)
             dup_sorted = jnp.concatenate(
                 [
                     jnp.zeros((nbrs.shape[0], 1), bool),
@@ -255,8 +276,8 @@ def hnsw_search(
 
         # 5. visited test + set (bitset; disjoint bits of unique fresh ids
         #    let scatter-add act as scatter-or)
-        word_idx = nbrs_safe // 32
-        bit = jnp.uint32(1) << (nbrs_safe % 32).astype(jnp.uint32)
+        word_idx = vix // 32
+        bit = jnp.uint32(1) << (vix % 32).astype(jnp.uint32)
         word_val = jnp.take_along_axis(visited, word_idx, axis=1)
         fresh = valid & ((word_val & bit) == 0)
         add_val = jnp.where(fresh, bit, jnp.uint32(0))
@@ -302,6 +323,263 @@ def hnsw_search(
     res_s, res_i = res_s[:, :topk], res_i[:, :topk]
     res_i = jnp.where(res_s > NEG_INF / 2, res_i, -1)
     return res_s, res_i
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "ef", "topk", "max_steps", "num_levels", "frontier",
+        "int4_packed", "visited_bits",
+    ),
+)
+def hnsw_search(
+    q, codes, norms, l0_nbrs, upper_ids, upper_nbrs, upper_down, entry_rows,
+    mask, scan_budget, dequant=None, *,
+    metric: MetricType, ef: int, topk: int, max_steps: int, num_levels: int,
+    frontier: int = 1, int4_packed: bool = False, visited_bits: int = 0,
+):
+    """Batched HNSW search. Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad)."""
+    return _beam_core(
+        q, codes, norms, l0_nbrs, upper_ids, upper_nbrs, upper_down,
+        entry_rows, mask, scan_budget, dequant,
+        metric=metric, ef=ef, topk=topk, max_steps=max_steps,
+        num_levels=num_levels, frontier=frontier, int4_packed=int4_packed,
+        visited_bits=visited_bits,
+    )
+
+
+def _prune_keep(pair, cand_sims, cand_valid, max_out: int):
+    """Shared pairwise-prune loop: keep candidate i (desc-sim order) iff no
+    already-kept j dominates it (sim(i, j) >= sim(i, base)); stop at max_out
+    (reference `update_neighbors`, `hnsw_algorithm.cc:394-430`)."""
+    b, c = cand_sims.shape
+
+    def step(i, state):
+        keep, count = state
+        conflict = jnp.any(
+            keep & (pair[:, i, :] >= cand_sims[:, i][:, None]) &
+            (jnp.arange(c)[None, :] != i),
+            axis=1,
+        )
+        good = cand_valid[:, i] & (~conflict) & (count < max_out)
+        keep = keep.at[:, i].set(good)
+        return keep, count + good.astype(jnp.int32)
+
+    keep0 = jnp.zeros((b, c), bool)
+    keep, _ = jax.lax.fori_loop(0, c, step, (keep0, jnp.zeros((b,), jnp.int32)))
+    return keep
+
+
+def _pairwise_sims(vecs, norms2, metric):
+    """vecs (B, C, D), norms2 (B, C) -> (B, C, C) similarity."""
+    dots = jnp.einsum(
+        "bcd,bed->bce", vecs, vecs, precision=jax.lax.Precision.HIGHEST
+    )
+    if metric == MetricType.IP:
+        return dots
+    if metric == MetricType.L2:
+        return -(norms2[:, :, None] + norms2[:, None, :] - 2.0 * dots)
+    if metric == MetricType.COSINE:
+        nn = jnp.sqrt(norms2)
+        denom = nn[:, :, None] * nn[:, None, :]
+        return jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
+    raise ValueError(f"unsupported metric {metric}")
+
+
+def _compact_keep(keep, ids, sims, max_out: int):
+    """Compact kept candidates (desc-sim order preserved) to (B, max_out)."""
+    rank = jnp.argsort(~keep, axis=1, stable=True)  # kept-first, order-stable
+    ids_c = jnp.take_along_axis(jnp.where(keep, ids, -1), rank, 1)[:, :max_out]
+    sims_c = jnp.take_along_axis(
+        jnp.where(keep, sims, NEG_INF), rank, 1
+    )[:, :max_out]
+    return ids_c, sims_c
+
+
+@partial(
+    jax.jit,
+    donate_argnames=("l0_nbrs", "upper_nbrs"),
+    static_argnames=(
+        "metric", "ef", "cand_cap", "max_steps", "num_levels", "frontier",
+        "max_out", "visited_bits",
+    ),
+)
+def hnsw_build_select(
+    q: jax.Array,  # (Qb, D) chunk queries, zero-padded to a bucket
+    chunk_base: jax.Array,  # () int32 — id of the first chunk node
+    chunk_len: jax.Array,  # () int32 — real chunk size
+    cur: jax.Array,  # () int32 — nodes already inserted
+    codes: jax.Array,
+    norms: jax.Array,
+    l0_nbrs: jax.Array,  # DONATED: stays device-resident across chunks
+    upper_ids: Tuple[jax.Array, ...],
+    upper_nbrs: Tuple[jax.Array, ...],  # DONATED: device-resident per level
+    upper_down: Tuple[jax.Array, ...],
+    entry_rows: jax.Array,
+    upd_rows: jax.Array,  # (U,) pending L0 updates from the host
+    upd_vals: jax.Array,  # (U, M0)
+    upper_upd_rows: Tuple[jax.Array, ...],  # per level pending updates
+    upper_upd_vals: Tuple[jax.Array, ...],
+    scan_budget: jax.Array,
+    *,
+    metric: MetricType,
+    ef: int,
+    cand_cap: int,  # pairwise-prune candidate width (top cand_cap by sim)
+    max_steps: int,
+    num_levels: int,
+    frontier: int,
+    max_out: int,  # M0
+    visited_bits: int = 0,
+):
+    """ONE device program per build chunk: apply pending L0 + upper-level
+    adjacency updates, beam-search candidates over the current graph, merge
+    exact intra-chunk candidates, pairwise-prune, and emit compacted forward
+    neighbors. Replaces ~12 tunnel round trips (beam + intra topk + 8 prune
+    sub-batches + adjacency re-uploads) with a single call whose transfers
+    are (Qb, D) queries + touched rows up and (Qb, max_out) ids down.
+    Reference equivalent: the per-node insert path `hnsw_streamer.cc:506` /
+    `hnsw_algorithm.cc:31-80`."""
+    l0_nbrs = l0_nbrs.at[upd_rows].set(upd_vals)
+    upper_nbrs = tuple(
+        nb.at[ur].set(uv)
+        for nb, ur, uv in zip(upper_nbrs, upper_upd_rows, upper_upd_vals)
+    )
+
+    qb = q.shape[0]
+    new_ids = chunk_base + jnp.arange(qb, dtype=jnp.int32)  # row i -> node id
+    inserted_mask = None  # nodes >= cur are unreachable (no inbound edges)
+
+    sims_g, ids_g = _beam_core(
+        q, codes, norms, l0_nbrs, upper_ids, upper_nbrs, upper_down,
+        entry_rows, inserted_mask, scan_budget, None,
+        metric=metric, ef=ef, topk=cand_cap, max_steps=max_steps,
+        num_levels=num_levels, frontier=frontier, visited_bits=visited_bits,
+    )
+    bad = (ids_g >= cur) | (ids_g < 0)
+    sims_g = jnp.where(bad, NEG_INF, sims_g)
+    ids_g = jnp.where(bad, -1, ids_g)
+
+    # exact intra-chunk candidates (sequential-insert visibility)
+    kin = min(max_out + 1, qb)
+    dots = jnp.einsum("qd,md->qm", q, q, precision=jax.lax.Precision.HIGHEST)
+    if metric == MetricType.L2:
+        qs2 = jnp.sum(q * q, axis=-1)
+        intra = -(qs2[:, None] + qs2[None, :] - 2.0 * dots)
+    elif metric == MetricType.COSINE:
+        qn = jnp.sqrt(jnp.sum(q * q, axis=-1))
+        denom = qn[:, None] * qn[None, :]
+        intra = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
+    else:
+        intra = dots
+    col_ok = (jnp.arange(qb)[None, :] < chunk_len) & (
+        jnp.arange(qb)[None, :] != jnp.arange(qb)[:, None]
+    )
+    intra = jnp.where(col_ok, intra, NEG_INF)
+    s_i, pos_i = jax.lax.top_k(intra, kin)
+    ids_i = jnp.where(s_i > NEG_INF / 2, chunk_base + pos_i, -1)
+
+    # merge desc by sim, truncate to the prune width
+    all_s = jnp.concatenate([sims_g, s_i], axis=1)
+    all_i = jnp.concatenate([ids_g, ids_i], axis=1)
+    m_s, sel = jax.lax.top_k(all_s, cand_cap)
+    m_i = jnp.take_along_axis(all_i, sel, 1)
+    valid = m_i >= 0
+
+    safe = jnp.clip(m_i, 0)
+    vecs = codes[safe]
+    nrm2 = norms[safe]
+    pair = _pairwise_sims(vecs, nrm2, metric)
+    keep = _prune_keep(pair, m_s, valid, max_out)
+    sel_ids, sel_sims = _compact_keep(keep, m_i, m_s, max_out)
+    return sel_ids, sel_sims, l0_nbrs, upper_nbrs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "cand_cap", "max_out"),
+)
+def upper_forward_select(
+    qc: jax.Array,  # (Qb, D) chunk queries at this level (zero-padded)
+    node_rows: jax.Array,  # (Qb,) each query's own member row (self-mask)
+    mcodes: jax.Array,  # (Mpad, D) cached member codes for the level
+    mnorms: jax.Array,  # (Mpad,)
+    n_vis: jax.Array,  # () int32 — member rows < n_vis are candidates
+    *,
+    metric: MetricType,
+    cand_cap: int,
+    max_out: int,
+):
+    """Fused upper-level insertion step: exact scan over level members
+    (incl. in-chunk members), self-masked, pairwise-pruned, compacted to
+    member ROWS (B, max_out). One device call per level per chunk."""
+    dots = jnp.einsum(
+        "qd,md->qm", qc, mcodes, precision=jax.lax.Precision.HIGHEST
+    )
+    mn2 = jnp.sum(mcodes * mcodes, axis=-1)
+    if metric == MetricType.L2:
+        qs2 = jnp.sum(qc * qc, axis=-1)
+        sims = -(qs2[:, None] + mn2[None, :] - 2.0 * dots)
+    elif metric == MetricType.COSINE:
+        qn = jnp.sqrt(jnp.sum(qc * qc, axis=-1))
+        denom = qn[:, None] * jnp.sqrt(mn2)[None, :]
+        sims = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
+    else:
+        sims = dots
+    rows = jnp.arange(mcodes.shape[0])[None, :]
+    ok = (rows < n_vis) & (rows != node_rows[:, None])
+    sims = jnp.where(ok, sims, NEG_INF)
+    k = min(cand_cap, mcodes.shape[0])
+    s, r = jax.lax.top_k(sims, k)
+    valid = s > NEG_INF / 2
+    vecs = mcodes[r]
+    nrm2 = mn2[r]
+    pair = _pairwise_sims(vecs, nrm2, metric)
+    keep = _prune_keep(pair, s, valid, max_out)
+    sel_rows, sel_sims = _compact_keep(keep, r, s, max_out)
+    return sel_rows, sel_sims
+
+
+@partial(jax.jit, static_argnames=("metric", "max_out"))
+def prune_rows(
+    base_ids: jax.Array,  # (B,) node ids being re-pruned (overflow targets)
+    cand_ids: jax.Array,  # (B, C) candidate node ids, -1 padded (any order)
+    codes: jax.Array,
+    norms: jax.Array,
+    *,
+    metric: MetricType,
+    max_out: int,
+):
+    """Overflow re-prune entirely on device: computes base-candidate sims,
+    sorts desc, pairwise-prunes, returns compacted kept ids (B, max_out).
+    One call per chunk covers L0 and upper-level overflow rows together
+    (a row pruned with cap K keeps the same first K' <= K entries under any
+    larger cap, so callers may slice to a smaller per-row cap).
+    Reference `reverse_update_neighbors` (`hnsw_algorithm.cc:437-510`)."""
+    valid = cand_ids >= 0
+    safe = jnp.clip(cand_ids, 0)
+    bvec = codes[base_ids]
+    cvec = codes[safe]
+    dots = jnp.einsum(
+        "bd,bcd->bc", bvec, cvec, precision=jax.lax.Precision.HIGHEST
+    )
+    if metric == MetricType.L2:
+        sims = -(norms[base_ids][:, None] + norms[safe] - 2.0 * dots)
+    elif metric == MetricType.COSINE:
+        denom = jnp.sqrt(norms[base_ids])[:, None] * jnp.sqrt(norms[safe])
+        sims = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
+    else:
+        sims = dots
+    sims = jnp.where(valid, sims, NEG_INF)
+    order = jnp.argsort(-sims, axis=1, stable=True)
+    ids_s = jnp.take_along_axis(cand_ids, order, 1)
+    sims_s = jnp.take_along_axis(sims, order, 1)
+    valid_s = jnp.take_along_axis(valid, order, 1)
+    vecs = codes[jnp.clip(ids_s, 0)]
+    nrm2 = norms[jnp.clip(ids_s, 0)]
+    pair = _pairwise_sims(vecs, nrm2, metric)
+    keep = _prune_keep(pair, sims_s, valid_s, max_out)
+    sel_ids, _ = _compact_keep(keep, ids_s, sims_s, max_out)
+    return sel_ids
 
 
 @partial(jax.jit, static_argnames=("metric", "max_out"))
