@@ -93,6 +93,11 @@ class FlatEngine(VectorIndexEngine):
             and k <= 32
         )
 
+    def _mesh(self):
+        from ..parallel.mesh import collection_mesh
+
+        return collection_mesh()
+
     def _rebuild(self, data: np.ndarray) -> None:
         n = data.shape[0]
         self._n = n
@@ -100,12 +105,14 @@ class FlatEngine(VectorIndexEngine):
             self._codes = None
             return
         codes = self._prepare(np.asarray(data))
-        n_pad = round_up(n, _ROW_ALIGN)
+        mesh = self._mesh()
+        row_mult = _ROW_ALIGN * (mesh.shape["corpus"] if mesh is not None else 1)
+        n_pad = round_up(n, row_mult)
         padded = np.zeros((n_pad, codes.shape[1]), dtype=codes.dtype)
         padded[:n] = codes
         self._n_pad = n_pad
         deq = decode(padded, self._qparams)
-        self._norms = jnp.asarray((deq.astype(np.float32) ** 2).sum(1))
+        norms = (deq.astype(np.float32) ** 2).sum(1)
         self._int4_packed = self.quantize == QuantizeType.INT4
         if self._int4_packed:
             # nibble-packed HBM residency: halves scan bandwidth vs int8
@@ -113,7 +120,20 @@ class FlatEngine(VectorIndexEngine):
             from ..ops.quantize import pack_int4
 
             padded = pack_int4(padded)
-        self._codes = jnp.asarray(padded)
+        if mesh is not None:
+            # corpus-sharded residency: each device holds N/devices rows;
+            # searches fan out and merge per-shard top-k over ICI
+            import jax
+
+            from ..parallel.mesh import corpus_sharding
+
+            self._codes = jax.device_put(padded, corpus_sharding(mesh, 2))
+            self._norms = jax.device_put(
+                norms.astype(np.float32), corpus_sharding(mesh, 1)
+            )
+        else:
+            self._codes = jnp.asarray(padded)
+            self._norms = jnp.asarray(norms)
 
     def _search_impl(
         self,
@@ -149,7 +169,25 @@ class FlatEngine(VectorIndexEngine):
             full_mask[: self._n] = True
 
         k = min(scan_k, self._n)
-        if self._use_pallas(k):
+        mesh = self._mesh()
+        if mesh is not None:
+            import jax
+
+            from ..parallel.mesh import corpus_sharding, sharded_flat_search
+
+            dmask = jax.device_put(full_mask, corpus_sharding(mesh, 1))
+            sims, idx = sharded_flat_search(
+                mesh,
+                jnp.asarray(q),
+                self._codes,
+                self.metric,
+                k,
+                mask=dmask,
+                x_sq_norms=self._norms,
+                dequant=self._dequant,
+                int4_packed=getattr(self, "_int4_packed", False),
+            )
+        elif self._use_pallas(k):
             from ..ops.flat_pallas import flat_scan_topk
 
             norms = self._norms

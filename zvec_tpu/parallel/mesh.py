@@ -10,7 +10,7 @@ shard across mesh devices ('corpus' axis), query batches shard across the
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,13 @@ from ..ops.distance import similarity_matrix
 from ..ops.runtime import NEG_INF
 from ..typing.enum import MetricType
 
-__all__ = ["make_mesh", "sharded_flat_search", "sharded_kmeans_step"]
+__all__ = [
+    "make_mesh",
+    "collection_mesh",
+    "corpus_sharding",
+    "sharded_flat_search",
+    "sharded_kmeans_step",
+]
 
 
 def make_mesh(
@@ -36,29 +42,82 @@ def make_mesh(
     return Mesh(grid, ("batch", "corpus"))
 
 
+_collection_mesh_cache: dict = {}
+
+
+def collection_mesh() -> Mesh | None:
+    """Collection-level mesh, governed by `GlobalConfig.mesh_devices`
+    (`zvec_tpu.init(mesh_devices=N)`). Returns None when disabled or when
+    fewer than N jax devices exist. Engines consult this to place sealed
+    segment codes with a corpus sharding so every query fans out over the
+    mesh and merges per-shard top-k over ICI — the TPU-native analog of the
+    reference's per-segment Acero plan union
+    (`query_planner.cc:344-448`, SURVEY §2.9)."""
+    from ..utils.config import GlobalConfig
+
+    n = int(getattr(GlobalConfig.instance(), "mesh_devices", 0) or 0)
+    if n <= 1:
+        return None
+    if len(jax.devices()) < n:
+        return None
+    if n not in _collection_mesh_cache:
+        _collection_mesh_cache[n] = make_mesh(n, batch_axis=1)
+    return _collection_mesh_cache[n]
+
+
+def corpus_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    spec = P("corpus", *(None,) * (ndim - 1)) if ndim > 1 else P("corpus")
+    return NamedSharding(mesh, spec)
+
+
 def sharded_flat_search(
     mesh: Mesh,
     queries: jax.Array,  # (Q, D) — Q divisible by batch axis
     codes: jax.Array,  # (N, D) — N divisible by corpus axis
     metric: MetricType,
     topk: int,
+    mask: Optional[jax.Array] = None,  # (N,) bool, corpus-sharded
+    x_sq_norms: Optional[jax.Array] = None,  # (N,) f32, corpus-sharded
+    dequant: Optional[Tuple[jax.Array, jax.Array]] = None,
+    int4_packed: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact sharded top-k: every corpus shard scores its rows against the
-    local query sub-batch, then per-shard top-k merge via all_gather over the
-    'corpus' axis (ICI). Returns (sims (Q, topk), global indices)."""
+    local query sub-batch (filter mask fused), then per-shard top-k merge via
+    all_gather over the 'corpus' axis (ICI). Returns (sims (Q, topk), global
+    indices). Supports the full storage matrix (fp32/fp16/int8/packed-int4
+    codes with fused dequant epilogue)."""
     n = codes.shape[0]
     n_corpus = mesh.shape["corpus"]
     shard_rows = n // n_corpus
+    has_mask = mask is not None
+    has_norms = x_sq_norms is not None
+
+    in_specs = [P("batch", None), P("corpus", None)]
+    args = [queries, codes]
+    if has_mask:
+        in_specs.append(P("corpus"))
+        args.append(mask)
+    if has_norms:
+        in_specs.append(P("corpus"))
+        args.append(x_sq_norms)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("batch", None), P("corpus", None)),
+        in_specs=tuple(in_specs),
         out_specs=(P("batch", None), P("batch", None)),
         check_vma=False,
     )
-    def search(q_blk, codes_blk):
-        sims = similarity_matrix(q_blk, codes_blk, metric)  # (q, shard_rows)
+    def search(q_blk, codes_blk, *rest):
+        ri = 0
+        mask_blk = rest[ri] if has_mask else None
+        ri += int(has_mask)
+        norms_blk = rest[ri] if has_norms else None
+        sims = similarity_matrix(
+            q_blk, codes_blk, metric, norms_blk, dequant, int4_packed
+        )  # (q, shard_rows)
+        if mask_blk is not None:
+            sims = jnp.where(mask_blk[None, :], sims, NEG_INF)
         k = min(topk, shard_rows)
         loc_s, loc_i = jax.lax.top_k(sims, k)
         my_shard = jax.lax.axis_index("corpus")
@@ -72,9 +131,10 @@ def sharded_flat_search(
         if out_k < topk:
             m_s = jnp.pad(m_s, ((0, 0), (0, topk - out_k)), constant_values=NEG_INF)
             m_i = jnp.pad(m_i, ((0, 0), (0, topk - out_k)), constant_values=-1)
+        m_i = jnp.where(m_s > NEG_INF / 2, m_i, -1)
         return m_s, m_i
 
-    return search(queries, codes)
+    return search(*args)
 
 
 def sharded_kmeans_step(

@@ -80,6 +80,11 @@ class GlobalConfig:
         # forward block format: 'ipc' (memory-mapped Arrow) or 'parquet'
         # (reference supports both, `mmap_forward_store.cc:41-71`)
         self.forward_file_format = "ipc"
+        # collection-level mesh sharding: sealed segment codes placed with a
+        # corpus sharding over this many devices; 0/1 = single device. The
+        # TPU-native analog of the reference's per-segment plan fan-out
+        # (`query_planner.cc:344-448`).
+        self.mesh_devices = 0
 
 
     @classmethod
@@ -122,6 +127,8 @@ class GlobalConfig:
             raise ValueError("memory_limit_mb must be > 0")
         if self.forward_file_format not in ("ipc", "parquet"):
             raise ValueError("forward_file_format must be 'ipc' or 'parquet'")
+        if self.mesh_devices < 0:
+            raise ValueError("mesh_devices must be >= 0")
         if not isinstance(self.log_level, LogLevel):
             self.log_level = LogLevel(self.log_level)
         if not isinstance(self.log_type, LogType):

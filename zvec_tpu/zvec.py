@@ -32,9 +32,11 @@ def init(
     invert_to_forward_scan_ratio: Optional[float] = None,
     brute_force_by_keys_ratio: Optional[float] = None,
     memory_limit_mb: Optional[int] = None,
+    mesh_devices: Optional[int] = None,
 ) -> None:
     """Initialize process-wide configuration. Once-only; raises RuntimeError on
-    a second call. None args keep environment-derived defaults."""
+    a second call. None args keep environment-derived defaults.
+    `mesh_devices=N` shards sealed segment codes over an N-device mesh."""
     GlobalConfig.instance().initialize(
         log_type=log_type,
         log_level=log_level,
@@ -47,6 +49,7 @@ def init(
         invert_to_forward_scan_ratio=invert_to_forward_scan_ratio,
         brute_force_by_keys_ratio=brute_force_by_keys_ratio,
         memory_limit_mb=memory_limit_mb,
+        mesh_devices=mesh_devices,
     )
 
 
