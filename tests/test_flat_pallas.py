@@ -1,0 +1,84 @@
+"""Oracle parity for the fused Pallas flat-scan kernel (interpret mode on CPU).
+
+Covers the group-max + gather-rescore path: exact top-k sets for every metric,
+masked rows, fewer-than-k survivors, and bf16 code tiles (rescore keeps the
+ranking stable on well-separated data).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from zvec_tpu.ops.flat_pallas import flat_scan_topk  # noqa: E402
+from zvec_tpu.typing import MetricType  # noqa: E402
+
+N, D, Q, K = 4096, 64, 16, 10
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    mask = (rng.random(N) > 0.3).astype(np.int8)
+    return X, q, mask
+
+
+def _oracle(X, q, mask, metric):
+    if metric == MetricType.L2:
+        norms = (X**2).sum(1)
+        sims = -((q**2).sum(1)[:, None] + norms[None, :] - 2 * q @ X.T)
+    elif metric == MetricType.IP:
+        norms = np.zeros(N, np.float32)
+        sims = q @ X.T
+    else:
+        norms = np.sqrt((X**2).sum(1))
+        den = np.sqrt((q**2).sum(1))[:, None] * norms[None, :]
+        sims = np.where(den > 0, (q @ X.T) / np.where(den > 0, den, 1), 1.0)
+    return norms.astype(np.float32), np.where(mask[None, :] != 0, sims, -np.inf)
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP, MetricType.COSINE])
+def test_exact_topk_all_metrics(data, metric):
+    X, q, mask = data
+    norms, oracle = _oracle(X, q, mask, metric)
+    s, i = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(X), jnp.asarray(norms), jnp.asarray(mask),
+        metric=metric, topk=K,
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    exp_i = np.argsort(-oracle, axis=1)[:, :K]
+    exp_s = np.take_along_axis(oracle, exp_i, axis=1)
+    for r in range(Q):
+        assert set(i[r].tolist()) == set(exp_i[r].tolist())
+    assert np.allclose(s, exp_s, rtol=1e-4, atol=1e-4)
+
+
+def test_fewer_than_k_survivors(data):
+    X, q, _ = data
+    mask = np.zeros(N, np.int8)
+    mask[:3] = 1
+    norms = (X**2).sum(1).astype(np.float32)
+    s, i = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(X), jnp.asarray(norms), jnp.asarray(mask),
+        metric=MetricType.L2, topk=K,
+    )
+    i = np.asarray(i)
+    assert (i[:, :3] >= 0).all() and (np.sort(i[:, :3], 1) == np.arange(3)).all()
+    assert (i[:, 3:] == -1).all()
+
+
+def test_bf16_codes_rank_parity(data):
+    X, q, mask = data
+    norms, oracle = _oracle(X, q, mask, MetricType.L2)
+    s, i = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(X, dtype=jnp.bfloat16), jnp.asarray(norms),
+        jnp.asarray(mask), metric=MetricType.L2, topk=K,
+    )
+    i = np.asarray(i)
+    exp_i = np.argsort(-oracle, axis=1)[:, :K]
+    # bf16 group selection + bf16-code rescore: allow 1 boundary swap per query
+    for r in range(Q):
+        assert len(set(i[r].tolist()) & set(exp_i[r].tolist())) >= K - 1

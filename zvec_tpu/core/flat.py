@@ -15,7 +15,7 @@ codes are L2-normalized before quantization (`cosine_converter.cc:383-399`);
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +44,22 @@ def _bucket_queries(nq: int) -> int:
     return round_up(nq, _QUERY_BUCKETS[-1])
 
 
+class _State(NamedTuple):
+    """One immutable device snapshot; swapped atomically by _rebuild so
+    concurrent readers racing a writer always see a consistent
+    (codes, norms, n, n_pad) quadruple (query-during-append safety)."""
+
+    codes: Optional[jnp.ndarray]  # (n_pad, D) device, storage dtype
+    norms: Optional[jnp.ndarray]  # (n_pad,) device f32 (dequantized norms)
+    n: int
+    n_pad: int
+    dequant: Optional[tuple]
+    int4_packed: bool
+
+
+_EMPTY = _State(None, None, 0, 0, None, False)
+
+
 @register_engine(IndexType.FLAT)
 class FlatEngine(VectorIndexEngine):
     def __init__(self, metric: MetricType, dimension: int, params=None):
@@ -53,15 +69,29 @@ class FlatEngine(VectorIndexEngine):
             if params is not None
             else QuantizeType.UNDEFINED
         )
-        self._codes = None  # (N_pad, D) device, storage dtype
-        self._norms = None  # (N_pad,) device f32 (dequantized norms)
+        self._st: _State = _EMPTY
         self._qparams: Optional[QuantParams] = None
-        self._dequant = None
-        self._n = 0
-        self._n_pad = 0
 
-    def _prepare(self, data: np.ndarray) -> np.ndarray:
-        """Storage-side transform: cosine-normalize, then quantize."""
+    # legacy attribute views (tests/tools may poke these)
+    @property
+    def _n(self) -> int:
+        return self._st.n
+
+    @property
+    def _codes(self):
+        return self._st.codes
+
+    @property
+    def _norms(self):
+        return self._st.norms
+
+    @property
+    def _dequant(self):
+        return self._st.dequant
+
+    def _prepare(self, data: np.ndarray) -> tuple:
+        """Storage-side transform: cosine-normalize, then quantize.
+        Returns (codes, dequant)."""
         data = data.astype(np.float32, copy=False)
         if self.metric == MetricType.COSINE and self.quantize != QuantizeType.UNDEFINED:
             norms = np.linalg.norm(data, axis=1, keepdims=True)
@@ -69,27 +99,27 @@ class FlatEngine(VectorIndexEngine):
         if self.quantize in (QuantizeType.INT8, QuantizeType.INT4):
             self._qparams = train_quantizer(data, self.quantize)
             codes = encode(data, self.quantize, self._qparams)
-            self._dequant = (
+            dequant = (
                 jnp.float32(self._qparams.scale),
                 jnp.float32(self._qparams.bias),
             )
-            return codes
+            return codes, dequant
         if self.quantize == QuantizeType.FP16:
-            return data.astype(np.float16)
-        return data
+            return data.astype(np.float16), None
+        return data, None
 
-    def _use_pallas(self, k: int) -> bool:
-        """Fused Pallas scan: TPU, fp32 codes (no dequant epilogue yet), large
-        corpus, small k (K-pass extraction)."""
+    def _use_pallas(self, st: _State, k: int) -> bool:
+        """Fused Pallas scan: TPU, fp32/bf16 codes (no dequant epilogue yet),
+        large corpus, small k (group-max extraction)."""
         from ..ops.runtime import is_tpu
 
         return (
             is_tpu()
-            and self._dequant is None
-            and self._codes is not None
-            and self._codes.dtype in (jnp.float32, jnp.bfloat16)
-            and self._n_pad % 1024 == 0
-            and self._n >= 100_000
+            and st.dequant is None
+            and st.codes is not None
+            and st.codes.dtype in (jnp.float32, jnp.bfloat16)
+            and st.n_pad % 1024 == 0
+            and st.n >= 100_000
             and k <= 32
         )
 
@@ -100,26 +130,34 @@ class FlatEngine(VectorIndexEngine):
 
     def _rebuild(self, data: np.ndarray) -> None:
         n = data.shape[0]
-        self._n = n
         if n == 0:
-            self._codes = None
+            self._st = _EMPTY
             return
-        codes = self._prepare(np.asarray(data))
+        codes, dequant = self._prepare(np.asarray(data))
         mesh = self._mesh()
         row_mult = _ROW_ALIGN * (mesh.shape["corpus"] if mesh is not None else 1)
         n_pad = round_up(n, row_mult)
         padded = np.zeros((n_pad, codes.shape[1]), dtype=codes.dtype)
         padded[:n] = codes
-        self._n_pad = n_pad
         deq = decode(padded, self._qparams)
         norms = (deq.astype(np.float32) ** 2).sum(1)
-        self._int4_packed = self.quantize == QuantizeType.INT4
-        if self._int4_packed:
+        int4_packed = self.quantize == QuantizeType.INT4
+        if int4_packed:
             # nibble-packed HBM residency: halves scan bandwidth vs int8
             # (`integer_quantizer_converter.cc:596-607`)
             from ..ops.quantize import pack_int4
 
             padded = pack_int4(padded)
+        from ..ops.runtime import is_tpu
+
+        if padded.dtype == np.float16 and is_tpu():
+            # fp16 codes ride HBM as bf16 on TPU: half bandwidth AND full MXU
+            # rate (TPU has no fp16 matmul path; reference FP16Converter role).
+            # Off-TPU keeps true fp16 (the extra mantissa bits matter to the
+            # CPU-mesh recall oracles).
+            dev_codes = jnp.asarray(padded.astype(np.float32), dtype=jnp.bfloat16)
+        else:
+            dev_codes = None
         if mesh is not None:
             # corpus-sharded residency: each device holds N/devices rows;
             # searches fan out and merge per-shard top-k over ICI
@@ -127,13 +165,16 @@ class FlatEngine(VectorIndexEngine):
 
             from ..parallel.mesh import corpus_sharding
 
-            self._codes = jax.device_put(padded, corpus_sharding(mesh, 2))
-            self._norms = jax.device_put(
+            dev_codes = jax.device_put(
+                padded if dev_codes is None else dev_codes, corpus_sharding(mesh, 2)
+            )
+            dev_norms = jax.device_put(
                 norms.astype(np.float32), corpus_sharding(mesh, 1)
             )
         else:
-            self._codes = jnp.asarray(padded)
-            self._norms = jnp.asarray(norms)
+            dev_codes = jnp.asarray(padded) if dev_codes is None else dev_codes
+            dev_norms = jnp.asarray(norms)
+        self._st = _State(dev_codes, dev_norms, n, n_pad, dequant, int4_packed)
 
     def _search_impl(
         self,
@@ -142,8 +183,9 @@ class FlatEngine(VectorIndexEngine):
         mask: Optional[np.ndarray],
         param: Optional[QueryParam],
     ) -> Tuple[np.ndarray, np.ndarray]:
+        st = self._st  # one consistent snapshot for this query
         nq = queries.shape[0]
-        if self._n == 0:
+        if st.n == 0:
             sims = np.full((nq, topk), -np.inf, dtype=np.float32)
             return sims, np.full((nq, topk), -1, dtype=np.int64)
 
@@ -155,20 +197,21 @@ class FlatEngine(VectorIndexEngine):
         scan_k = topk
         if use_refiner:
             scan_k = min(
-                topk * getattr(param, "refiner_scale_factor", 10), self._n
+                topk * getattr(param, "refiner_scale_factor", 10), st.n
             )
 
         nq_pad = _bucket_queries(nq)
         q = np.zeros((nq_pad, queries.shape[1]), dtype=np.float32)
         q[:nq] = queries
 
-        full_mask = np.zeros(self._n_pad, dtype=bool)
+        full_mask = np.zeros(st.n_pad, dtype=bool)
         if mask is not None:
-            full_mask[: self._n] = mask
+            m = np.asarray(mask)[: st.n]
+            full_mask[: len(m)] = m
         else:
-            full_mask[: self._n] = True
+            full_mask[: st.n] = True
 
-        k = min(scan_k, self._n)
+        k = min(scan_k, st.n)
         mesh = self._mesh()
         if mesh is not None:
             import jax
@@ -179,23 +222,23 @@ class FlatEngine(VectorIndexEngine):
             sims, idx = sharded_flat_search(
                 mesh,
                 jnp.asarray(q),
-                self._codes,
+                st.codes,
                 self.metric,
                 k,
                 mask=dmask,
-                x_sq_norms=self._norms,
-                dequant=self._dequant,
-                int4_packed=getattr(self, "_int4_packed", False),
+                x_sq_norms=st.norms,
+                dequant=st.dequant,
+                int4_packed=st.int4_packed,
             )
-        elif self._use_pallas(k):
+        elif self._use_pallas(st, k):
             from ..ops.flat_pallas import flat_scan_topk
 
-            norms = self._norms
+            norms = st.norms
             if self.metric == MetricType.COSINE:
-                norms = jnp.sqrt(self._norms)  # kernel wants ||x|| for cosine
+                norms = jnp.sqrt(st.norms)  # kernel wants ||x|| for cosine
             sims, idx = flat_scan_topk(
                 jnp.asarray(q),
-                self._codes,
+                st.codes,
                 norms,
                 jnp.asarray(full_mask.astype(np.int8)),
                 metric=self.metric,
@@ -204,17 +247,21 @@ class FlatEngine(VectorIndexEngine):
         else:
             sims, idx = blockwise_topk_search(
                 q,
-                self._codes,
+                st.codes,
                 self.metric,
                 k,
                 mask=jnp.asarray(full_mask),
-                x_sq_norms=self._norms,
+                x_sq_norms=st.norms,
                 block_size=_BLOCK_SIZE,
-                dequant=self._dequant,
-                int4_packed=getattr(self, "_int4_packed", False),
+                dequant=st.dequant,
+                int4_packed=st.int4_packed,
             )
         sims = np.asarray(sims[:nq])
         idx = np.asarray(idx[:nq]).astype(np.int64)
+        oob = idx >= st.n
+        if oob.any():  # padded rows can only surface when fully unmasked
+            idx = np.where(oob, -1, idx)
+            sims = np.where(oob, -np.inf, sims)
 
         if use_refiner:
             sims, idx = refine(self._data_fn, queries, idx, self.metric, topk)

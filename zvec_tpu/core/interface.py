@@ -11,6 +11,7 @@ invalidation (rebuild-on-flush replaces in-place graph mutation).
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -43,6 +44,7 @@ class VectorIndexEngine:
         self._data_fn: Optional[Callable[[], np.ndarray]] = None
         self._version_fn: Optional[Callable[[], int]] = None
         self._built_version = -1
+        self._rebuild_lock = threading.RLock()
 
     # ---- wiring ----
     def bind_data(
@@ -52,10 +54,14 @@ class VectorIndexEngine:
         self._version_fn = version_fn
 
     def _ensure_fresh(self) -> None:
-        v = self._version_fn() if self._version_fn else 0
-        if v != self._built_version:
-            self._rebuild(self._data_fn())
-            self._built_version = v
+        # Serialized: concurrent readers racing a writer must not interleave
+        # two rebuilds (engines swap their device state as one snapshot; see
+        # FlatEngine._State) nor rebuild the same version twice.
+        with self._rebuild_lock:
+            v = self._version_fn() if self._version_fn else 0
+            if v != self._built_version:
+                self._rebuild(self._data_fn())
+                self._built_version = v
 
     # ---- to implement ----
     def _rebuild(self, data: np.ndarray) -> None:

@@ -582,6 +582,65 @@ class CollectionImpl:
             )
         return docs
 
+    def batch_query(
+        self,
+        field_name: str,
+        vectors: np.ndarray,
+        topk: int = 10,
+        filter_str: Optional[str] = None,
+        include_vector: bool = False,
+        output_fields: Optional[List[str]] = None,
+        param: Optional[QueryParam] = None,
+    ) -> List[List[Doc]]:
+        """Batched DQL: one device dispatch scores all queries at once.
+
+        The TPU-idiomatic analog of the reference's intra-query thread
+        parallelism (`collection.cc` query path + SURVEY §2.9): instead of
+        fanning one query across threads, a (B, D) query block rides one MXU
+        program per segment. Returns one ranked Doc list per query row.
+        `output_fields=[]` skips forward-store field materialization (id +
+        score only) — the core-bench measurement shape (`tools/core/bench.cc`).
+        """
+        from ..utils.profiler import Profiler
+
+        vs = self.schema.vector(field_name)
+        if vs is None:
+            raise ZvecError(
+                StatusCode.INVALID_ARGUMENT, f"unknown vector field '{field_name}'"
+            )
+        if not vs.data_type.is_sparse_vector:
+            vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        prof = Profiler(enabled=self.debug_profiling)
+        segs = self._segments_snapshot()
+        sims, ids = self.query_field(
+            field_name, vectors, topk, filter_str, param, prof, segs=segs
+        )
+        if self.debug_profiling:
+            prof.finish()
+            self.last_profile = prof.to_json()
+        metric = vs.index_param.metric_type
+        scores = np.asarray(similarity_to_score(sims, metric))
+        id_score_only = output_fields == [] and not include_vector
+        out: List[List[Doc]] = []
+        for r in range(ids.shape[0]):
+            docs: List[Doc] = []
+            for sc, doc_id in zip(scores[r], ids[r]):
+                if doc_id < 0:
+                    break
+                if id_score_only:
+                    seg = self._segment_for_doc_id(int(doc_id), segs)
+                    pk = seg.store.pk(int(doc_id) - seg.doc_id_start)
+                    docs.append(Doc(id=pk, score=float(sc)))
+                else:
+                    docs.append(
+                        self._materialize_doc(
+                            int(doc_id), float(sc), include_vector, output_fields,
+                            segs=segs,
+                        )
+                    )
+            out.append(docs)
+        return out
+
     def _materialize_doc(
         self,
         doc_id: int,

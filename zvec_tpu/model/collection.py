@@ -174,6 +174,31 @@ class Collection:
         )
         return self._querier.execute(ctx, self._impl)
 
+    def batch_query(
+        self,
+        field_name: str,
+        vectors,
+        *,
+        topk: int = 10,
+        filter: Optional[str] = None,
+        include_vector: bool = False,
+        output_fields: Optional[List[str]] = None,
+        param=None,
+    ) -> List[List[Doc]]:
+        """Batched search: score a (B, D) block of queries in one device
+        dispatch and return one ranked Doc list per row. The TPU-idiomatic
+        face of the reference's intra-query threading (SURVEY §2.9);
+        `output_fields=[]` returns id+score only (core-bench shape)."""
+        return self._impl.batch_query(
+            field_name,
+            vectors,
+            topk=topk,
+            filter_str=filter,
+            include_vector=include_vector,
+            output_fields=output_fields,
+            param=param,
+        )
+
     def group_by_query(
         self,
         vectors: Optional[Union[VectorQuery, List[VectorQuery]]] = None,

@@ -1,19 +1,25 @@
-"""Pallas fused flat-scan kernel: distance tile + mask + exact per-tile top-k.
+"""Pallas fused flat-scan kernel: distance tile + mask + group-max top-k.
 
 The speed-of-light path for the reference's hottest loop (SURVEY §2.8 item 1:
-SIMD distance matrices -> "Pallas MXU/VPU tile kernels"). Each grid step:
+SIMD distance matrices -> "Pallas MXU/VPU tile kernels"; reference equivalent
+`src/core/algorithm/flat/flat_searcher_context.h:237-314`). Each grid step:
 
   1. one MXU matmul scores a (TILE_N, D) code tile against all queries,
   2. the VPU applies the metric epilogue + filter mask in VMEM,
-  3. an unrolled K-pass max-extraction pulls the tile's exact top-k per query
-     while the scores are still VMEM-resident (no HBM re-read, no full sort).
+  3. a lane-aligned group reduction folds the (Q, TILE) score tile into
+     (Q, TILE/G) interleaved group maxima (G=8, group g = cols {g, g+128, ...}
+     — pure static 128-lane slices, no relayout), then K cheap passes extract
+     the tile's top-k GROUPS (G x less VPU work than elementwise K passes).
 
-The tiny (Q, T*K) per-tile winners merge with one exact lax.top_k outside.
-Exactness: every element is compared; only the final merge sorts. This beats
-sort-based lax.top_k by ~2x at 1M rows and keeps the scan matmul-bound.
+Winner groups merge globally with one lax.top_k, then the <= topk*G candidate
+rows are gathered from HBM and rescored exactly in fp32-HIGHEST. Exactness:
+the true top-k elements always lie inside the k groups with largest group-max
+(each element > the k-th is its own group's witness), so the candidate set
+provably covers the answer; the rescore produces exact fp32 scores.
 
-Codes may be f32 or bf16 (bf16 halves HBM traffic; accumulation stays f32).
-Falls back to interpret mode off-TPU (CPU test mesh).
+Codes may be f32 or bf16 (bf16 halves HBM traffic + runs the MXU at full
+rate; the fp32 rescore step restores exact final scores). Falls back to
+interpret mode off-TPU (CPU test mesh).
 """
 
 from __future__ import annotations
@@ -32,9 +38,11 @@ from .runtime import NEG_INF, interpret_mode
 __all__ = ["flat_scan_topk"]
 
 _TILE_N = 1024  # code rows per grid step
+_GROUP = 8  # rows per group; groups interleave across 128 lanes
+_LANES = _TILE_N // _GROUP  # group-max width per tile
 
 
-def _kernel(metric: MetricType, k: int, n_tiles: int):
+def _kernel(metric: MetricType, k: int):
     def kernel(q_ref, qsq_ref, codes_ref, norms_ref, mask_ref, out_s_ref, out_i_ref):
         t = pl.program_id(0)
         q = q_ref[:]  # (Q, D) f32
@@ -59,15 +67,20 @@ def _kernel(metric: MetricType, k: int, n_tiles: int):
             sims = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
         sims = jnp.where(mask_ref[:] != 0, sims, NEG_INF)
 
-        tile = sims.shape[1]
-        col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-        base = t * tile
+        # fold TILE cols into LANES interleaved groups: group g = cols
+        # {g, g+LANES, ...}. Static 128-wide slices -> no vreg relayout.
+        gmax = sims[:, 0:_LANES]
+        for j in range(1, _GROUP):
+            gmax = jnp.maximum(gmax, sims[:, j * _LANES : (j + 1) * _LANES])
+
+        colg = jax.lax.broadcasted_iota(jnp.int32, gmax.shape, 1)
+        base = t * _LANES
         for j in range(k):
-            m = jnp.max(sims, axis=1)  # (Q,)
-            a = jnp.argmax(sims, axis=1).astype(jnp.int32)  # (Q,)
+            m = jnp.max(gmax, axis=1)  # (Q,)
+            a = jnp.argmax(gmax, axis=1).astype(jnp.int32)  # (Q,)
             out_s_ref[0, :, j] = m
             out_i_ref[0, :, j] = jnp.where(m > NEG_INF / 2, a + base, -1)
-            sims = jnp.where(col == a[:, None], NEG_INF, sims)
+            gmax = jnp.where(colg == a[:, None], NEG_INF, gmax)
 
     return kernel
 
@@ -86,6 +99,7 @@ def flat_scan_topk(
     nq, d = q.shape
     n = codes.shape[0]
     assert n % _TILE_N == 0, f"N={n} must be a multiple of {_TILE_N}"
+    assert topk <= _LANES, f"topk={topk} exceeds per-tile group width {_LANES}"
     n_tiles = n // _TILE_N
     q = q.astype(jnp.float32)
 
@@ -114,7 +128,7 @@ def flat_scan_topk(
         ],
     )
     tile_s, tile_i = pl.pallas_call(
-        _kernel(metric, topk, n_tiles),
+        _kernel(metric, topk),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, nq, topk), jnp.float32),
@@ -128,10 +142,44 @@ def flat_scan_topk(
         interpret=interpret_mode(),
     )(q, qside, codes, norms2d, mask2d)
 
-    # final exact merge over the small per-tile winner set
+    # global merge over the per-tile winner GROUPS
     tile_s = tile_s.transpose(1, 0, 2).reshape(nq, n_tiles * topk)
     tile_i = tile_i.transpose(1, 0, 2).reshape(nq, n_tiles * topk)
-    out_s, sel = jax.lax.top_k(tile_s, topk)
-    out_i = jnp.take_along_axis(tile_i, sel, axis=1)
+    top_s, sel = jax.lax.top_k(tile_s, topk)  # (Q, topk) group scores
+    gids = jnp.take_along_axis(tile_i, sel, axis=1)  # (Q, topk) global group ids
+    valid_g = (gids >= 0) & (top_s > NEG_INF / 2)
+
+    # expand winner groups to element indices: group g of tile t covers rows
+    # t*TILE + (g % LANES) + LANES*j for j in range(GROUP)
+    safe_g = jnp.where(valid_g, gids, 0)
+    tile_of = safe_g // _LANES
+    lane_of = safe_g % _LANES
+    offs = (jnp.arange(_GROUP, dtype=jnp.int32) * _LANES)[None, None, :]
+    cand = tile_of[:, :, None] * _TILE_N + lane_of[:, :, None] + offs
+    cand = cand.reshape(nq, topk * _GROUP)  # (Q, C) element row ids
+    cand_valid = jnp.repeat(valid_g, _GROUP, axis=1)
+
+    # gather + exact fp32 rescore of the candidate rows
+    cand_codes = jnp.take(codes, cand, axis=0).astype(jnp.float32)  # (Q, C, D)
+    cand_norms = jnp.take(norms, cand, axis=0)  # (Q, C)
+    cand_mask = jnp.take(mask, cand, axis=0) != 0
+    dots = jax.lax.dot_general(
+        q,
+        cand_codes,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (Q, C)
+    if metric == MetricType.IP:
+        sims = dots
+    elif metric == MetricType.L2:
+        sims = -(qside + cand_norms - 2.0 * dots)
+    else:
+        denom = qside * cand_norms
+        sims = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
+    sims = jnp.where(cand_valid & cand_mask, sims, NEG_INF)
+
+    out_s, sel2 = jax.lax.top_k(sims, topk)
+    out_i = jnp.take_along_axis(cand, sel2, axis=1).astype(jnp.int32)
     out_i = jnp.where(out_s > NEG_INF / 2, out_i, -1)
     return out_s, out_i
