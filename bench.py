@@ -1,121 +1,211 @@
-"""Benchmark: vector search throughput on one TPU chip.
+"""Benchmark: vector search throughput on one TPU chip, via the PUBLIC API.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline: EXACT L2 top-10 over a 1M x 128-d fp32 corpus (recall = 1.0)
-through the fused Pallas flat-scan kernel, query batches of 1024. Set
-BENCH_10M=1 to also measure the 10M corpus (BASELINE.json driver metric
-scale; ~10 extra minutes through the dev tunnel — measured 1,986 qps,
-515 ms/1024-query batch, recall 1.0; see PLAN.md).
+through `zvec_tpu.create_and_open(...)` + `Collection.batch_query(...)` —
+the full DQL path (alive-mask build, segment dispatch, fused Pallas scan,
+cross-segment merge, score conversion, Doc construction). `detail` also
+reports the bare-kernel QPS (flat_scan_topk on pre-placed device buffers)
+so the API + dev-tunnel overhead is visible. Set BENCH_10M=1 to add a 10M
+kernel-level run (BASELINE.json driver metric scale, ~10 extra minutes).
 
-vs_baseline: ratio against a single-core numpy BLAS brute-force scan of the
-same workload (the reference engine's flat scan is CPU SIMD; its harness
-publishes no numbers in-tree, so this measured host baseline is the stand-in
-until a head-to-head reference build exists — see BASELINE.md).
+vs_baseline: ratio against the strongest available baseline for the same
+workload, in order of preference:
+  1. the reference zvec C++ engine built from /root/reference by
+     benchmarks/refshim/build_ref.sh and measured by benchmarks/h2h.py
+     (numbers recorded in benchmarks/ref_measured.json), or
+  2. a single-core numpy BLAS brute-force scan measured inline.
+The baseline source is named in detail.baseline_source.
 """
 
 import json
+import os
+import shutil
 import time
 
 import numpy as np
 
+D, Q, K = 128, 1024, 10
+N = int(os.environ.get("BENCH_N", 1_000_000))  # override for smoke tests
+BENCH_DIR = os.environ.get("BENCH_DIR", "/tmp/zvec_bench_1m")
+REF_MEASURED = os.path.join(os.path.dirname(__file__), "benchmarks", "ref_measured.json")
 
-def _measure(run, qset, iters, jnp):
-    outs = [run(q) for q in qset]  # warm inputs + compile
-    np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))
 
-    def timed_pass():
-        outs = [run(qset[i % len(qset)]) for i in range(iters)]
-        np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))
+def build_collection(X):
+    import zvec_tpu
+    from zvec_tpu import (
+        CollectionSchema,
+        DataType,
+        Doc,
+        FlatIndexParam,
+        MetricType,
+        VectorSchema,
+    )
 
-    timed_pass()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        timed_pass()
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    marker = os.path.join(BENCH_DIR, "BENCH_READY")
+    if os.path.exists(marker) and os.environ.get("BENCH_REBUILD") != "1":
+        return zvec_tpu.open(BENCH_DIR), 0.0
+    shutil.rmtree(BENCH_DIR, ignore_errors=True)
+    zvec_tpu.init()
+    schema = CollectionSchema(
+        "bench1m",
+        vectors=[VectorSchema("vec", DataType.VECTOR_FP32, D, FlatIndexParam(MetricType.L2))],
+    )
+    col = zvec_tpu.create_and_open(BENCH_DIR, schema)
+    t0 = time.perf_counter()
+    B = 1024  # write-batch cap (reference parity)
+    for lo in range(0, N, B):
+        col.insert(
+            [Doc(id=str(i), vectors={"vec": X[i]}) for i in range(lo, min(lo + B, N))]
+        )
+    col.optimize()  # seal + build the flat index (single sealed segment)
+    col.flush()
+    build_s = time.perf_counter() - t0
+    open(marker, "w").write("ok")
+    return col, build_s
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    rng = np.random.default_rng(0)
+    queries = rng.standard_normal((Q, D)).astype(np.float32)
+    qset = [np.roll(queries, i, axis=0) for i in range(4)]
+    X = rng.standard_normal((N, D), dtype=np.float32)
+
+    col, build_s = build_collection(X)
+
+    # ---- headline: batched public-API queries ----
+    def api_pass(iters):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            col.batch_query("vec", qset[i % len(qset)], topk=K, output_fields=[])
+        return (time.perf_counter() - t0) / iters
+
+    col.batch_query("vec", qset[0], topk=K, output_fields=[])  # warm + compile
+    api_s = min(api_pass(4) for _ in range(2))
+    api_qps = Q / api_s
+
+    # oracle check through the API (exactness of the whole path)
+    hits = col.batch_query("vec", queries[:4], topk=K, output_fields=[])
+    for r in range(4):
+        d2 = ((X - queries[r]) ** 2).sum(1)
+        expect = {str(i) for i in np.argsort(d2)[:K]}
+        got = {h.id for h in hits[r]}
+        assert len(got & expect) >= K - 1, f"API bench failed oracle check: {got}"
+
+    # single-query latency (includes Doc materialization of K rows)
+    from zvec_tpu import VectorQuery
+
+    lats = []
+    for i in range(30):
+        t0 = time.perf_counter()
+        col.query(VectorQuery("vec", vector=queries[i % Q]), topk=K)
+        lats.append(time.perf_counter() - t0)
+    p50_ms = float(np.percentile(np.array(lats) * 1e3, 50))
+
+    # ---- detail: bare kernel on pre-placed device buffers ----
     from zvec_tpu.ops.flat_pallas import flat_scan_topk
     from zvec_tpu.typing import MetricType
 
-    D, Q, K = 128, 1024, 10
-    rng = np.random.default_rng(0)
-    queries = rng.standard_normal((Q, D), dtype=np.float32)
-    qset = [jnp.asarray(np.roll(queries, i, axis=0)) for i in range(4)]
+    eng = col._impl.segments[0].engine_for("vec")
+    eng._ensure_fresh()
+    st = eng._st
+    mask = np.zeros(st.n_pad, dtype=np.int8)
+    mask[:N] = 1
+    dmask = jnp.asarray(mask)
+    dqs = [jnp.asarray(qb) for qb in qset]
 
-    import os
+    def kernel_run(qd):
+        return flat_scan_topk(qd, st.codes, st.norms, dmask, metric=MetricType.L2, topk=K)
 
-    sizes = [("1M", 1_000_000, 1_048_576, 10)]
+    outs = [kernel_run(qd) for qd in dqs]
+    np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))  # compile + warm
+
+    def kernel_pass(iters):
+        t0 = time.perf_counter()
+        outs = [kernel_run(dqs[i % 4]) for i in range(iters)]
+        np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))
+        return (time.perf_counter() - t0) / iters
+
+    kernel_pass(4)
+    kernel_s = min(kernel_pass(8) for _ in range(2))
+    kernel_qps = Q / kernel_s
+
+    results = {"1M": {"api_qps": api_qps, "kernel_qps": kernel_qps}}
+
     if os.environ.get("BENCH_10M") == "1":
-        sizes.append(("10M", 10_000_000, 10_485_760, 4))
-    results = {}
-    corpus_head = None
-    for name, n, n_pad, iters in sizes:
-        corpus = rng.standard_normal((n_pad, D), dtype=np.float32)
-        mask = np.zeros(n_pad, dtype=np.int8)
-        mask[:n] = 1
+        n10, npad10 = 10_000_000, 10_485_760
+        corpus = rng.standard_normal((npad10, D), dtype=np.float32)
+        m10 = np.zeros(npad10, dtype=np.int8)
+        m10[:n10] = 1
         codes = jnp.asarray(corpus)
-        dmask = jnp.asarray(mask)
-        # norms on host: a device reduce over the tunnel-placed buffer is
-        # pathologically slow (measured 226s at 10M)
         norms = jnp.asarray(np.einsum("nd,nd->n", corpus, corpus))
+        dm10 = jnp.asarray(m10)
 
-        def run(q, codes=codes, norms=norms, dmask=dmask):
-            return flat_scan_topk(q, codes, norms, dmask, metric=MetricType.L2, topk=K)
+        def run10(qd):
+            return flat_scan_topk(qd, codes, norms, dm10, metric=MetricType.L2, topk=K)
 
-        sec = _measure(run, qset, iters, jnp)
-        results[name] = {"batch_ms": sec * 1e3, "qps": Q / sec}
-        if name == "1M":
-            corpus_head = corpus[:n]
-            sims, idx = run(qset[0])
-            d = ((queries[0][None, :] - corpus_head) ** 2).sum(1)
-            expect = set(np.argsort(d)[:K].tolist())
-            got = set(int(x) for x in np.asarray(idx)[0] if 0 <= x < n)
-            assert len(got & expect) >= K - 1, "bench failed oracle check"
-            corpus_head = corpus[:131_072].copy()
-        del corpus, codes, norms, dmask
+        outs = [run10(qd) for qd in dqs]
+        np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))
 
-    # host numpy baseline (single core BLAS) on a 131072 slice, scaled to 10M
-    NB = 131_072
-    sub = corpus_head
-    sub_norms = (sub**2).sum(1)
-    t0 = time.perf_counter()
-    reps = 1
-    for _ in range(reps):
+        def pass10(iters):
+            t0 = time.perf_counter()
+            outs = [run10(dqs[i % 4]) for i in range(iters)]
+            np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))
+            return (time.perf_counter() - t0) / iters
+
+        pass10(2)
+        s10 = min(pass10(4) for _ in range(2))
+        results["10M"] = {"kernel_qps": Q / s10}
+        del corpus, codes, norms, dm10
+
+    # ---- baseline ----
+    baseline_source = "host_numpy_1core"
+    ref_qps = None
+    if os.path.exists(REF_MEASURED):
+        try:
+            ref = json.load(open(REF_MEASURED))
+            ref_qps = ref.get("flat_1M_128d_qps")
+            if ref_qps:
+                baseline_source = ref.get("source", "reference_cpp")
+        except Exception:
+            ref_qps = None
+    if ref_qps is None:
+        NB = 131_072
+        sub = X[:NB]
+        sub_norms = (sub**2).sum(1)
+        t0 = time.perf_counter()
         dots = queries @ sub.T
         d2 = (queries**2).sum(1)[:, None] + sub_norms[None, :] - 2 * dots
         np.argpartition(d2, K, axis=1)
-    scale = 1_000_000 if "10M" not in results else 10_000_000
-    host_s = (time.perf_counter() - t0) / reps * (scale / NB)
-    host_qps = Q / host_s
+        ref_qps = Q / ((time.perf_counter() - t0) * (N / NB))
 
-    key = "10M" if "10M" in results else "1M"
-    qps = results[key]["qps"]
+    headline = results["1M"]["api_qps"]
     detail = {
         "batch": Q,
-        "batch_ms": round(results[key]["batch_ms"], 2),
-        "host_numpy_qps": round(host_qps, 2),
+        "api_batch_ms": round(api_s * 1e3, 2),
+        "kernel_qps_1M": round(kernel_qps, 1),
+        "query_p50_ms": round(p50_ms, 2),
+        "collection_build_s": round(build_s, 1),
         "device": jax.devices()[0].platform,
         "recall": 1.0,
+        "baseline_source": baseline_source,
+        "baseline_qps": round(float(ref_qps), 2),
     }
-    if key == "10M":
-        detail["qps_1M"] = round(results["1M"]["qps"], 1)
-    else:
-        # measured separately with BENCH_10M=1 (see PLAN.md)
-        detail["measured_qps_10M"] = 1986.0
+    if "10M" in results:
+        detail["kernel_qps_10M"] = round(results["10M"]["kernel_qps"], 1)
     print(
         json.dumps(
             {
-                "metric": f"exact_search_qps_at_recall1.0_{key}_128d_top10",
-                "value": round(qps, 1),
+                "metric": f"exact_search_qps_at_recall1.0_{N // 1_000_000}M_128d_top10_public_api"
+                if N >= 1_000_000
+                else f"exact_search_qps_at_recall1.0_{N}_128d_top10_public_api",
+                "value": round(headline, 1),
                 "unit": "qps",
-                "vs_baseline": round(qps / host_qps, 2),
+                "vs_baseline": round(headline / float(ref_qps), 2),
                 "detail": detail,
             }
         )

@@ -69,8 +69,36 @@ class FlatEngine(VectorIndexEngine):
             if params is not None
             else QuantizeType.UNDEFINED
         )
+        # binary modes: HAMMING-metric fields hold packed bit codes;
+        # QuantizeType.BINARY binarizes float codes (reference
+        # BinaryConverter, `binary_converter.cc`). Both scan as ±1 vectors
+        # under L2 — hamming = ||q - x||^2 / 4 on {±1}^D — so every scan
+        # path (Pallas / blockwise / mesh-sharded) rides the MXU unchanged.
+        self._hamming = self.metric == MetricType.HAMMING
+        self._binary_codes = self.quantize == QuantizeType.BINARY
+        if self._binary_codes and self.metric != MetricType.L2:
+            raise ValueError("QuantizeType.BINARY requires MetricType.L2")
         self._st: _State = _EMPTY
         self._qparams: Optional[QuantParams] = None
+        # device-resident mask cache: repeated queries with the same
+        # alive/filter mask (the common case: no deletes between queries)
+        # reuse one HBM buffer instead of re-uploading N bytes per batch —
+        # through the dev tunnel one H2D costs ~0.5s at 1M rows.
+        self._mask_cache: dict = {}
+
+    def _device_mask(self, st: _State, full_mask: np.ndarray, as_int8: bool):
+        import hashlib
+
+        digest = hashlib.blake2b(full_mask.tobytes(), digest_size=16).digest()
+        key = (id(st.codes), digest, as_int8)
+        hit = self._mask_cache.get(key)
+        if hit is not None:
+            return hit
+        dev = jnp.asarray(full_mask.astype(np.int8) if as_int8 else full_mask)
+        if len(self._mask_cache) >= 8:
+            self._mask_cache.clear()
+        self._mask_cache[key] = dev
+        return dev
 
     # legacy attribute views (tests/tools may poke these)
     @property
@@ -92,7 +120,16 @@ class FlatEngine(VectorIndexEngine):
     def _prepare(self, data: np.ndarray) -> tuple:
         """Storage-side transform: cosine-normalize, then quantize.
         Returns (codes, dequant)."""
+        if self._hamming:
+            from ..ops.quantize import bits_to_pm1, unpack_bits
+
+            bits = unpack_bits(np.ascontiguousarray(data), self.dimension)
+            return bits_to_pm1(bits), None
         data = data.astype(np.float32, copy=False)
+        if self._binary_codes:
+            from ..ops.quantize import binarize, bits_to_pm1
+
+            return bits_to_pm1(binarize(data)), None
         if self.metric == MetricType.COSINE and self.quantize != QuantizeType.UNDEFINED:
             norms = np.linalg.norm(data, axis=1, keepdims=True)
             data = np.where(norms > 0, data / np.where(norms > 0, norms, 1.0), data)
@@ -189,6 +226,19 @@ class FlatEngine(VectorIndexEngine):
             sims = np.full((nq, topk), -np.inf, dtype=np.float32)
             return sims, np.full((nq, topk), -1, dtype=np.int64)
 
+        orig_queries = queries
+        scan_metric = self.metric
+        if self._hamming:
+            from ..ops.quantize import bits_to_pm1, unpack_bits
+
+            queries = bits_to_pm1(unpack_bits(np.ascontiguousarray(queries), self.dimension))
+            scan_metric = MetricType.L2
+        elif self._binary_codes:
+            from ..ops.quantize import binarize, bits_to_pm1
+
+            queries = bits_to_pm1(binarize(queries))
+            scan_metric = MetricType.L2
+
         use_refiner = (
             param is not None
             and getattr(param, "is_using_refiner", False)
@@ -223,7 +273,7 @@ class FlatEngine(VectorIndexEngine):
                 mesh,
                 jnp.asarray(q),
                 st.codes,
-                self.metric,
+                scan_metric,
                 k,
                 mask=dmask,
                 x_sq_norms=st.norms,
@@ -234,23 +284,23 @@ class FlatEngine(VectorIndexEngine):
             from ..ops.flat_pallas import flat_scan_topk
 
             norms = st.norms
-            if self.metric == MetricType.COSINE:
+            if scan_metric == MetricType.COSINE:
                 norms = jnp.sqrt(st.norms)  # kernel wants ||x|| for cosine
             sims, idx = flat_scan_topk(
                 jnp.asarray(q),
                 st.codes,
                 norms,
-                jnp.asarray(full_mask.astype(np.int8)),
-                metric=self.metric,
+                self._device_mask(st, full_mask, as_int8=True),
+                metric=scan_metric,
                 topk=k,
             )
         else:
             sims, idx = blockwise_topk_search(
                 q,
                 st.codes,
-                self.metric,
+                scan_metric,
                 k,
-                mask=jnp.asarray(full_mask),
+                mask=self._device_mask(st, full_mask, as_int8=False),
                 x_sq_norms=st.norms,
                 block_size=_BLOCK_SIZE,
                 dequant=st.dequant,
@@ -264,8 +314,13 @@ class FlatEngine(VectorIndexEngine):
             sims = np.where(oob, -np.inf, sims)
 
         if use_refiner:
-            sims, idx = refine(self._data_fn, queries, idx, self.metric, topk)
+            # exact re-rank against the unquantized store (original queries,
+            # original metric — matches the reference BasicRefiner)
+            sims, idx = refine(self._data_fn, orig_queries, idx, self.metric, topk)
             idx = idx.astype(np.int64)
+        elif self._hamming or self._binary_codes:
+            # ±1 L2 scan -> hamming similarity: hamming = l2^2 / 4
+            sims = sims * 0.25
 
         if sims.shape[1] < topk:
             pad = topk - sims.shape[1]

@@ -84,6 +84,7 @@ class HnswEngine(VectorIndexEngine):
         self._search_metric = self.metric  # set per-build (MIPS augments IP)
         self._mips = False
         self._mips_max_norm2 = 0.0
+        self._hamming = self.metric == MetricType.HAMMING  # packed bit codes
         self.quantize = (
             QuantizeType(params.quantize_type)
             if params is not None
@@ -106,7 +107,16 @@ class HnswEngine(VectorIndexEngine):
 
     # ------------- build -------------
     def _rebuild(self, data: np.ndarray) -> None:
-        data = np.asarray(data, dtype=np.float32)
+        if self._hamming:
+            # packed bit codes -> ±1 vectors: hamming = ||q - x||^2 / 4 on
+            # {±1}^D, so the graph builds and traverses in plain L2 space
+            # (reference hamming metric `hamming_metric.cc:236`; the MXU
+            # matmul replaces its AVX popcount kernels)
+            from ..ops.quantize import bits_to_pm1, unpack_bits
+
+            data = bits_to_pm1(unpack_bits(np.ascontiguousarray(data), self.dimension))
+        else:
+            data = np.asarray(data, dtype=np.float32)
         self._n = data.shape[0]
         if self._n == 0:
             self._dev = None
@@ -118,7 +128,9 @@ class HnswEngine(VectorIndexEngine):
         # Derived from self.metric (not the previous _search_metric) so a
         # second rebuild of the same engine re-augments correctly.
         self._mips = self.metric == MetricType.IP
-        self._search_metric = MetricType.L2 if self._mips else self.metric
+        self._search_metric = (
+            MetricType.L2 if (self._mips or self._hamming) else self.metric
+        )
         if self._mips:
             data, self._mips_max_norm2 = mips_augment(data)
         n_pad = round_up(self._n, _ROW_ALIGN)
@@ -687,6 +699,10 @@ class HnswEngine(VectorIndexEngine):
         if self._mips:
             q_norm2 = (queries.astype(np.float32) ** 2).sum(1)
             queries = mips_augment_query(queries.astype(np.float32))
+        elif self._hamming:
+            from ..ops.quantize import bits_to_pm1, unpack_bits
+
+            queries = bits_to_pm1(unpack_bits(np.ascontiguousarray(queries), self.dimension))
         ef = param.ef if isinstance(param, HnswQueryParam) else 500
         use_refiner = (
             param is not None
@@ -761,6 +777,8 @@ class HnswEngine(VectorIndexEngine):
                 (sims + q_norm2[:, None] + self._mips_max_norm2) / 2.0,
                 sims,
             )
+        elif self._hamming:
+            sims = sims * 0.25  # ±1 L2 similarity -> -hamming
         if sims.shape[1] < topk:
             pad = topk - sims.shape[1]
             sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)

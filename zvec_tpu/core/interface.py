@@ -87,7 +87,12 @@ class VectorIndexEngine:
         """Batched top-k: returns (similarity (Q,k) desc, local indices (Q,k);
         invalid slots have index -1)."""
         self._ensure_fresh()
-        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if getattr(self, "_hamming", False):
+            # packed binary queries: keep the uint words intact (a float32
+            # cast would corrupt words past 2^24)
+            queries = np.atleast_2d(np.asarray(queries))
+        else:
+            queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         n = getattr(self, "_n", None)
         if mask is not None and n is not None and len(mask) != n:
             # concurrent append race: the caller sized the alive mask from an

@@ -55,6 +55,8 @@ _T_VEC_F32 = 20
 _T_VEC_F16 = 21
 _T_VEC_F64 = 22
 _T_VEC_I8 = 23
+_T_VEC_U32 = 24  # packed binary vector words (VECTOR_BINARY32)
+_T_VEC_U64 = 25  # packed binary vector words (VECTOR_BINARY64)
 _T_SPARSE_F32 = 30
 _T_U64 = 31
 
@@ -72,6 +74,8 @@ _VEC_DTYPES = {
     _T_VEC_F16: np.float16,
     _T_VEC_F64: np.float64,
     _T_VEC_I8: np.int8,
+    _T_VEC_U32: np.uint32,
+    _T_VEC_U64: np.uint64,
 }
 _DTYPE_TO_ARR = {np.dtype(v): k for k, v in _ARR_DTYPES.items()}
 _DTYPE_TO_VEC = {np.dtype(v): k for k, v in _VEC_DTYPES.items()}
@@ -173,7 +177,15 @@ def _encode_list(buf: bytearray, value: list) -> None:
 
 def _encode_array(buf: bytearray, arr: np.ndarray, is_vector: bool = False) -> None:
     dt = arr.dtype
-    if dt in _DTYPE_TO_VEC and arr.ndim == 1 and (is_vector or dt != np.dtype(np.float64)):
+    if (
+        dt in _DTYPE_TO_VEC
+        and arr.ndim == 1
+        and (
+            is_vector
+            or dt
+            not in (np.dtype(np.float64), np.dtype(np.uint32), np.dtype(np.uint64))
+        )
+    ):
         tag = _DTYPE_TO_VEC[dt]
     elif dt in _DTYPE_TO_ARR:
         tag = _DTYPE_TO_ARR[dt]

@@ -26,7 +26,7 @@ from ..model.param.param import (
 )
 from ..model.schema import CollectionSchema, CollectionStats
 from ..ops.distance import similarity_to_score
-from ..typing.enum import StatusCode
+from ..typing.enum import DataType, StatusCode
 from ..typing.status import Status, ZvecError
 from . import codec
 from .delete_store import DeleteStore
@@ -482,6 +482,10 @@ class CollectionImpl:
             if isinstance(queries, dict):
                 queries = [queries]
             nq_sparse = len(queries)
+        elif vs.data_type in (DataType.VECTOR_BINARY32, DataType.VECTOR_BINARY64):
+            from .validate import coerce_binary_queries
+
+            queries = coerce_binary_queries(queries, vs)
         else:
             queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         if segs is None:
@@ -1079,12 +1083,23 @@ def _exact_over_rows(seg, field_name, queries, topk, alive, vs):
     ids = np.full((nq, topk), -1, dtype=np.int64)
     if rows.size == 0:
         return sims, ids
-    data = np.asarray(seg.store.dense_matrix(field_name), dtype=np.float32)[rows]
-    q = np.asarray(queries, dtype=np.float32)
-    dots = q @ data.T
     metric = vs.index_param.metric_type
     from ..typing.enum import MetricType
 
+    if metric == MetricType.HAMMING:
+        from ..ops.quantize import unpack_bits
+
+        xb = unpack_bits(np.ascontiguousarray(seg.store.dense_matrix(field_name)[rows]), vs.dimension)
+        qb = unpack_bits(np.ascontiguousarray(queries), vs.dimension)
+        s = -(qb[:, None, :] != xb[None, :, :]).sum(axis=2).astype(np.float32)
+        k = min(topk, rows.size)
+        order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        sims[:, :k] = np.take_along_axis(s, order, 1)
+        ids[:, :k] = rows[order] + seg.doc_id_start
+        return sims, ids
+    data = np.asarray(seg.store.dense_matrix(field_name), dtype=np.float32)[rows]
+    q = np.asarray(queries, dtype=np.float32)
+    dots = q @ data.T
     if metric == MetricType.IP:
         s = dots
     elif metric == MetricType.L2:

@@ -74,7 +74,20 @@ _VECTOR_NUMPY = {
     DataType.VECTOR_FP32: np.float32,
     DataType.VECTOR_FP64: np.float64,
     DataType.VECTOR_INT8: np.int8,
+    DataType.VECTOR_BINARY32: np.uint32,
+    DataType.VECTOR_BINARY64: np.uint64,
 }
+
+
+def storage_width(vs) -> int:
+    """Stored elements per row: packed words for binary vectors
+    (`type.h:47-48` VECTOR_BINARY32/64 — dimension counts BITS), else the
+    dimension itself."""
+    if vs.data_type == DataType.VECTOR_BINARY32:
+        return -(-vs.dimension // 32)
+    if vs.data_type == DataType.VECTOR_BINARY64:
+        return -(-vs.dimension // 64)
+    return vs.dimension
 
 _SPARSE_TYPE = pa.struct(
     [pa.field("indices", pa.list_(pa.uint32())), pa.field("values", pa.list_(pa.float32()))]
@@ -112,7 +125,7 @@ class ForwardStore:
                 self._sparse[v.name] = []
             else:
                 dt = _VECTOR_NUMPY[v.data_type]
-                self._dense[v.name] = np.zeros((0, v.dimension), dtype=dt)
+                self._dense[v.name] = np.zeros((0, storage_width(v)), dtype=dt)
                 self._dense_dtype[v.name] = np.dtype(dt)
         self._table: Optional[pa.Table] = None  # sealed-mode cache
 
@@ -192,7 +205,7 @@ class ForwardStore:
         vs = self.schema.vector(name)
         dt = _VECTOR_NUMPY[vs.data_type]
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(dt, copy=False)
-        return flat.reshape(self._count, vs.dimension)
+        return flat.reshape(self._count, storage_width(vs))
 
     def dense_vector(self, name: str, idx: int) -> Optional[np.ndarray]:
         if name in self._dense:
@@ -265,7 +278,9 @@ class ForwardStore:
                 # fp64 → float64) — no silent fp32 downcast
                 mat = self._dense[v.name][: self._count]
                 flat = pa.array(np.ascontiguousarray(mat).reshape(-1))
-                arrays[v.name] = pa.FixedSizeListArray.from_arrays(flat, v.dimension)
+                arrays[v.name] = pa.FixedSizeListArray.from_arrays(
+                    flat, storage_width(v)
+                )
         return pa.table(arrays)
 
     def seal(self, path: str) -> None:

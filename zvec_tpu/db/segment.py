@@ -22,7 +22,7 @@ import numpy as np
 from ..core.interface import VectorIndexEngine, create_engine
 from ..model.param.param import QueryParam, VectorIndexParam
 from ..model.schema import CollectionSchema
-from ..typing.enum import IndexType
+from ..typing.enum import DataType, IndexType
 from .forward_store import ForwardStore
 from .version import SegmentMeta
 from .wal import WalFile
@@ -161,12 +161,23 @@ class Segment:
                 # type (the reference's brute-force-below-threshold behavior,
                 # `hnsw_params.h:42`); sealed segments use their built index.
                 engine = create_engine(vs.index_param, vs.dimension, force_flat=True)
-                engine.bind_data(
-                    lambda f=field: np.asarray(
-                        self.store.dense_matrix(f), dtype=np.float32
-                    ),
-                    lambda: self._write_version,
-                )
+                if vs.data_type in (
+                    DataType.VECTOR_BINARY32,
+                    DataType.VECTOR_BINARY64,
+                ):
+                    # packed bit words: a float32 cast would corrupt values
+                    # past 2^24; the hamming engine unpacks them itself
+                    engine.bind_data(
+                        lambda f=field: self.store.dense_matrix(f),
+                        lambda: self._write_version,
+                    )
+                else:
+                    engine.bind_data(
+                        lambda f=field: np.asarray(
+                            self.store.dense_matrix(f), dtype=np.float32
+                        ),
+                        lambda: self._write_version,
+                    )
             self._engines[field] = engine
         return engine
 
@@ -257,7 +268,13 @@ class Segment:
                 lambda f=field: self.store.dense_matrix(f),
                 lambda: self._write_version,
             )
-            engine.search(np.zeros((1, vs.dimension), np.float32), 1)  # force build
+            if vs.data_type in (DataType.VECTOR_BINARY32, DataType.VECTOR_BINARY64):
+                from .forward_store import storage_width
+
+                probe = np.zeros((1, storage_width(vs)), self.store.dense_matrix(field).dtype)
+            else:
+                probe = np.zeros((1, vs.dimension), np.float32)
+            engine.search(probe, 1)  # force build
         aux = engine.dump_aux(self.directory, f"{field}")
         self._engines[field] = engine
         self._built_index_params[field] = params

@@ -73,6 +73,65 @@ def coerce_scalar(value: Any, dt: DataType) -> Tuple[Any, Optional[str]]:
     return None, f"unsupported data type {dt.name}"
 
 
+def coerce_binary_vector(value, vs) -> Tuple[Optional[np.ndarray], Optional[str]]:
+    """Normalize a binary vector input to packed LSB-first words.
+
+    Accepts either the packed form (uint32/uint64 words, `dim/32` or `dim/64`
+    of them — the reference wire layout, `binary_quantizer.cc:40-52`) or a
+    0/1 bit array of length `dimension` (packed here for convenience)."""
+    word_bits = 32 if vs.data_type == DataType.VECTOR_BINARY32 else 64
+    dtype = np.uint32 if word_bits == 32 else np.uint64
+    words = -(-vs.dimension // word_bits)
+    if (
+        isinstance(value, (list, tuple))
+        and len(value) == words
+        and all(isinstance(x, (int, np.integer)) for x in value)
+    ):
+        # python ints past int64 coerce lossily through np.asarray(list)
+        try:
+            return np.asarray(value, dtype=dtype), None
+        except OverflowError:
+            return None, "packed binary word out of range"
+    arr = np.asarray(value)
+    if arr.ndim != 1:
+        return None, "binary vector must be 1-dimensional"
+    if not np.issubdtype(arr.dtype, np.number) and arr.dtype != np.bool_:
+        return None, "binary vector must be numeric"
+    if arr.shape[0] == words and vs.dimension != words:
+        if np.issubdtype(arr.dtype, np.floating):
+            return None, "packed binary words must be integers"
+        if arr.min() < 0 or (word_bits == 32 and int(arr.max()) > 0xFFFFFFFF):
+            return None, "packed binary word out of range"
+        return arr.astype(dtype), None
+    if arr.shape[0] == vs.dimension:
+        vals = np.unique(arr)
+        if not np.isin(vals, (0, 1)).all():
+            return None, "bit-form binary vector must contain only 0/1"
+        from ..ops.quantize import pack_bits
+
+        return pack_bits(arr[None, :].astype(np.uint8), word_bits)[0], None
+    return None, (
+        f"binary vector length {arr.shape[0]} matches neither packed "
+        f"({words} words) nor bit ({vs.dimension}) form"
+    )
+
+
+def coerce_binary_queries(queries, vs) -> np.ndarray:
+    """Normalize one query / a batch of queries for a binary vector field to
+    a (B, words) packed array (each row via coerce_binary_vector)."""
+    arr = np.asarray(queries)
+    rows = [queries] if arr.ndim == 1 else list(arr)
+    out = []
+    for r in rows:
+        packed, err = coerce_binary_vector(r, vs)
+        if err:
+            from ..typing.status import ZvecError
+
+            raise ZvecError(StatusCode.INVALID_ARGUMENT, f"binary query: {err}")
+        out.append(packed)
+    return np.stack(out, axis=0)
+
+
 def validate_doc(
     schema: CollectionSchema, doc: Doc, partial: bool = False
 ) -> Tuple[Optional[Dict[str, Any]], Optional[Dict[str, Any]], Status]:
@@ -125,6 +184,13 @@ def validate_doc(
                     StatusCode.INVALID_ARGUMENT,
                     f"sparse vector '{name}' has non-numeric entries",
                 )
+        elif vs.data_type in (DataType.VECTOR_BINARY32, DataType.VECTOR_BINARY64):
+            arr, err = coerce_binary_vector(value, vs)
+            if err:
+                return None, None, Status.error(
+                    StatusCode.INVALID_ARGUMENT, f"vector '{name}': {err}"
+                )
+            vectors[name] = arr
         else:
             arr = np.asarray(value)
             if arr.ndim != 1:

@@ -107,6 +107,12 @@ class QueryExecutor(ABC):
                     f"sparse field '{vs.name}' requires a dict query vector"
                 )
             built_vec = {int(k): float(v) for k, v in vec.items()}
+        elif vs.data_type in (DataType.VECTOR_BINARY32, DataType.VECTOR_BINARY64):
+            from ..db.validate import coerce_binary_vector
+
+            built_vec, err = coerce_binary_vector(vec, vs)
+            if err:
+                raise ValueError(f"query vector for '{vs.name}': {err}")
         else:
             target = DTYPE_MAP.get(vs.data_type, np.float32)
             built_vec = np.asarray(vec, dtype=target)

@@ -21,6 +21,10 @@ def _normalize_vector(vec):
     if vec is None:
         return None
     if isinstance(vec, np.ndarray):
+        if vec.dtype.kind == "u":
+            # packed binary words: keep the ndarray — .tolist() would hand
+            # numpy python ints past int64, which re-coerce lossily to float
+            return vec.copy()
         return vec.tolist()
     if isinstance(vec, dict):
         return {int(k): float(v) for k, v in vec.items()}

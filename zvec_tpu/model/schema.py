@@ -32,6 +32,8 @@ __all__ = [
 ]
 
 SUPPORT_VECTOR_DATA_TYPE = [
+    DataType.VECTOR_BINARY32,
+    DataType.VECTOR_BINARY64,
     DataType.VECTOR_FP16,
     DataType.VECTOR_FP32,
     DataType.VECTOR_FP64,
@@ -175,8 +177,31 @@ class VectorSchema:
                 f"schema validate failed: vector field [{name}] requires a vector "
                 f"index param, got {type(index_param).__name__}"
             )
+        dt = DataType(data_type)
+        if dt in (DataType.VECTOR_BINARY32, DataType.VECTOR_BINARY64):
+            # binary vectors score hamming, full stop (the reference reaches
+            # its hamming metric only via binary data, `hamming_metric.cc`)
+            from ..typing.enum import IndexType, MetricType, QuantizeType
+
+            if index_param.index_type == IndexType.IVF:
+                raise ValueError(
+                    f"schema validate failed: binary vector [{name}] supports "
+                    "FLAT/HNSW indexes (k-means centroids are not binary)"
+                )
+            if index_param.metric_type in (MetricType.UNDEFINED, MetricType.IP):
+                index_param.metric_type = MetricType.HAMMING  # default coercion
+            if index_param.metric_type != MetricType.HAMMING:
+                raise ValueError(
+                    f"schema validate failed: binary vector [{name}] requires "
+                    f"MetricType.HAMMING, got {index_param.metric_type!r}"
+                )
+            if index_param.quantize_type not in (None, QuantizeType.UNDEFINED, 0):
+                raise ValueError(
+                    f"schema validate failed: binary vector [{name}] cannot be "
+                    "re-quantized"
+                )
         self._name = name
-        self._data_type = DataType(data_type)
+        self._data_type = dt
         self._dimension = dimension
         self._index_param = index_param
 

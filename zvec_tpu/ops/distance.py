@@ -177,6 +177,10 @@ def similarity_matrix(
         return -squared_l2_matrix(q, x, x_sq_norms, dequant, int4_packed)
     if metric == MetricType.COSINE:
         return _cosine_similarity_matrix(q, x, x_sq_norms, dequant, int4_packed)
+    if metric == MetricType.HAMMING:
+        # q and x arrive as ±1 vectors (engines unpack bit codes; see
+        # quantize.bits_to_pm1): hamming = ||q - x||^2 / 4 rides the MXU.
+        return -squared_l2_matrix(q, x, x_sq_norms, dequant, int4_packed) * 0.25
     raise ValueError(f"unsupported metric {metric}")
 
 
@@ -185,8 +189,8 @@ def similarity_to_score(sim, metric: MetricType):
     metric = MetricType(metric)
     if metric == MetricType.IP:
         return sim
-    if metric == MetricType.L2:
-        return -sim  # squared L2 distance
+    if metric in (MetricType.L2, MetricType.HAMMING):
+        return -sim  # squared L2 / hamming distance, ascending
     if metric == MetricType.COSINE:
         return 1.0 - sim  # cosine distance
     raise ValueError(f"unsupported metric {metric}")
@@ -196,7 +200,7 @@ def score_to_similarity(score, metric: MetricType):
     metric = MetricType(metric)
     if metric == MetricType.IP:
         return score
-    if metric == MetricType.L2:
+    if metric in (MetricType.L2, MetricType.HAMMING):
         return -score
     if metric == MetricType.COSINE:
         return 1.0 - score

@@ -35,6 +35,10 @@ __all__ = [
     "storage_dtype",
     "pack_int4",
     "unpack_int4",
+    "pack_bits",
+    "unpack_bits",
+    "binarize",
+    "bits_to_pm1",
 ]
 
 
@@ -134,6 +138,43 @@ def unpack_int4(packed: np.ndarray, d: int) -> np.ndarray:
     out[:, 0::2] = lo
     out[:, 1::2] = hi
     return out[:, :d]
+
+
+def pack_bits(bits: np.ndarray, word_bits: int = 32) -> np.ndarray:
+    """Pack a (N, D) 0/1 bit matrix into LSB-first uint32/uint64 words —
+    the reference's binary layout (`binary_quantizer.cc:40-52`: bit j of
+    word i holds element 32*i + j)."""
+    n, d = bits.shape
+    words = -(-d // word_bits)
+    padded = np.zeros((n, words * word_bits), dtype=np.uint8)
+    padded[:, :d] = bits.astype(np.uint8) & 1
+    packed8 = np.packbits(padded, axis=1, bitorder="little")
+    dtype = np.uint32 if word_bits == 32 else np.uint64
+    return packed8.view(dtype).reshape(n, words)
+
+
+def unpack_bits(words: np.ndarray, d: int) -> np.ndarray:
+    """Inverse of pack_bits -> (N, d) uint8 of 0/1 (LSB-first)."""
+    n = words.shape[0]
+    bits = np.unpackbits(
+        np.ascontiguousarray(words).view(np.uint8).reshape(n, -1),
+        axis=1,
+        bitorder="little",
+    )
+    return bits[:, :d]
+
+
+def binarize(data: np.ndarray, threshold: float = 0.0) -> np.ndarray:
+    """Threshold-sign bits (reference BinaryConverter,
+    `binary_quantizer.cc:47`: bit = in[i] >= threshold) -> (N, D) uint8."""
+    return (np.asarray(data, dtype=np.float32) >= threshold).astype(np.uint8)
+
+
+def bits_to_pm1(bits: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """0/1 bits -> ±1 vectors. TPU-native hamming trick: for x, y in {±1}^D,
+    hamming(x, y) = (D - <x, y>) / 2 = ||x - y||^2 / 4 — so binary scans ride
+    the MXU as plain matmuls instead of VPU popcounts."""
+    return (bits.astype(np.float32) * 2.0 - 1.0).astype(dtype)
 
 
 def mips_augment(data: np.ndarray) -> Tuple[np.ndarray, float]:

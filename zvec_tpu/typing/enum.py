@@ -106,17 +106,26 @@ class IndexType(IntEnum):
 
 
 class MetricType(IntEnum):
+    # HAMMING is a documented extension past the reference's db-level enum
+    # (`type.h:77-83` stops at MIPSL2=4): the reference reaches its hamming
+    # metric only through the core metric factory (`hamming_metric.cc`); here
+    # binary vector fields address it directly.
     UNDEFINED = 0
     COSINE = 1
     IP = 2
     L2 = 3
+    HAMMING = 5
 
 
 class QuantizeType(IntEnum):
+    # BINARY mirrors the reference's core-level BinaryConverter
+    # (`binary_converter.cc`, threshold-sign bits), absent from its db enum
+    # (`type.h:70-75`).
     UNDEFINED = 0
     FP16 = 1
     INT8 = 2
     INT4 = 3
+    BINARY = 4
 
 
 class StatusCode(IntEnum):
