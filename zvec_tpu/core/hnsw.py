@@ -199,10 +199,10 @@ class HnswEngine(VectorIndexEngine):
             "num_levels": len(g.upper_ids),
         }
 
-    def _build_graph(self, data: np.ndarray) -> _Graph:
-        n, d = data.shape
+    def _sample_levels(self, n: int) -> _Graph:
+        """Level sampling + empty per-level structures (reference seeded
+        mt19937 level draw, `hnsw_algorithm.cc` get_random_level)."""
         g = _Graph(n, self.m)
-        # deterministic level sampling (reference uses a seeded mt19937)
         rng = np.random.default_rng(0x5EED + n)
         mult = 1.0 / np.log(self.m)
         u = rng.random(n)
@@ -219,6 +219,154 @@ class HnswEngine(VectorIndexEngine):
         g.entry_point = (
             int(g.upper_ids[-1][0]) if g.max_level >= 1 else 0
         )
+        return g
+
+    def _build_graph(self, data: np.ndarray) -> _Graph:
+        """Default: batched kNN-graph construction (exact MXU scans + device
+        heuristic prune, every node in parallel). ZVEC_HNSW_BUILD=insert
+        selects the legacy chunked-insertion build."""
+        import os as _os
+
+        if _os.environ.get("ZVEC_HNSW_BUILD") == "insert":
+            return self._build_graph_insert(data)
+        return self._build_graph_knn(data)
+
+    # ---- batched kNN-graph build (TPU-native) ----
+
+    def _build_graph_knn(self, data: np.ndarray) -> _Graph:
+        """Exact-kNN candidates + heuristic prune + reverse links, batched on
+        device — no sequential insertion. Same _Graph layout (and search
+        path) as the insertion build; reference parity target is the graph
+        the sequential `hnsw_streamer.cc:506` add-loop produces."""
+        import time as _time
+
+        n, d = data.shape
+        g = self._sample_levels(n)
+        _log = __import__("os").environ.get("ZVEC_BUILD_LOG") == "1"
+        norms2 = (data.astype(np.float32) ** 2).sum(1)
+        m0 = self.m0_out()
+
+        # candidate pool per node: the reference's efc knob (500 default)
+        # bounds how many nearest candidates the prune sees
+        t0 = _time.perf_counter()
+        g.l0 = self._knn_layer(
+            data, norms2, np.arange(n, dtype=np.int32), m0,
+            knn_k=min(self.ef_construction, 512, n - 1),
+        )
+        if _log:
+            print(f"[knn-build] L0 done n={n} in {_time.perf_counter() - t0:.1f}s", flush=True)
+
+        for li in range(len(g.upper_ids)):
+            members = g.upper_ids[li]
+            mlen = len(members)
+            if mlen <= 1:
+                continue
+            t1 = _time.perf_counter()
+            rows_adj = self._knn_layer(
+                data[members], (norms2[members]).astype(np.float32),
+                np.arange(mlen, dtype=np.int32), self.m,
+                knn_k=min(self.ef_construction, 512, mlen - 1),
+            )
+            g.upper_nbrs[li] = rows_adj  # rows within the level
+            if _log:
+                print(
+                    f"[knn-build] level {li + 1} members={mlen} "
+                    f"in {_time.perf_counter() - t1:.1f}s",
+                    flush=True,
+                )
+        return g
+
+    def _knn_layer(
+        self,
+        data: np.ndarray,  # (n, d) layer codes (fp32, already MIPS-augmented)
+        norms2: np.ndarray,  # (n,)
+        node_rows: np.ndarray,  # (n,) row ids to emit (arange)
+        max_out: int,
+        *,
+        knn_k: int,
+    ) -> np.ndarray:
+        """One graph layer: forward kNN+prune, reverse links, final re-prune.
+        Returns (n, max_out) int32 adjacency (row space of `data`)."""
+        import jax
+
+        from ..ops.hnsw import knn_build_step, merge_prune_step, prune_scored
+        from ..ops.runtime import is_tpu
+
+        n, d = data.shape
+        use_pallas = knn_k <= 127  # Pallas kernel caps topk at 128 lanes
+        if not is_tpu():
+            # CPU test mesh: cap the candidate pool — the (B, C, C) pairwise
+            # prune at C=500 is minutes of host matmul per batch
+            knn_k = min(knn_k, 127)
+        # blockwise scan wants N divisible by its block; Pallas wants 1024
+        n_pad = round_up(n, 1024 if (use_pallas or n <= 131072) else 131072)
+        codes_p = np.zeros((n_pad, d), np.float32)
+        codes_p[:n] = data
+        norms_p = np.zeros(n_pad, np.float32)
+        norms_p[:n] = norms2
+        mask_p = np.zeros(n_pad, np.int8)
+        mask_p[:n] = 1
+        codes_dev = jnp.asarray(codes_p)
+        norms_dev = jnp.asarray(norms_p)
+        mask_dev = jnp.asarray(mask_p)
+
+        B = 2048 if knn_k <= 255 else 1024  # bound the (B, C, C) prune buffer
+        metric = self._search_metric
+
+        def batches():
+            for lo in range(0, n, B):
+                rows = node_rows[lo : lo + B]
+                if len(rows) < B:
+                    rows = np.concatenate(
+                        [rows, np.full(B - len(rows), rows[-1], np.int32)]
+                    )
+                yield jnp.asarray(rows)
+
+        # ---- forward pass: exact kNN + prune ----
+        if is_tpu():
+            adj = jnp.full((n, max_out), -1, jnp.int32)
+            for rows_dev in batches():
+                adj = knn_build_step(
+                    rows_dev, codes_dev, norms_dev, mask_dev, adj,
+                    metric=metric, knn_k=knn_k, max_out=max_out,
+                    use_pallas=use_pallas,
+                )
+            fwd = np.asarray(adj)
+        else:
+            # CPU test mesh: blockwise scan (interpret-mode Pallas is slow)
+            fwd = np.full((n, max_out), -1, np.int32)
+            bmask = jnp.asarray(mask_p.astype(bool))
+            for rows_dev in batches():
+                rows = np.asarray(rows_dev)
+                sims, ids = blockwise_topk_search(
+                    codes_p[rows], codes_dev, metric, min(knn_k + 1, n),
+                    mask=bmask, x_sq_norms=norms_dev,
+                )
+                if ids.shape[1] < knn_k + 1:
+                    pad = knn_k + 1 - ids.shape[1]
+                    ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+                    sims = jnp.pad(sims, ((0, 0), (0, pad)), constant_values=NEG_INF)
+                out = prune_scored(
+                    rows_dev, ids.astype(jnp.int32), sims, codes_dev, norms_dev,
+                    metric=metric, max_out=max_out,
+                )
+                fwd[rows] = np.asarray(out)
+
+        # ---- reverse candidates (host, vectorized) + final device prune ----
+        rev = _reverse_candidates(fwd, cap=max_out)
+        cand = np.concatenate([fwd, rev], axis=1).astype(np.int32)
+        adj2 = jnp.full((n, max_out), -1, jnp.int32)
+        for rows_dev in batches():
+            rows = np.asarray(rows_dev)
+            adj2 = merge_prune_step(
+                rows_dev, jnp.asarray(cand[rows]), codes_dev, norms_dev, adj2,
+                metric=metric, max_out=max_out,
+            )
+        return np.asarray(adj2)
+
+    def _build_graph_insert(self, data: np.ndarray) -> _Graph:
+        n, d = data.shape
+        g = self._sample_levels(n)
 
         norms = (data.astype(np.float32) ** 2).sum(1)
         self._build_dev_cache = None
@@ -234,6 +382,11 @@ class HnswEngine(VectorIndexEngine):
         n_pad_codes = round_up(n, _ROW_ALIGN)
         vb = 0 if n_pad_codes <= (1 << 21) else 21  # hashed visited at scale
 
+        import os as _os
+        import time as _time
+
+        _log = _os.environ.get("ZVEC_BUILD_LOG") == "1"
+        _t_chunk = _time.perf_counter()
         pos = 1  # node 0 seeds the graph
         while pos < n:
             cur = pos
@@ -328,16 +481,32 @@ class HnswEngine(VectorIndexEngine):
                 )
                 for li in range(nlv):
                     self._upper_dev[li] = new_upper[li]
+                if _log:
+                    _t_fused0 = _time.perf_counter()
                 sel_mat = np.asarray(sel_dev)[:chunk].astype(np.int64)
+                if _log:
+                    print(
+                        f"[hnsw-build]   fused+fetch={_time.perf_counter() - _t_chunk:.2f}s"
+                        f" (fetch={_time.perf_counter() - _t_fused0:.2f}s)",
+                        flush=True,
+                    )
 
             # ---- forward writes at L0 ----
             g.l0[new_ids] = sel_mat
             pending_l0.append(new_ids.astype(np.int64))
 
             # ---- reverse links at L0 (host fill; overflow prunes batched) ----
+            if _log:
+                _t_rev = _time.perf_counter()
             touched = self._reverse_fill(g.l0, new_ids, sel_mat, None, jobs)
             if touched is not None and len(touched):
                 pending_l0.append(touched)
+            if _log:
+                print(
+                    f"[hnsw-build]   reverse_fill={_time.perf_counter() - _t_rev:.2f}s"
+                    f" jobs={len(jobs)}",
+                    flush=True,
+                )
 
             # ---- upper levels: fused exact-scan + prune per level ----
             for lvl in range(1, g.max_level + 1):
@@ -391,13 +560,28 @@ class HnswEngine(VectorIndexEngine):
                 pending_up.setdefault(li, []).append(np.concatenate(ups))
 
             # ---- one combined overflow re-prune RPC (L0 + upper rows) ----
+            if _log:
+                _t_ovf = _time.perf_counter()
             extra_l0, extra_up = self._flush_overflow(jobs, g, data, norms)
+            if _log:
+                print(
+                    f"[hnsw-build]   overflow={_time.perf_counter() - _t_ovf:.2f}s",
+                    flush=True,
+                )
             if extra_l0 is not None and len(extra_l0):
                 pending_l0.append(extra_l0)
             for li, rows_e in extra_up.items():
                 pending_up.setdefault(li, []).append(rows_e)
 
             pos += chunk
+            if _log:
+                now = _time.perf_counter()
+                print(
+                    f"[hnsw-build] pos={pos}/{n} chunk={chunk} "
+                    f"dt={now - _t_chunk:.2f}s",
+                    flush=True,
+                )
+                _t_chunk = now
         return g
 
     @staticmethod
@@ -843,3 +1027,28 @@ def _graph_from_aux(aux: Dict[str, np.ndarray], m: int) -> _Graph:
         g.row_of.append({int(v): i for i, v in enumerate(ids)})
         lvl += 1
     return g
+
+
+def _reverse_candidates(adj: np.ndarray, cap: int) -> np.ndarray:
+    """Reverse-edge candidates per node, capped (vectorized host pass).
+    For every forward edge u -> v, u becomes a candidate neighbor of v —
+    the batched analog of the reference's connect-back loop
+    (`hnsw_algorithm.cc` mutually_connect)."""
+    n, m = adj.shape
+    dst = adj.reshape(-1)
+    src = np.repeat(np.arange(n, dtype=np.int32), m)
+    ok = dst >= 0
+    dst = dst[ok]
+    src = src[ok]
+    order = np.argsort(dst, kind="stable")
+    dst = dst[order]
+    src = src[order]
+    bounds = np.searchsorted(dst, np.arange(n + 1, dtype=np.int64))
+    starts, ends = bounds[:-1], bounds[1:]
+    counts = np.minimum(ends - starts, cap)
+    take = starts[:, None] + np.arange(cap)[None, :]
+    validm = np.arange(cap)[None, :] < counts[:, None]
+    take = np.clip(take, 0, max(len(src) - 1, 0))
+    if len(src) == 0:
+        return np.full((n, cap), -1, np.int32)
+    return np.where(validm, src[take], -1).astype(np.int32)

@@ -650,3 +650,141 @@ def select_neighbors_batch(
     keep0 = jnp.zeros((b, c), bool)
     keep, _ = jax.lax.fori_loop(0, c, step, (keep0, jnp.zeros((b,), jnp.int32)))
     return keep
+
+
+# ---------------------------------------------------------------------------
+# Batched kNN-graph construction (TPU-native build; replaces CPU-shaped
+# incremental insertion). The reference builds by sequential insert + beam
+# search (`hnsw_streamer.cc:506`); on TPU the same graph quality comes from
+# exact kNN candidate lists (pure MXU scans) + the same heuristic prune,
+# with every node processed in parallel — no sequential dependency at all.
+# This is the GPU-literature recipe (CAGRA/GGNN) mapped onto Pallas/XLA.
+# ---------------------------------------------------------------------------
+
+
+def _sim_to_base(base, bnorm2, vecs, nrm2, metric):
+    """sim(base_b, cand_bc): base (B, D), vecs (B, C, D) -> (B, C)."""
+    dots = jnp.einsum(
+        "bd,bcd->bc", base, vecs, precision=jax.lax.Precision.HIGHEST
+    )
+    if metric == MetricType.IP:
+        return dots
+    if metric == MetricType.L2:
+        return -(bnorm2[:, None] + nrm2 - 2.0 * dots)
+    if metric == MetricType.COSINE:
+        denom = jnp.sqrt(bnorm2)[:, None] * jnp.sqrt(nrm2)
+        return jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
+    raise ValueError(f"unsupported metric {metric}")
+
+
+@partial(jax.jit, static_argnames=("metric", "max_out"))
+def prune_scored(
+    rows: jax.Array,  # (B,) base node rows
+    cand_ids: jax.Array,  # (B, C) candidate rows, DESC by sim, -1 pad
+    cand_sims: jax.Array,  # (B, C) similarity to base
+    codes: jax.Array,  # (N_pad, D)
+    norms2: jax.Array,  # (N_pad,) squared norms
+    *,
+    metric: MetricType,
+    max_out: int,
+):
+    """Heuristic prune of pre-scored DESC-sorted candidates -> (B, max_out)
+    ids (-1 pad). Self/dup candidates are rejected by the dominance rule."""
+    valid = (cand_ids >= 0) & (cand_ids != rows[:, None])
+    safe = jnp.clip(cand_ids, 0, None)
+    vecs = codes[safe]
+    nrm2 = norms2[safe]
+    pair = _pairwise_sims(vecs, nrm2, metric)
+    sims = jnp.where(valid, cand_sims, NEG_INF)
+    keep = _prune_keep(pair, sims, valid, max_out)
+    ids_c, _ = _compact_keep(keep, cand_ids, sims, max_out)
+    if ids_c.shape[1] < max_out:  # fewer candidates than out-degree
+        ids_c = jnp.pad(
+            ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
+        )
+    return ids_c
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "knn_k", "max_out", "use_pallas"),
+    donate_argnums=(4,),
+)
+def knn_build_step(
+    rows: jax.Array,  # (B,) node rows of this batch (pad = repeat a real row)
+    codes: jax.Array,  # (N_pad, D) f32/bf16, N_pad % 1024 == 0
+    norms2: jax.Array,  # (N_pad,) squared norms (f32)
+    mask: jax.Array,  # (N_pad,) int8, 1 = real row
+    adj: jax.Array,  # (N, max_out) int32 adjacency — DONATED, device-resident
+    *,
+    metric: MetricType,
+    knn_k: int,
+    max_out: int,
+    use_pallas: bool = True,
+):
+    """ONE device program per build batch: exact top-(knn_k+1) scan for the
+    batch's nodes, heuristic prune to max_out forward neighbors, scatter into
+    the device adjacency. knn_k <= 127 rides the fused Pallas flat kernel;
+    larger candidate pools (the reference's efc=500 shape) use the blockwise
+    lax.top_k scan."""
+    q = codes[rows].astype(jnp.float32)
+    if use_pallas:
+        from .flat_pallas import flat_scan_topk
+
+        scan_norms = jnp.sqrt(norms2) if metric == MetricType.COSINE else norms2
+        sims, ids = flat_scan_topk(
+            q, codes, scan_norms, mask, metric=metric, topk=knn_k + 1
+        )
+    else:
+        from .topk import blockwise_topk_search
+
+        sims, ids = blockwise_topk_search(
+            q, codes, metric, knn_k + 1,
+            mask=mask != 0, x_sq_norms=norms2, block_size=131072,
+        )
+        ids = ids.astype(jnp.int32)
+    out_ids = prune_scored(
+        rows, ids, sims, codes, norms2, metric=metric, max_out=max_out
+    )
+    return adj.at[rows].set(out_ids)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "max_out"),
+    donate_argnums=(4,),
+)
+def merge_prune_step(
+    rows: jax.Array,  # (B,)
+    cand_ids: jax.Array,  # (B, C) forward + reverse candidates, unsorted
+    codes: jax.Array,
+    norms2: jax.Array,
+    adj: jax.Array,  # (N, max_out) int32 — DONATED
+    *,
+    metric: MetricType,
+    max_out: int,
+):
+    """Final per-node prune over forward ∪ reverse candidates: score against
+    the base on device, sort desc, heuristic-prune, scatter."""
+    base = codes[rows].astype(jnp.float32)
+    bnorm2 = norms2[rows]
+    valid = (cand_ids >= 0) & (cand_ids != rows[:, None])
+    safe = jnp.clip(cand_ids, 0, None)
+    vecs = codes[safe].astype(jnp.float32)
+    nrm2 = norms2[safe]
+    sims = _sim_to_base(base, bnorm2, vecs, nrm2, metric)
+    sims = jnp.where(valid, sims, NEG_INF)
+    order = jnp.argsort(-sims, axis=1)
+    ids_o = jnp.take_along_axis(cand_ids, order, 1)
+    sims_o = jnp.take_along_axis(sims, order, 1)
+    valid_o = jnp.take_along_axis(valid, order, 1)
+    vecs_o = jnp.take_along_axis(vecs, order[:, :, None], 1)
+    nrm_o = jnp.take_along_axis(nrm2, order, 1)
+    pair = _pairwise_sims(vecs_o, nrm_o, metric)
+    keep = _prune_keep(pair, sims_o, valid_o, max_out)
+    ids_c, _ = _compact_keep(keep, ids_o, sims_o, max_out)
+    if ids_c.shape[1] < max_out:
+        ids_c = jnp.pad(
+            ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
+        )
+    return adj.at[rows].set(ids_c)
