@@ -69,6 +69,46 @@ def test_group_by_query(coll):
         assert scores == sorted(scores)
 
 
+def test_group_by_skewed_groups(tmp_path, rng):
+    """One giant group hogs the neighborhood: the scan must widen until
+    `group_count` full groups are found (fixed overscan returned < count)."""
+    schema = CollectionSchema(
+        "skew",
+        fields=[FieldSchema("grp", DataType.STRING)],
+        vectors=[
+            VectorSchema("e", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.L2))
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "s"), schema)
+    q = rng.standard_normal(8).astype(np.float32)
+    docs = []
+    # 500 docs of group "big" packed tightly around the query...
+    for i in range(500):
+        v = q + rng.standard_normal(8).astype(np.float32) * 0.01
+        docs.append(Doc(id=f"b{i}", vectors={"e": v}, fields={"grp": "big"}))
+    # ...and 4 tiny groups with 2 docs each, much farther away
+    for gi in range(4):
+        for j in range(2):
+            v = q + 10.0 * (gi + 1) + rng.standard_normal(8).astype(np.float32)
+            docs.append(
+                Doc(id=f"g{gi}_{j}", vectors={"e": v}, fields={"grp": f"tiny{gi}"})
+            )
+    for lo in range(0, len(docs), 500):
+        c.insert(docs[lo : lo + 500])
+    res = c.group_by_query(
+        VectorQuery("e", vector=q),
+        group_by_field="grp",
+        group_count=5,
+        group_topk=2,
+    )
+    groups = {}
+    for r in res:
+        groups.setdefault(r.field("grp"), []).append(r.id)
+    assert len(groups) == 5, groups.keys()
+    assert all(len(v) == 2 for v in groups.values()), groups
+    c._impl.close()
+
+
 def test_group_by_unknown_field(coll):
     with pytest.raises(Exception):
         coll.group_by_query(

@@ -675,9 +675,12 @@ class CollectionImpl:
         output_fields: Optional[List[str]] = None,
     ) -> List[Doc]:
         """Group-by search (reference `sqlengine_impl.cc:93-121`,
-        `hnsw_algorithm.cc:102-104` expand_neighbors_by_group): overscan, then
-        keep the best `group_topk` docs of the `group_count` best groups,
-        groups ranked by their best similarity."""
+        `hnsw_algorithm.cc:102-104` expand_neighbors_by_group): scan with
+        iterative deepening — when skewed group distributions leave fewer
+        than `group_count` groups satisfied in the first pass, the scan
+        widens (x4 per round, up to the corpus size) instead of silently
+        returning fewer groups (the per-group-heap semantics of the
+        reference's in-traversal grouping, batched TPU-style)."""
         if self.schema.field(group_by_field) is None:
             raise ZvecError(
                 StatusCode.INVALID_ARGUMENT,
@@ -689,29 +692,45 @@ class CollectionImpl:
                 StatusCode.INVALID_ARGUMENT,
                 f"unknown vector field '{query.field_name}'",
             )
-        overscan = max(group_count * group_topk * 4, 64)
         if isinstance(query.vector, dict):
             gq = [query.vector]
         else:
             gq = np.asarray(query.vector, dtype=np.float32)[None, :]
         segs = self._segments_snapshot()
-        sims, ids = self.query_field(
-            query.field_name, gq, overscan, filter_str, query.param, segs=segs
-        )
+        total = sum(s.doc_count for s in segs)
         metric = vs.index_param.metric_type
-        groups: Dict[Any, List[Tuple[float, int]]] = {}
-        group_order: List[Any] = []
-        for sim, doc_id in zip(sims[0], ids[0]):
-            if doc_id < 0:
+        overscan = max(group_count * group_topk * 4, 64)
+        while True:
+            sims, ids = self.query_field(
+                query.field_name, gq, overscan, filter_str, query.param, segs=segs
+            )
+            groups: Dict[Any, List[Tuple[float, int]]] = {}
+            group_order: List[Any] = []
+            satisfied = 0
+            n_hits = 0
+            for sim, doc_id in zip(sims[0], ids[0]):
+                if doc_id < 0:
+                    break
+                n_hits += 1
+                seg = self._segment_for_doc_id(int(doc_id), segs)
+                gval = seg.store.scalar_value(
+                    group_by_field, int(doc_id) - seg.doc_id_start
+                )
+                key = gval if not isinstance(gval, (list, np.ndarray)) else str(gval)
+                if key not in groups:
+                    groups[key] = []
+                    group_order.append(key)
+                if len(groups[key]) < group_topk:
+                    groups[key].append((float(sim), int(doc_id)))
+                    if len(groups[key]) == group_topk:
+                        satisfied += 1
+            if (
+                satisfied >= group_count
+                or n_hits < overscan  # corpus/filter exhausted: nothing more
+                or overscan >= total
+            ):
                 break
-            seg = self._segment_for_doc_id(int(doc_id), segs)
-            gval = seg.store.scalar_value(group_by_field, int(doc_id) - seg.doc_id_start)
-            key = gval if not isinstance(gval, (list, np.ndarray)) else str(gval)
-            if key not in groups:
-                groups[key] = []
-                group_order.append(key)
-            if len(groups[key]) < group_topk:
-                groups[key].append((float(sim), int(doc_id)))
+            overscan = min(max(overscan * 4, 256), max(total, 1))
         docs: List[Doc] = []
         for key in group_order[:group_count]:
             for sim, doc_id in groups[key]:
