@@ -89,13 +89,14 @@ def cmd_gen(args):
     X, Q = make_data(args.kind, args.n, args.dim, args.nq)
     np.save(f"{WORK}/{name}_base.npy", X)
     np.save(f"{WORK}/{name}_query.npy", Q)
-    gt = exact_gt(X, Q)
-    np.save(f"{WORK}/{name}_gt.npy", gt)
+    if not args.no_gt:
+        gt = exact_gt(X, Q)
+        np.save(f"{WORK}/{name}_gt.npy", gt)
+        with open(f"{WORK}/{name}_gt.txt", "w") as fh:
+            for i in range(gt.shape[0]):
+                fh.write(str(i) + ";" + " ".join(str(int(v)) for v in gt[i]) + "\n")
     write_txt(f"{WORK}/{name}_base.txt", X)
     write_txt(f"{WORK}/{name}_query.txt", Q)
-    with open(f"{WORK}/{name}_gt.txt", "w") as fh:
-        for i in range(gt.shape[0]):
-            fh.write(str(i) + ";" + " ".join(str(int(v)) for v in gt[i]) + "\n")
     subprocess.run(
         [
             f"{REF_BIN}/txt2vecs",
@@ -113,21 +114,30 @@ def cmd_gen(args):
 
 def cmd_ref_build(args):
     name = dataset_name(args.kind, args.n, args.dim)
+    if args.index == "flat":
+        builder = "FlatStreamer"
+        params = f"    proxima.general.builder.thread_count: !!int {args.threads}\n"
+        suffix = ".flat"
+    else:
+        builder = "HnswStreamer"
+        params = (
+            f"    proxima.hnsw.streamer.max_neighbor_count: !!int {args.m}\n"
+            f"    proxima.hnsw.streamer.efconstruction: !!int {args.efc}\n"
+            f"    proxima.general.builder.thread_count: !!int {args.threads}\n"
+        )
+        suffix = ""
     cfg = f"""BuilderCommon:
-    BuilderClass: HnswStreamer
+    BuilderClass: {builder}
     BuildFile: {WORK}/{name}.vecs
     NeedTrain: false
-    DumpPath: {WORK}/{name}.dump.index
-    IndexPath: {WORK}/{name}.index
+    DumpPath: {WORK}/{name}{suffix}.dump.index
+    IndexPath: {WORK}/{name}{suffix}.index
     MetricName: SquaredEuclidean
     ThreadCount: {args.threads}
 
 BuilderParams:
-    proxima.hnsw.streamer.max_neighbor_count: !!int {args.m}
-    proxima.hnsw.streamer.efconstruction: !!int {args.efc}
-    proxima.general.builder.thread_count: !!int {args.threads}
-"""
-    cfg_path = f"{WORK}/{name}_build.yaml"
+{params}"""
+    cfg_path = f"{WORK}/{name}{suffix}_build.yaml"
     with open(cfg_path, "w") as fh:
         fh.write(cfg)
     t0 = time.time()
@@ -138,15 +148,31 @@ BuilderParams:
 
 INDEX_CONFIG = (
     '{{"use_id_map":false,"data_type":"DT_FP32","dimension":{dim},'
-    '"index_type":"kHNSW","metric_type":"kL2sq"}}'
+    '"index_type":"{itype}","metric_type":"kL2sq"}}'
 )
+
+
+def _index_bits(args):
+    """(IndexConfig json, QueryParam json, index-file suffix) per index."""
+    if args.index == "flat":
+        return (
+            INDEX_CONFIG.format(dim=args.dim, itype="kFlat"),
+            '{"index_type":"kFlat"}',
+            ".flat",
+        )
+    return (
+        INDEX_CONFIG.format(dim=args.dim, itype="kHNSW"),
+        f'{{"ef_search":{args.ef},"index_type":"kHNSW"}}',
+        "",
+    )
 
 
 def cmd_ref_recall(args):
     name = dataset_name(args.kind, args.n, args.dim)
+    icfg, qparam, suffix = _index_bits(args)
     cfg = f"""IndexCommon:
-    IndexPath: {WORK}/{name}.index
-    IndexConfig: '{INDEX_CONFIG.format(dim=args.dim)}'
+    IndexPath: {WORK}/{name}{suffix}.index
+    IndexConfig: '{icfg}'
     QueryFile: {WORK}/{name}_query.txt
     QueryType: float
     GroundTruthFile: {WORK}/{name}_gt.txt
@@ -156,7 +182,7 @@ def cmd_ref_recall(args):
     RetrievalMode: Dense
 
 QueryConfig:
-    QueryParam: '{{"ef_search":{args.ef},"index_type":"kHNSW"}}'
+    QueryParam: '{qparam}'
 """
     cfg_path = f"{WORK}/{name}_recall_ef{args.ef}.yaml"
     with open(cfg_path, "w") as fh:
@@ -171,9 +197,10 @@ QueryConfig:
 
 def cmd_ref_bench(args):
     name = dataset_name(args.kind, args.n, args.dim)
+    icfg, qparam, suffix = _index_bits(args)
     cfg = f"""IndexCommon:
-    IndexPath: {WORK}/{name}.index
-    IndexConfig: '{INDEX_CONFIG.format(dim=args.dim)}'
+    IndexPath: {WORK}/{name}{suffix}.index
+    IndexConfig: '{icfg}'
     QueryFile: {WORK}/{name}_query.txt
     QueryType: float
     TopK: {args.topk}
@@ -182,7 +209,7 @@ def cmd_ref_bench(args):
     BenchSecs: !!int {args.secs}
 
 QueryConfig:
-    QueryParam: '{{"ef_search":{args.ef},"index_type":"kHNSW"}}'
+    QueryParam: '{qparam}'
 """
     cfg_path = f"{WORK}/{name}_bench_ef{args.ef}.yaml"
     with open(cfg_path, "w") as fh:
@@ -259,6 +286,8 @@ def main():
         sp.add_argument("--threads", type=int, default=1)
         sp.add_argument("--secs", type=int, default=20)
         sp.add_argument("--cpu", action="store_true")
+        sp.add_argument("--index", default="hnsw", choices=("hnsw", "flat"))
+        sp.add_argument("--no-gt", action="store_true", dest="no_gt")
     args = p.parse_args()
     {
         "gen": cmd_gen,

@@ -182,3 +182,63 @@ def test_has_prefix_suffix(coll):
     assert q(coll, "category HAS_PREFIX 'zzz'") == []
     with pytest.raises(FilterError):
         compile_filter("category HAS_PREFIX 5")
+
+
+def test_sealed_arrow_parity(tmp_path, schema, rng):
+    """Every predicate type must produce identical masks on a SEALED segment
+    (pyarrow.compute fast paths) and a WRITING segment (numpy paths)."""
+    from zvec_tpu.db.filter.expression import compile_filter as cf
+
+    a = zvec_tpu.create_and_open(str(tmp_path / "w"), schema)
+    b = zvec_tpu.create_and_open(str(tmp_path / "s"), schema)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    docs = []
+    for i in range(40):
+        docs.append(
+            Doc(
+                id=f"d{i}",
+                vectors={"emb": vecs[i]},
+                fields={
+                    "category": ["tech", "news", "sports", None][i % 4],
+                    "price": float(i) if i % 5 else None,
+                    "stock": i * 10,
+                    "active": i % 2 == 0,
+                    "tags": [f"tag{i % 7}", f"tag{i % 3}"] if i % 4 != 0 else None,
+                },
+            )
+        )
+    a.insert(docs)
+    b.insert(docs)
+    b.flush()
+    b._impl.optimize()  # seal -> arrow-backed store
+    seg_w = a._impl.writing
+    seg_s = b._impl.segments[0]
+    assert seg_s.store._table is not None  # really sealed
+
+    exprs = [
+        "category = 'tech'",
+        "category != 'news'",
+        "category LIKE 't%h'",
+        "category LIKE '%or_s'",
+        "category HAS_PREFIX 'sp'",
+        "category HAS_SUFFIX 's'",
+        "category NOT HAS_PREFIX 'te'",
+        "category IN ('tech', 'sports')",
+        "category NOT IN ('tech')",
+        "price > 10",
+        "price <= 30 AND stock >= 100",
+        "active = true",
+        "tags CONTAIN_ANY ('tag1', 'tag2')",
+        "tags CONTAIN_ALL ('tag1')",
+        "tags NOT CONTAIN_ANY ('tag1')",
+        "array_length(tags) = 2",
+        "category IS NULL",
+        "category IS NOT NULL AND price IS NOT NULL",
+    ]
+    for e in exprs:
+        f = cf(e, schema)
+        mw = f.evaluate(seg_w)
+        ms = f.evaluate(seg_s)
+        assert (mw == ms).all(), (e, np.nonzero(mw != ms)[0])
+    a._impl.close()
+    b._impl.close()

@@ -36,7 +36,7 @@ def brute_topk(qs, xs, metric, k):
     return np.argsort(-sims, axis=1)[:, :k]
 
 
-@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP, MetricType.COSINE])
 def test_hnsw_recall(rng, metric):
     n, d, k = 2500, 16, 10
     xs = rng.standard_normal((n, d)).astype(np.float32)

@@ -164,6 +164,10 @@ class RelNode(Node):
                 except (KeyError, TypeError, ValueError):
                     pass
 
+        fast = self._arrow_eval(ctx)
+        if fast is not None:
+            return fast
+
         if self.func == "array_length":
             col = ctx.column(self.field)
             lengths = np.fromiter(
@@ -246,6 +250,85 @@ class RelNode(Node):
         col = ctx.column(self.field)
         nulls = ctx.null_mask(self.field)
         return _compare(col, self.op, self.value) & ~nulls
+
+    # ---- pyarrow.compute fast paths (sealed segments) ----
+
+    _PC_CMP = {"=": "equal", "!=": "not_equal", "<": "less",
+               "<=": "less_equal", ">": "greater", ">=": "greater_equal"}
+
+    def _arrow_eval(self, ctx) -> Optional[np.ndarray]:
+        """Vectorized evaluation over the sealed segment's Arrow column
+        (C++ kernels; a 10M-row LIKE drops from seconds of Python to ms).
+        Returns None when not applicable — caller falls back to numpy."""
+        arr = ctx.arrow_column(self.field)
+        if arr is None:
+            return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        try:
+            op = self.op
+            if self.func == "array_length" and pa.types.is_list(arr.type):
+                lengths = pc.fill_null(pc.list_value_length(arr), -1)
+                ln = np.asarray(lengths.to_numpy(zero_copy_only=False))
+                return _compare(ln, op, self.value) & (ln >= 0)
+            if self.func is not None:
+                return None
+            if op in ("LIKE", "NOT_LIKE") and pa.types.is_string(arr.type):
+                if "\\" in self.value:
+                    return None  # numpy path treats backslash literally
+                m = pc.match_like(arr, self.value)
+            elif op in ("HAS_PREFIX", "NOT_HAS_PREFIX") and pa.types.is_string(arr.type):
+                m = pc.starts_with(arr, pattern=self.value)
+            elif op in ("HAS_SUFFIX", "NOT_HAS_SUFFIX") and pa.types.is_string(arr.type):
+                m = pc.ends_with(arr, pattern=self.value)
+            elif op in ("IN", "NOT_IN") and not pa.types.is_list(arr.type):
+                m = pc.is_in(arr, value_set=pa.array(list(self.value)))
+            elif op in self._PC_CMP and not pa.types.is_list(arr.type) and not pa.types.is_binary(arr.type):
+                m = getattr(pc, self._PC_CMP[op])(arr, self.value)
+            elif (
+                op in ("CONTAIN_ALL", "CONTAIN_ANY", "NOT_CONTAIN_ALL", "NOT_CONTAIN_ANY")
+                and pa.types.is_list(arr.type)
+            ):
+                return self._arrow_contains(ctx, arr, pa, pc)
+            else:
+                return None
+            mask = np.asarray(
+                pc.fill_null(m, False).to_numpy(zero_copy_only=False), dtype=bool
+            )
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError,
+                TypeError, ValueError):
+            return None
+        if op.startswith("NOT_") or op == "!=":
+            if op != "!=":
+                mask = ~mask
+            return mask & ~ctx.null_mask(self.field)
+        return mask
+
+    def _arrow_contains(self, ctx, arr, pa, pc) -> np.ndarray:
+        n = len(arr)
+        flat = pc.list_flatten(arr)
+        parents = np.asarray(
+            pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+        )
+        values = list(self.value)
+        if "ANY" in self.op:
+            hit = pc.fill_null(pc.is_in(flat, value_set=pa.array(values)), False)
+            hit = np.asarray(hit.to_numpy(zero_copy_only=False), dtype=bool)
+            mask = np.zeros(n, dtype=bool)
+            np.logical_or.at(mask, parents[hit], True)
+        else:
+            mask = np.ones(n, dtype=bool)
+            for v in values:
+                hv = pc.fill_null(pc.equal(flat, v), False)
+                hv = np.asarray(hv.to_numpy(zero_copy_only=False), dtype=bool)
+                rowv = np.zeros(n, dtype=bool)
+                np.logical_or.at(rowv, parents[hv], True)
+                mask &= rowv
+            mask &= ~ctx.null_mask(self.field)
+        if self.op.startswith("NOT_"):
+            return ~mask & ~ctx.null_mask(self.field)
+        return mask
 
 
 def _compare(col, op: str, value) -> np.ndarray:
@@ -456,11 +539,26 @@ class _EvalContext:
         self.segment = segment
         self._columns = {}
         self._nulls = {}
+        self._arrow = {}
 
     def column(self, name: str):
         if name not in self._columns:
             self._columns[name] = self.segment.store.scalar_column(name)
         return self._columns[name]
+
+    def arrow_column(self, name: str):
+        """Sealed segments expose the raw Arrow column so string/array
+        predicates run through pyarrow.compute C++ kernels instead of
+        per-row Python (the Acero-expression role, `sqlengine` §2.4).
+        Returns None for writing segments (small, python-list-backed)."""
+        if name not in self._arrow:
+            col = None
+            store = self.segment.store
+            tbl = getattr(store, "_table", None)
+            if tbl is not None and not store._writable and name in tbl.column_names:
+                col = tbl.column(name).combine_chunks()
+            self._arrow[name] = col
+        return self._arrow[name]
 
     def null_mask(self, name: str) -> np.ndarray:
         if name not in self._nulls:
