@@ -165,12 +165,17 @@ def main():
     # ---- baseline ----
     baseline_source = "host_numpy_1core"
     ref_qps = None
+    ref_qps_1t = None
     if os.path.exists(REF_MEASURED):
         try:
             ref = json.load(open(REF_MEASURED))
-            ref_qps = ref.get("flat_1M_128d_qps")
+            ref_qps_1t = ref.get("flat_1M_128d_qps")
+            # conservative: compare against the reference's own 16-thread
+            # deployment norm (tools/core/README.md:53), extrapolated from
+            # the measured single-thread figure (this host has 1 core)
+            ref_qps = ref.get("flat_1M_128d_qps_16t_extrapolated", ref_qps_1t)
             if ref_qps:
-                baseline_source = ref.get("source", "reference_cpp")
+                baseline_source = ref.get("source", "reference_cpp") + " x16 threads"
         except Exception:
             ref_qps = None
     if ref_qps is None:
@@ -195,6 +200,9 @@ def main():
         "baseline_source": baseline_source,
         "baseline_qps": round(float(ref_qps), 2),
     }
+    if ref_qps_1t:
+        detail["ref_1thread_qps"] = ref_qps_1t
+        detail["vs_ref_1thread"] = round(headline / float(ref_qps_1t), 2)
     if "10M" in results:
         detail["kernel_qps_10M"] = round(results["10M"]["kernel_qps"], 1)
     print(

@@ -289,7 +289,12 @@ class HnswEngine(VectorIndexEngine):
         Returns (n, max_out) int32 adjacency (row space of `data`)."""
         import jax
 
-        from ..ops.hnsw import knn_build_step, merge_prune_step, prune_scored
+        from ..ops.hnsw import (
+            knn_build_all,
+            merge_prune_all,
+            merge_prune_step,
+            prune_scored,
+        )
         from ..ops.runtime import is_tpu
 
         n, d = data.shape
@@ -313,25 +318,43 @@ class HnswEngine(VectorIndexEngine):
         B = 2048 if knn_k <= 255 else 1024  # bound the (B, C, C) prune buffer
         metric = self._search_metric
 
+        nb = (n + B - 1) // B
+        rows_mat = np.empty((nb, B), np.int32)
+        for bi, lo in enumerate(range(0, n, B)):
+            rows = node_rows[lo : lo + B]
+            if len(rows) < B:
+                rows = np.concatenate(
+                    [rows, np.full(B - len(rows), rows[-1], np.int32)]
+                )
+            rows_mat[bi] = rows
+
         def batches():
-            for lo in range(0, n, B):
-                rows = node_rows[lo : lo + B]
-                if len(rows) < B:
-                    rows = np.concatenate(
-                        [rows, np.full(B - len(rows), rows[-1], np.int32)]
-                    )
-                yield jnp.asarray(rows)
+            for bi in range(nb):
+                yield jnp.asarray(rows_mat[bi])
 
         # ---- forward pass: exact kNN + prune ----
+        import os as _os
+        import time as _time
+
+        _log = _os.environ.get("ZVEC_BUILD_LOG") == "1"
+        _t0 = _time.perf_counter()
         if is_tpu():
+            # whole layer = ONE device program (batch-loop dispatch through
+            # the remote tunnel costs ~1s/call; lax.scan removes it)
             adj = jnp.full((n, max_out), -1, jnp.int32)
-            for rows_dev in batches():
-                adj = knn_build_step(
-                    rows_dev, codes_dev, norms_dev, mask_dev, adj,
-                    metric=metric, knn_k=knn_k, max_out=max_out,
-                    use_pallas=use_pallas,
-                )
+            adj = knn_build_all(
+                jnp.asarray(rows_mat), codes_dev, norms_dev, mask_dev, adj,
+                metric=metric, knn_k=knn_k, max_out=max_out,
+                use_pallas=use_pallas,
+            )
             fwd = np.asarray(adj)
+            del adj  # free device HBM before the merge-phase adjacency
+            if _log:
+                print(
+                    f"[knn-build]   fwd {nb} batches in "
+                    f"{_time.perf_counter() - _t0:.1f}s",
+                    flush=True,
+                )
         else:
             # CPU test mesh: blockwise scan (interpret-mode Pallas is slow)
             fwd = np.full((n, max_out), -1, np.int32)
@@ -353,16 +376,35 @@ class HnswEngine(VectorIndexEngine):
                 fwd[rows] = np.asarray(out)
 
         # ---- reverse candidates (host, vectorized) + final device prune ----
+        _t1 = _time.perf_counter()
         rev = _reverse_candidates(fwd, cap=max_out)
         cand = np.concatenate([fwd, rev], axis=1).astype(np.int32)
         adj2 = jnp.full((n, max_out), -1, jnp.int32)
-        for rows_dev in batches():
-            rows = np.asarray(rows_dev)
-            adj2 = merge_prune_step(
-                rows_dev, jnp.asarray(cand[rows]), codes_dev, norms_dev, adj2,
-                metric=metric, max_out=max_out,
+        if is_tpu():
+            c2 = cand.shape[1]
+            # cap the staged candidate tensor at ~2GB device-side (10M scale)
+            nb_chunk = max(1, int(2e9 // (B * c2 * 4)))
+            for lo in range(0, nb, nb_chunk):
+                rm = rows_mat[lo : lo + nb_chunk]
+                adj2 = merge_prune_all(
+                    jnp.asarray(rm), jnp.asarray(cand[rm]), codes_dev,
+                    norms_dev, adj2, metric=metric, max_out=max_out,
+                )
+        else:
+            for rows_dev in batches():
+                rows = np.asarray(rows_dev)
+                adj2 = merge_prune_step(
+                    rows_dev, jnp.asarray(cand[rows]), codes_dev, norms_dev,
+                    adj2, metric=metric, max_out=max_out,
+                )
+        out = np.asarray(adj2)
+        if _log:
+            print(
+                f"[knn-build]   reverse+merge in "
+                f"{_time.perf_counter() - _t1:.1f}s",
+                flush=True,
             )
-        return np.asarray(adj2)
+        return out
 
     def _build_graph_insert(self, data: np.ndarray) -> _Graph:
         n, d = data.shape

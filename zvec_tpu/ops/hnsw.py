@@ -741,6 +741,9 @@ def knn_build_step(
         sims, ids = blockwise_topk_search(
             q, codes, metric, knn_k + 1,
             mask=mask != 0, x_sq_norms=norms2, block_size=131072,
+            mode="fast",  # hardware approx_max_k pool + exact re-rank:
+            # ~10x cheaper than sort-based top_k at k~500; candidate recall
+            # 0.99 vs the reference's approximate beam candidates
         )
         ids = ids.astype(jnp.int32)
     out_ids = prune_scored(
@@ -788,3 +791,99 @@ def merge_prune_step(
             ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
         )
     return adj.at[rows].set(ids_c)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "knn_k", "max_out", "use_pallas"),
+    donate_argnums=(4,),
+)
+def knn_build_all(
+    rows_mat: jax.Array,  # (NB, B) batched node rows
+    codes: jax.Array,
+    norms2: jax.Array,
+    mask: jax.Array,
+    adj: jax.Array,  # (N, max_out) — DONATED
+    *,
+    metric: MetricType,
+    knn_k: int,
+    max_out: int,
+    use_pallas: bool,
+):
+    """Whole forward layer as ONE device program: lax.scan over the batch
+    rows — zero per-batch dispatch overhead through the remote tunnel
+    (measured ~1s/dispatch; 977 batches at 1M made dispatch the bottleneck)."""
+
+    def body(adj_c, rows):
+        q = codes[rows].astype(jnp.float32)
+        if use_pallas:
+            from .flat_pallas import flat_scan_topk
+
+            scan_norms = (
+                jnp.sqrt(norms2) if metric == MetricType.COSINE else norms2
+            )
+            sims, ids = flat_scan_topk(
+                q, codes, scan_norms, mask, metric=metric, topk=knn_k + 1
+            )
+        else:
+            from .topk import blockwise_topk_search
+
+            sims, ids = blockwise_topk_search(
+                q, codes, metric, knn_k + 1,
+                mask=mask != 0, x_sq_norms=norms2, block_size=131072,
+                mode="fast",
+            )
+            ids = ids.astype(jnp.int32)
+        out_ids = prune_scored(
+            rows, ids, sims, codes, norms2, metric=metric, max_out=max_out
+        )
+        return adj_c.at[rows].set(out_ids), None
+
+    adj, _ = jax.lax.scan(body, adj, rows_mat)
+    return adj
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "max_out"),
+    donate_argnums=(4,),
+)
+def merge_prune_all(
+    rows_mat: jax.Array,  # (NB, B)
+    cand_mat: jax.Array,  # (NB, B, C) forward + reverse candidates
+    codes: jax.Array,
+    norms2: jax.Array,
+    adj: jax.Array,  # (N, max_out) — DONATED
+    *,
+    metric: MetricType,
+    max_out: int,
+):
+    """Whole merge layer as ONE device program (scan over batches)."""
+
+    def body(adj_c, inp):
+        rows, cand_ids = inp
+        base = codes[rows].astype(jnp.float32)
+        bnorm2 = norms2[rows]
+        valid = (cand_ids >= 0) & (cand_ids != rows[:, None])
+        safe = jnp.clip(cand_ids, 0, None)
+        vecs = codes[safe].astype(jnp.float32)
+        nrm2 = norms2[safe]
+        sims = _sim_to_base(base, bnorm2, vecs, nrm2, metric)
+        sims = jnp.where(valid, sims, NEG_INF)
+        order = jnp.argsort(-sims, axis=1)
+        ids_o = jnp.take_along_axis(cand_ids, order, 1)
+        sims_o = jnp.take_along_axis(sims, order, 1)
+        valid_o = jnp.take_along_axis(valid, order, 1)
+        vecs_o = jnp.take_along_axis(vecs, order[:, :, None], 1)
+        nrm_o = jnp.take_along_axis(nrm2, order, 1)
+        pair = _pairwise_sims(vecs_o, nrm_o, metric)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out)
+        ids_c, _ = _compact_keep(keep, ids_o, sims_o, max_out)
+        if ids_c.shape[1] < max_out:
+            ids_c = jnp.pad(
+                ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
+            )
+        return adj_c.at[rows].set(ids_c), None
+
+    adj, _ = jax.lax.scan(body, adj, (rows_mat, cand_mat))
+    return adj

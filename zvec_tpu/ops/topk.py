@@ -34,7 +34,9 @@ def _select_topk(sims: jax.Array, topk: int, mode: str):
     TPU-optimized approx_max_k over a 4k-deep candidate pool + exact re-rank
     (measured recall 0.999+ at 2x+ the throughput of the exact sort)."""
     if mode == "fast" and sims.shape[1] > 4096:
-        pool = min(max(4 * topk, 64), 128, sims.shape[1])
+        # pool >= topk always; small-k queries keep the shallow 128 pool,
+        # large-k (graph-build candidate) calls widen it to k
+        pool = min(max(4 * topk, 64), max(128, topk), sims.shape[1])
         cs, ci = jax.lax.approx_max_k(sims, pool, recall_target=0.99)
         es, sel = jax.lax.top_k(cs, topk)
         return es, jnp.take_along_axis(ci, sel, 1)
