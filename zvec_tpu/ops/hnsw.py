@@ -396,6 +396,23 @@ def _compact_keep(keep, ids, sims, max_out: int):
     return ids_c, sims_c
 
 
+def _compact_keep_backfill(keep, valid, ids, sims, max_out: int):
+    """Compact kept candidates, then BACKFILL the remaining slots with the
+    best dominance-pruned (but valid) candidates — hnswlib's
+    keepPrunedConnections. Dominance alone starves dense regions: measured
+    mean L0 degree 29/100 (p10=10) on clustered 200k, tanking both recall
+    and beam progress. Kept edges stay first (diversity preserved); pruned
+    nearest fill the tail."""
+    tier = jnp.where(keep, 0, jnp.where(valid, 1, 2)).astype(jnp.int8)
+    rank = jnp.argsort(tier, axis=1, stable=True)  # kept, then pruned-valid
+    tier_c = jnp.take_along_axis(tier, rank, 1)[:, :max_out]
+    ids_c = jnp.take_along_axis(ids, rank, 1)[:, :max_out]
+    sims_c = jnp.take_along_axis(sims, rank, 1)[:, :max_out]
+    ids_c = jnp.where(tier_c < 2, ids_c, -1)
+    sims_c = jnp.where(tier_c < 2, sims_c, NEG_INF)
+    return ids_c, sims_c
+
+
 @partial(
     jax.jit,
     donate_argnames=("l0_nbrs", "upper_nbrs"),
@@ -662,6 +679,18 @@ def select_neighbors_batch(
 # ---------------------------------------------------------------------------
 
 
+def _dup_mask(ids_sorted_by_sim):
+    """(B, C) ids (any order) -> True at every occurrence AFTER the first of
+    a repeated id. Sort by id, flag equal neighbors, invert the permutation."""
+    order = jnp.argsort(ids_sorted_by_sim, axis=1, stable=True)
+    s = jnp.take_along_axis(ids_sorted_by_sim, order, 1)
+    dup_s = jnp.concatenate(
+        [jnp.zeros_like(s[:, :1], dtype=bool), s[:, 1:] == s[:, :-1]], axis=1
+    )
+    inv = jnp.argsort(order, axis=1, stable=True)
+    return jnp.take_along_axis(dup_s, inv, 1)
+
+
 def _sim_to_base(base, bnorm2, vecs, nrm2, metric):
     """sim(base_b, cand_bc): base (B, D), vecs (B, C, D) -> (B, C)."""
     dots = jnp.einsum(
@@ -697,7 +726,7 @@ def prune_scored(
     pair = _pairwise_sims(vecs, nrm2, metric)
     sims = jnp.where(valid, cand_sims, NEG_INF)
     keep = _prune_keep(pair, sims, valid, max_out)
-    ids_c, _ = _compact_keep(keep, cand_ids, sims, max_out)
+    ids_c, _ = _compact_keep_backfill(keep, valid, cand_ids, sims, max_out)
     if ids_c.shape[1] < max_out:  # fewer candidates than out-degree
         ids_c = jnp.pad(
             ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
@@ -781,11 +810,15 @@ def merge_prune_step(
     ids_o = jnp.take_along_axis(cand_ids, order, 1)
     sims_o = jnp.take_along_axis(sims, order, 1)
     valid_o = jnp.take_along_axis(valid, order, 1)
+    # forward ∪ reverse can repeat an id (mutual edges): keep first only
+    # (duplicates would re-enter through the backfill tier)
+    valid_o = valid_o & ~_dup_mask(ids_o)
     vecs_o = jnp.take_along_axis(vecs, order[:, :, None], 1)
     nrm_o = jnp.take_along_axis(nrm2, order, 1)
     pair = _pairwise_sims(vecs_o, nrm_o, metric)
+    sims_o = jnp.where(valid_o, sims_o, NEG_INF)
     keep = _prune_keep(pair, sims_o, valid_o, max_out)
-    ids_c, _ = _compact_keep(keep, ids_o, sims_o, max_out)
+    ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
     if ids_c.shape[1] < max_out:
         ids_c = jnp.pad(
             ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
@@ -876,9 +909,11 @@ def merge_prune_all(
         valid_o = jnp.take_along_axis(valid, order, 1)
         vecs_o = jnp.take_along_axis(vecs, order[:, :, None], 1)
         nrm_o = jnp.take_along_axis(nrm2, order, 1)
+        valid_o = valid_o & ~_dup_mask(ids_o)
+        sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
         keep = _prune_keep(pair, sims_o, valid_o, max_out)
-        ids_c, _ = _compact_keep(keep, ids_o, sims_o, max_out)
+        ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
                 ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
