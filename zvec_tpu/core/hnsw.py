@@ -318,6 +318,14 @@ class HnswEngine(VectorIndexEngine):
         B = 2048 if knn_k <= 255 else 1024  # bound the (B, C, C) prune buffer
         metric = self._search_metric
 
+        # Past a few million rows the full exact scan is HBM-infeasible
+        # (corpus re-read per query batch); switch to cluster-local exact
+        # candidates. ZVEC_HNSW_CLUSTERED=1 forces it (tests).
+        _forced = __import__("os").environ.get("ZVEC_HNSW_CLUSTERED") == "1"
+        clustered = n >= 4096 and (
+            (is_tpu() and n > 2_000_000) or _forced
+        )
+
         nb = (n + B - 1) // B
         rows_mat = np.empty((nb, B), np.int32)
         for bi, lo in enumerate(range(0, n, B)):
@@ -338,15 +346,53 @@ class HnswEngine(VectorIndexEngine):
 
         _log = _os.environ.get("ZVEC_BUILD_LOG") == "1"
         _t0 = _time.perf_counter()
-        if is_tpu():
-            # whole layer = ONE device program (batch-loop dispatch through
-            # the remote tunnel costs ~1s/call; lax.scan removes it)
-            adj = jnp.full((n, max_out), -1, jnp.int32)
-            adj = knn_build_all(
-                jnp.asarray(rows_mat), codes_dev, norms_dev, mask_dev, adj,
-                metric=metric, knn_k=knn_k, max_out=max_out,
-                use_pallas=use_pallas,
+        if clustered:
+            ccand = self._clustered_candidates(
+                data, codes_dev, norms_dev, n, kc=max(32, min(64, max_out))
             )
+            if _log:
+                print(
+                    f"[knn-build]   clustered candidates in "
+                    f"{_time.perf_counter() - _t0:.1f}s",
+                    flush=True,
+                )
+            adj = jnp.full((n, max_out), -1, jnp.int32)
+            c2 = ccand.shape[1]
+            nb_chunk = max(1, int(2e9 // (B * c2 * 4)))
+            for lo in range(0, nb, nb_chunk):
+                rm = rows_mat[lo : lo + nb_chunk]
+                adj = merge_prune_all(
+                    jnp.asarray(rm), jnp.asarray(ccand[rm]), codes_dev,
+                    norms_dev, adj, metric=metric, max_out=max_out,
+                )
+            fwd = np.asarray(adj)
+            del adj
+            if _log:
+                print(
+                    f"[knn-build]   fwd (clustered) in "
+                    f"{_time.perf_counter() - _t0:.1f}s",
+                    flush=True,
+                )
+        elif is_tpu():
+            # Large layers: ONE lax.scan program (batch-loop dispatch through
+            # the remote tunnel costs ~1s/call -> 16 min at 1M). Small layers:
+            # per-batch dispatch (the big scan program's compile dominates).
+            adj = jnp.full((n, max_out), -1, jnp.int32)
+            if nb >= 64:
+                adj = knn_build_all(
+                    jnp.asarray(rows_mat), codes_dev, norms_dev, mask_dev, adj,
+                    metric=metric, knn_k=knn_k, max_out=max_out,
+                    use_pallas=use_pallas,
+                )
+            else:
+                from ..ops.hnsw import knn_build_step
+
+                for bi in range(nb):
+                    adj = knn_build_step(
+                        jnp.asarray(rows_mat[bi]), codes_dev, norms_dev,
+                        mask_dev, adj, metric=metric, knn_k=knn_k,
+                        max_out=max_out, use_pallas=use_pallas,
+                    )
             fwd = np.asarray(adj)
             del adj  # free device HBM before the merge-phase adjacency
             if _log:
@@ -380,7 +426,7 @@ class HnswEngine(VectorIndexEngine):
         rev = _reverse_candidates(fwd, cap=max_out)
         cand = np.concatenate([fwd, rev], axis=1).astype(np.int32)
         adj2 = jnp.full((n, max_out), -1, jnp.int32)
-        if is_tpu():
+        if is_tpu() and nb >= 64:
             c2 = cand.shape[1]
             # cap the staged candidate tensor at ~2GB device-side (10M scale)
             nb_chunk = max(1, int(2e9 // (B * c2 * 4)))
@@ -405,6 +451,69 @@ class HnswEngine(VectorIndexEngine):
                 flush=True,
             )
         return out
+
+    def _clustered_candidates(
+        self, data: np.ndarray, codes_dev, norms_dev, n: int, kc: int
+    ) -> np.ndarray:
+        """Cluster-local kNN candidates -> (n, 2*kc) int32 (-1 pad, unsorted).
+
+        k-means buckets + top-2 spilled assignment; every bucket scores its
+        members against each other on the MXU and each member keeps its
+        top-kc in-bucket neighbors per assignment slot. The scalable
+        candidate generator for 10M+ builds (full exact scans re-read the
+        corpus per query batch — petabytes at 10M)."""
+        import jax
+
+        from ..ops.hnsw import assign_top2_blocked, bucket_knn_all
+        from ..ops.kmeans import lloyd
+
+        rng = np.random.default_rng(0xC111)
+        target = 1250  # primary members per cluster
+        K = int(min(16384, max(64, n // target), n // 4))
+        sub_n = min(524_288, n)
+        sub = data[rng.choice(n, sub_n, replace=False)].astype(np.float32)
+        seeds = data[rng.choice(n, K, replace=False)].astype(np.float32)
+        cents, _ = lloyd(
+            jnp.asarray(sub), jnp.asarray(seeds), iters=6,
+            block=min(16384, sub_n),
+        )
+        asn = np.asarray(assign_top2_blocked(codes_dev, cents, block=16384))[:n]
+
+        # ---- pack buckets (host, vectorized): members = primary + spill ----
+        sizes = np.bincount(asn[:, 0], minlength=K) + np.bincount(
+            asn[:, 1], minlength=K
+        )
+        mp = int(min(8192, max(256, -(-int(np.percentile(sizes, 98)) // 128) * 128)))
+        rows_bkt = np.full((K, mp), -1, np.int32)
+        slot_bkt = np.zeros((K, mp), np.int32)
+        fill = np.zeros(K, np.int64)
+        for s in (0, 1):
+            order = np.argsort(asn[:, s], kind="stable")
+            clusters = asn[order, s]
+            bounds = np.searchsorted(clusters, np.arange(K + 1))
+            for c in range(K):
+                lo, hi = bounds[c], bounds[c + 1]
+                room = mp - fill[c]
+                take = min(hi - lo, room)
+                if take <= 0:
+                    continue
+                rows_bkt[c, fill[c] : fill[c] + take] = order[lo : lo + take]
+                slot_bkt[c, fill[c] : fill[c] + take] = s
+                fill[c] += take
+
+        cand = jnp.full((n + 1, 2, kc), -1, jnp.int32)
+        CH = 1024  # buckets per dispatch
+        for lo in range(0, K, CH):
+            cand = bucket_knn_all(
+                jnp.asarray(rows_bkt[lo : lo + CH]),
+                jnp.asarray(slot_bkt[lo : lo + CH]),
+                cand,
+                codes_dev,
+                norms_dev,
+                metric=self._search_metric,
+                kc=kc,
+            )
+        return np.asarray(cand)[:n].reshape(n, 2 * kc)
 
     def _build_graph_insert(self, data: np.ndarray) -> _Graph:
         n, d = data.shape
