@@ -358,7 +358,7 @@ class HnswEngine(VectorIndexEngine):
                 )
             adj = jnp.full((n, max_out), -1, jnp.int32)
             c2 = ccand.shape[1]
-            nb_chunk = max(1, int(2e9 // (B * c2 * 4)))
+            nb_chunk = max(1, min(128, int(2e9 // (B * c2 * 4))))
             for lo in range(0, nb, nb_chunk):
                 rm = rows_mat[lo : lo + nb_chunk]
                 adj = merge_prune_all(
@@ -379,11 +379,15 @@ class HnswEngine(VectorIndexEngine):
             # per-batch dispatch (the big scan program's compile dominates).
             adj = jnp.full((n, max_out), -1, jnp.int32)
             if nb >= 64:
-                adj = knn_build_all(
-                    jnp.asarray(rows_mat), codes_dev, norms_dev, mask_dev, adj,
-                    metric=metric, knn_k=knn_k, max_out=max_out,
-                    use_pallas=use_pallas,
-                )
+                # chunk the scan: one multi-minute device program risks the
+                # worker's execution watchdog (observed worker crash at 977
+                # scan steps over 1M rows); ~128 batches ≈ tens of seconds
+                for lo in range(0, nb, 128):
+                    adj = knn_build_all(
+                        jnp.asarray(rows_mat[lo : lo + 128]), codes_dev,
+                        norms_dev, mask_dev, adj, metric=metric, knn_k=knn_k,
+                        max_out=max_out, use_pallas=use_pallas,
+                    )
             else:
                 from ..ops.hnsw import knn_build_step
 
@@ -429,7 +433,7 @@ class HnswEngine(VectorIndexEngine):
         if is_tpu() and nb >= 64:
             c2 = cand.shape[1]
             # cap the staged candidate tensor at ~2GB device-side (10M scale)
-            nb_chunk = max(1, int(2e9 // (B * c2 * 4)))
+            nb_chunk = max(1, min(128, int(2e9 // (B * c2 * 4))))
             for lo in range(0, nb, nb_chunk):
                 rm = rows_mat[lo : lo + nb_chunk]
                 adj2 = merge_prune_all(
