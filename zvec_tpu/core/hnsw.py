@@ -247,11 +247,14 @@ class HnswEngine(VectorIndexEngine):
         m0 = self.m0_out()
 
         # candidate pool per node: the reference's efc knob (500 default)
-        # bounds how many nearest candidates the prune sees
+        # bounds how many nearest candidates the prune sees. Past ~400k rows
+        # the pool caps at 127 so the scan rides the fused Pallas kernel —
+        # the k~500 approx_max_k carry costs ~2s/batch at 1M (33 min/build)
+        # for ~2pts of recall@10 at high ef (BASELINE.md 30k sweep).
         t0 = _time.perf_counter()
         g.l0 = self._knn_layer(
             data, norms2, np.arange(n, dtype=np.int32), m0,
-            knn_k=min(self.ef_construction, 512, n - 1),
+            knn_k=min(self.ef_construction, 512 if n <= 400_000 else 127, n - 1),
         )
         if _log:
             print(f"[knn-build] L0 done n={n} in {_time.perf_counter() - t0:.1f}s", flush=True)
@@ -298,6 +301,9 @@ class HnswEngine(VectorIndexEngine):
         from ..ops.runtime import is_tpu
 
         n, d = data.shape
+        _kk = __import__("os").environ.get("ZVEC_HNSW_KNN_K")
+        if _kk:
+            knn_k = min(knn_k, int(_kk))
         use_pallas = knn_k <= 127  # Pallas kernel caps topk at 128 lanes
         if not is_tpu():
             # CPU test mesh: cap the candidate pool — the (B, C, C) pairwise
@@ -358,7 +364,7 @@ class HnswEngine(VectorIndexEngine):
                 )
             adj = jnp.full((n, max_out), -1, jnp.int32)
             c2 = ccand.shape[1]
-            nb_chunk = max(1, min(128, int(2e9 // (B * c2 * 4))))
+            nb_chunk = max(1, min(32, int(2e9 // (B * c2 * 4))))
             for lo in range(0, nb, nb_chunk):
                 rm = rows_mat[lo : lo + nb_chunk]
                 adj = merge_prune_all(
@@ -379,12 +385,12 @@ class HnswEngine(VectorIndexEngine):
             # per-batch dispatch (the big scan program's compile dominates).
             adj = jnp.full((n, max_out), -1, jnp.int32)
             if nb >= 64:
-                # chunk the scan: one multi-minute device program risks the
-                # worker's execution watchdog (observed worker crash at 977
-                # scan steps over 1M rows); ~128 batches ≈ tens of seconds
-                for lo in range(0, nb, 128):
+                # chunk the scan: long device programs crash the tunneled
+                # worker (observed at 977 AND 128 scan steps over 1M rows);
+                # 32 batches ≈ a few seconds per program
+                for lo in range(0, nb, 32):
                     adj = knn_build_all(
-                        jnp.asarray(rows_mat[lo : lo + 128]), codes_dev,
+                        jnp.asarray(rows_mat[lo : lo + 32]), codes_dev,
                         norms_dev, mask_dev, adj, metric=metric, knn_k=knn_k,
                         max_out=max_out, use_pallas=use_pallas,
                     )
@@ -433,7 +439,7 @@ class HnswEngine(VectorIndexEngine):
         if is_tpu() and nb >= 64:
             c2 = cand.shape[1]
             # cap the staged candidate tensor at ~2GB device-side (10M scale)
-            nb_chunk = max(1, min(128, int(2e9 // (B * c2 * 4))))
+            nb_chunk = max(1, min(32, int(2e9 // (B * c2 * 4))))
             for lo in range(0, nb, nb_chunk):
                 rm = rows_mat[lo : lo + nb_chunk]
                 adj2 = merge_prune_all(
