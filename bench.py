@@ -75,6 +75,41 @@ def main():
     qset = [np.roll(queries, i, axis=0) for i in range(4)]
     X = rng.standard_normal((N, D), dtype=np.float32)
 
+    # ---- optional 10M kernel-level run FIRST (needs ~6GB HBM free; the
+    # collection's device state would otherwise fragment it) ----
+    kernel_qps_10m = None
+    if os.environ.get("BENCH_10M") == "1":
+        from zvec_tpu.ops.flat_pallas import flat_scan_topk
+        from zvec_tpu.typing import MetricType
+
+        n10, npad10 = 10_000_000, 10_485_760
+        corpus = rng.standard_normal((npad10, D), dtype=np.float32)
+        m10 = np.zeros(npad10, dtype=np.int8)
+        m10[:n10] = 1
+        codes = jnp.asarray(corpus)
+        norms = jnp.asarray(np.einsum("nd,nd->n", corpus, corpus))
+        dm10 = jnp.asarray(m10)
+        dqs10 = [jnp.asarray(qb) for qb in qset]
+
+        def run10(qd):
+            return flat_scan_topk(
+                qd, codes, norms, dm10, metric=MetricType.L2, topk=K
+            )
+
+        outs = [run10(qd) for qd in dqs10]
+        np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))
+
+        def pass10(iters):
+            t0 = time.perf_counter()
+            outs = [run10(dqs10[i % 4]) for i in range(iters)]
+            np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))
+            return (time.perf_counter() - t0) / iters
+
+        pass10(2)
+        s10 = min(pass10(4) for _ in range(2))
+        kernel_qps_10m = Q / s10
+        del corpus, codes, norms, dm10, dqs10, outs
+
     col, build_s = build_collection(X)
 
     # ---- headline: batched public-API queries ----
@@ -135,32 +170,8 @@ def main():
     kernel_qps = Q / kernel_s
 
     results = {"1M": {"api_qps": api_qps, "kernel_qps": kernel_qps}}
-
-    if os.environ.get("BENCH_10M") == "1":
-        n10, npad10 = 10_000_000, 10_485_760
-        corpus = rng.standard_normal((npad10, D), dtype=np.float32)
-        m10 = np.zeros(npad10, dtype=np.int8)
-        m10[:n10] = 1
-        codes = jnp.asarray(corpus)
-        norms = jnp.asarray(np.einsum("nd,nd->n", corpus, corpus))
-        dm10 = jnp.asarray(m10)
-
-        def run10(qd):
-            return flat_scan_topk(qd, codes, norms, dm10, metric=MetricType.L2, topk=K)
-
-        outs = [run10(qd) for qd in dqs]
-        np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))
-
-        def pass10(iters):
-            t0 = time.perf_counter()
-            outs = [run10(dqs[i % 4]) for i in range(iters)]
-            np.asarray(jnp.stack([s[:, :1] for s, _ in outs]))
-            return (time.perf_counter() - t0) / iters
-
-        pass10(2)
-        s10 = min(pass10(4) for _ in range(2))
-        results["10M"] = {"kernel_qps": Q / s10}
-        del corpus, codes, norms, dm10
+    if kernel_qps_10m is not None:
+        results["10M"] = {"kernel_qps": kernel_qps_10m}
 
     # ---- baseline ----
     baseline_source = "host_numpy_1core"

@@ -1,0 +1,232 @@
+"""10M x 128d HNSW end-to-end through the PUBLIC Collection API.
+
+The north-star measurement (BASELINE.json: "QPS at recall@10 >= 0.95 on 10M
+vectors"), run the way a user would: `create_and_open` with an HNSW-indexed
+vector schema, 10M `insert`s in reference-parity 1024-doc batches, one
+`optimize()` (seal + eager graph build via the clustered kNN-construction
+path, `core/hnsw.py::_clustered_candidates`), then `batch_query` recall/QPS
+sweeps over ef. Mirrors the reference's Cohere-10M HNSW workload recipe
+(`/root/reference/tools/core/README.md:95-131`) on synthetic clustered data
+(the hard case for graph builds — see BASELINE.md round-2 notes).
+
+Stages are resumable: each leaves a marker file in H2H10M_DIR so an
+interrupted run (tunnel worker crash, wall-clock) restarts at the last
+completed stage. The built graph itself is persisted by the collection
+(`Segment.build_index` -> `engine.dump_aux`), so stage 4+ reopens it from
+disk in seconds.
+
+Usage:  ZVEC_BUILD_LOG=1 python benchmarks/bench_10m_hnsw.py
+Output: one JSON line per ef + a summary line; results also written to
+        H2H10M_DIR/results.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+if os.environ.get("H2H10M_CPU") == "1":  # small-N smoke runs off-TPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = os.environ.get("H2H10M_DIR", "/tmp/h2h10m")
+COL_DIR = os.path.join(WORK, "col")
+N = int(os.environ.get("H2H10M_N", 10_000_000))
+D, NQ, K = 128, 1024, 10
+GT_Q = 256  # queries with exact ground truth (host-numpy bound)
+SEED = 1234
+
+
+def log(msg: str) -> None:
+    print(f"[10m {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def marker(name: str) -> str:
+    return os.path.join(WORK, f"DONE_{name}")
+
+
+def done(name: str) -> bool:
+    return os.path.exists(marker(name))
+
+
+def mark(name: str, payload: dict | None = None) -> None:
+    with open(marker(name), "w") as fh:
+        json.dump(payload or {}, fh)
+
+
+def read_mark(name: str) -> dict:
+    with open(marker(name)) as fh:
+        return json.load(fh)
+
+
+def stage_gen():
+    if done("gen"):
+        return
+    from benchmarks.h2h import make_data
+
+    log(f"generating clustered {N}x{D} + {NQ} queries")
+    t0 = time.time()
+    X, Q = make_data("clustered", N, D, nq=NQ)
+    np.save(os.path.join(WORK, "base.npy"), X)
+    np.save(os.path.join(WORK, "query.npy"), Q)
+    mark("gen", {"secs": round(time.time() - t0, 1)})
+    log(f"data generated in {time.time() - t0:.0f}s")
+
+
+def load_data():
+    X = np.load(os.path.join(WORK, "base.npy"), mmap_mode="r")
+    Q = np.load(os.path.join(WORK, "query.npy"))
+    return X, Q
+
+
+def stage_insert():
+    if done("insert"):
+        return
+    import zvec_tpu
+    from zvec_tpu import (
+        CollectionSchema,
+        DataType,
+        Doc,
+        HnswIndexParam,
+        MetricType,
+        VectorSchema,
+    )
+
+    shutil.rmtree(COL_DIR, ignore_errors=True)
+    zvec_tpu.init()
+    schema = CollectionSchema(
+        "h2h10m",
+        vectors=[
+            VectorSchema(
+                "vec",
+                DataType.VECTOR_FP32,
+                D,
+                HnswIndexParam(MetricType.L2, m=50, ef_construction=500),
+            )
+        ],
+    )
+    col = zvec_tpu.create_and_open(COL_DIR, schema)
+    X, _ = load_data()
+    t0 = time.time()
+    B = 1024  # reference write-batch parity (collection.cc:1443-1445)
+    for lo in range(0, N, B):
+        block = np.asarray(X[lo : lo + B])
+        col.insert(
+            [Doc(id=str(lo + i), vectors={"vec": block[i]}) for i in range(len(block))]
+        )
+        if lo % 1_048_576 == 0:
+            log(f"  inserted {lo + len(block):,}/{N:,} ({time.time() - t0:.0f}s)")
+    col.flush()
+    insert_s = time.time() - t0
+    mark("insert", {"secs": round(insert_s, 1)})
+    log(f"insert+flush done in {insert_s:.0f}s")
+    return col
+
+
+def stage_build(col=None):
+    if done("build"):
+        return
+    import zvec_tpu
+
+    if col is None:
+        zvec_tpu.init()
+        col = zvec_tpu.open(COL_DIR)
+    log("optimize(): seal + eager HNSW build (clustered kNN path)")
+    t0 = time.time()
+    col.optimize()
+    col.flush()
+    build_s = time.time() - t0
+    mark("build", {"secs": round(build_s, 1)})
+    log(f"optimize/build done in {build_s:.0f}s")
+    return col
+
+
+def stage_gt():
+    if done("gt"):
+        return
+    X, Q = load_data()
+    log(f"exact ground truth for {GT_Q} queries (blocked host numpy)")
+    t0 = time.time()
+    q = Q[:GT_Q].astype(np.float64)
+    qn = (q**2).sum(1)[:, None]
+    best_d = np.full((GT_Q, K), np.inf)
+    best_i = np.full((GT_Q, K), -1, np.int64)
+    BLK = 1_000_000
+    for lo in range(0, N, BLK):
+        xb = np.asarray(X[lo : lo + BLK]).astype(np.float64)
+        d2 = qn + (xb**2).sum(1)[None, :] - 2.0 * (q @ xb.T)
+        cat_d = np.concatenate([best_d, d2], axis=1)
+        cat_i = np.concatenate(
+            [best_i, np.broadcast_to(np.arange(lo, lo + xb.shape[0]), (GT_Q, xb.shape[0]))],
+            axis=1,
+        )
+        part = np.argpartition(cat_d, K, axis=1)[:, :K]
+        best_d = np.take_along_axis(cat_d, part, axis=1)
+        best_i = np.take_along_axis(cat_i, part, axis=1)
+        log(f"  gt block {lo // BLK + 1}/{(N + BLK - 1) // BLK}")
+    order = np.argsort(best_d, axis=1)
+    best_i = np.take_along_axis(best_i, order, axis=1)
+    np.save(os.path.join(WORK, "gt.npy"), best_i)
+    mark("gt", {"secs": round(time.time() - t0, 1)})
+    log(f"gt done in {time.time() - t0:.0f}s")
+
+
+def stage_measure(col=None):
+    import zvec_tpu
+    from zvec_tpu import HnswQueryParam
+
+    if col is None:
+        zvec_tpu.init()
+        t0 = time.time()
+        col = zvec_tpu.open(COL_DIR)
+        log(f"open() in {time.time() - t0:.1f}s")
+    _, Q = load_data()
+    gt = np.load(os.path.join(WORK, "gt.npy"))
+    results = {
+        "n": N,
+        "dim": D,
+        "kind": "clustered",
+        "insert_secs": read_mark("insert").get("secs"),
+        "build_secs": read_mark("build").get("secs"),
+        "ef": {},
+    }
+    for ef in (32, 64, 128, 256):
+        p = HnswQueryParam(ef=ef)
+        # warm with the SAME query-batch shape we time (compile outside timing)
+        col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+        col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+        t0 = time.perf_counter()
+        docs = col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+        dt = time.perf_counter() - t0
+        hits = 0
+        for i in range(GT_Q):
+            got = {int(d.id) for d in docs[i]}
+            hits += len(got & set(gt[i].tolist()))
+        rec = hits / (GT_Q * K)
+        row = {"recall_at_10": round(rec, 4), "qps": round(NQ / dt, 1)}
+        results["ef"][ef] = row
+        print(json.dumps({"ef": ef, **row}), flush=True)
+    with open(os.path.join(WORK, "results.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps({"summary": results}), flush=True)
+
+
+def main():
+    os.makedirs(WORK, exist_ok=True)
+    stage_gen()
+    col = stage_insert()
+    col = stage_build(col)
+    stage_gt()
+    stage_measure(col)
+
+
+if __name__ == "__main__":
+    main()

@@ -309,3 +309,30 @@ def test_radius_across_segments(tmp_path, rng):
     assert res and all(r.score <= 2.0 for r in res)
     assert res[0].id == "r1200"
     c._impl.close()
+
+
+def test_engine_lifetime_stats(tmp_path, rng):
+    """Per-runner lifetime stats roll up through CollectionStats
+    (reference `index_runner.h:52-140`)."""
+    schema = CollectionSchema(
+        "st",
+        vectors=[
+            VectorSchema("v", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.L2))
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "st"), schema)
+    xs = rng.standard_normal((50, 8)).astype(np.float32)
+    c.insert([Doc(id=str(i), vectors={"v": xs[i]}) for i in range(50)])
+    st0 = c.stats
+    assert st0.index_stats["v"]["search_count"] == 0
+
+    for _ in range(3):
+        c.query(VectorQuery("v", vector=xs[0]), topk=5)
+    st = c.stats
+    es = st.index_stats["v"]
+    assert es["search_count"] == 3
+    assert es["queries_served"] == 3
+    assert es["build_count"] >= 1
+    assert es["rows_built"] == 50
+    assert es["total_search_secs"] > 0.0
+    assert es["total_build_secs"] >= es["last_build_secs"] > 0.0

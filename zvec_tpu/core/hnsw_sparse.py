@@ -1,16 +1,22 @@
 """Sparse HNSW engine: NSW-style graph over sparse vectors.
 
 Reference equivalent: `src/core/algorithm/hnsw_sparse/` (graph ANN over sparse
-postings, IP metric). Build inserts in growing chunks with exact sparse-scan
-candidates (device `sparse_ip_topk`); neighbors keep the top-M closest
-(the reference's prune rule needs candidate-candidate distances, which for
-sparse rows cost more than they save — the richer entry probe set compensates);
-search runs the batched sparse beam kernel with a probed entry set.
+postings, IP metric). Build is batched kNN-graph construction, the same
+design as the dense engine (`core/hnsw.py::_build_graph_knn`): every node
+scores the whole corpus on the MXU for its exact top neighbors (no
+sequential insertion), reverse edges are added host-vectorized, and each
+node keeps its top-m0 by dot — IP is symmetric so reverse-edge sims come
+free from the forward pass. Neighbors keep the top-M closest (the
+reference's dominance prune needs candidate-candidate distances, which for
+sparse rows cost more than they save — the richer entry probe set
+compensates); search runs the batched sparse beam kernel with a probed
+entry set.
 """
 
 from __future__ import annotations
 
 import os
+import time as _time
 from typing import Dict, List, Optional
 
 import jax.numpy as jnp
@@ -18,8 +24,8 @@ import numpy as np
 
 from ..model.param.param import HnswQueryParam
 from ..ops.hnsw_sparse import hnsw_sparse_search
-from ..ops.runtime import round_up
-from ..ops.sparse import pad_sparse_rows, sparse_ip_topk
+from ..ops.runtime import NEG_INF, round_up
+from ..ops.sparse import sparse_ip_topk
 from ..typing.enum import MetricType
 from .sparse_flat import SparseFlatEngine
 
@@ -71,60 +77,59 @@ class SparseHnswEngine(SparseFlatEngine):
         self._aux_l0 = l0
 
     def _build_graph(self, rows) -> np.ndarray:
+        """Batched kNN-graph build: forward exact top-(m0+1) per node (one
+        compiled corpus-scan program, fixed batch shape), then symmetric
+        reverse edges + per-node top-m0 merge, all host-vectorized."""
         n = self._n
         m0 = 2 * self.m
-        l0 = np.full((n, m0), -1, dtype=np.int32)
-        fill = np.zeros(n, dtype=np.int32)
-        efc = self.ef_construction
+        k = min(m0 + 1, n)  # +1: self lands in its own top-k
+        B = 512
 
-        # chunked insertion with exact candidates over current prefix
-        pos = 1
-        while pos < n:
-            chunk = int(min(1024, max(64, pos // 2)))
-            chunk = min(chunk, n - pos)
-            new_ids = np.arange(pos, pos + chunk)
-            # exact top-efc over already-inserted docs (prefix mask keeps
-            # shapes static so the scan compiles once)
-            q_idx, q_val = self._queries_from_rows([rows[i] for i in new_ids])
-            k = min(efc, n)
-            prefix_mask = np.zeros(self._doc_idx.shape[0], dtype=bool)
-            prefix_mask[:pos] = True
+        # ---- forward pass: docs are their own queries (already padded) ----
+        fwd_i = np.full((n, k), -1, np.int32)
+        fwd_s = np.full((n, k), NEG_INF, np.float32)
+        n_pad = self._doc_idx.shape[0]
+        full_mask = np.zeros(n_pad, dtype=bool)
+        full_mask[:n] = True
+        mask_dev = jnp.asarray(full_mask)
+        for lo in range(0, n, B):
+            ids = np.minimum(np.arange(lo, lo + B), n - 1)
+            ids_dev = jnp.asarray(ids)
             sims, cand = sparse_ip_topk(
-                jnp.asarray(q_idx),
-                jnp.asarray(q_val),
+                jnp.take(self._doc_idx, ids_dev, axis=0),
+                jnp.take(self._doc_val, ids_dev, axis=0),
                 self._doc_idx,
                 self._doc_val,
-                jnp.asarray(prefix_mask),
+                mask_dev,
                 topk=k,
                 vocab=self._vocab,
             )
-            cand = np.asarray(cand)
-            sims = np.asarray(sims)
-            bad = (cand < 0) | (cand >= pos)
-            cand = np.where(bad, -1, cand)
+            hi = min(lo + B, n)
+            fwd_i[lo:hi] = np.asarray(cand)[: hi - lo]
+            fwd_s[lo:hi] = np.asarray(sims)[: hi - lo]
 
-            for bi, node in enumerate(new_ids):
-                sel = cand[bi][cand[bi] >= 0][:m0]
-                l0[node, : len(sel)] = sel
-                fill[node] = len(sel)
-                # reverse links
-                for nbr in sel:
-                    if fill[nbr] < m0:
-                        l0[nbr, fill[nbr]] = node
-                        fill[nbr] += 1
-                    else:
-                        # overflow: keep the m0 best by dot to the base
-                        cands = np.append(l0[nbr], node)
-                        base = rows[nbr] or {}
-                        dots = np.asarray(
-                            [
-                                _dict_dot(base, rows[c] or {})
-                                for c in cands
-                            ]
-                        )
-                        keep = cands[np.argsort(-dots, kind="stable")[:m0]]
-                        l0[nbr] = keep
-            pos += chunk
+        # ---- reverse edges + merge (host, vectorized): every forward edge
+        # (u, v, s) also proposes (v, u, s); keep each node's top-m0 ----
+        src = np.repeat(np.arange(n, dtype=np.int32), k)
+        dst = fwd_i.ravel()
+        sim = fwd_s.ravel()
+        valid = (dst >= 0) & (dst != src)
+        nodes = np.concatenate([src[valid], dst[valid]])
+        cands = np.concatenate([dst[valid], src[valid]])
+        sims = np.concatenate([sim[valid], sim[valid]])
+        # sort by (node, cand) to drop duplicate pairs, then by (node, -sim)
+        order = np.lexsort((cands, nodes))
+        nodes, cands, sims = nodes[order], cands[order], sims[order]
+        first = np.ones(nodes.shape[0], dtype=bool)
+        first[1:] = (nodes[1:] != nodes[:-1]) | (cands[1:] != cands[:-1])
+        nodes, cands, sims = nodes[first], cands[first], sims[first]
+        order = np.lexsort((-sims, nodes))
+        nodes, cands = nodes[order], cands[order]
+        start = np.searchsorted(nodes, np.arange(n, dtype=np.int32))
+        rank = np.arange(nodes.shape[0], dtype=np.int64) - start[nodes]
+        keep = rank < m0
+        l0 = np.full((n, m0), -1, dtype=np.int32)
+        l0[nodes[keep], rank[keep]] = cands[keep]
         return l0
 
     def _queries_from_rows(self, rows):
@@ -149,6 +154,9 @@ class SparseHnswEngine(SparseFlatEngine):
         if self._l0 is None or is_linear or self._n < _BRUTE_FORCE_THRESHOLD:
             return super().search(queries, topk, mask, param)
 
+        self.stats.search_count += 1
+        self.stats.queries_served += nq
+        t0 = _time.perf_counter()
         ef = getattr(param, "ef", 300) if param is not None else 300
         ef = max(ef, topk)
         q_idx, q_val = self._queries_from_rows(queries)
@@ -179,6 +187,7 @@ class SparseHnswEngine(SparseFlatEngine):
             sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
             idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
         sims = np.where(idx >= 0, sims, -np.inf)
+        self.stats.total_search_secs += _time.perf_counter() - t0
         return sims, idx
 
     # ------------- persistence -------------
@@ -199,9 +208,3 @@ class SparseHnswEngine(SparseFlatEngine):
         path = os.path.join(directory, descriptor.get("file", ""))
         if os.path.exists(path):
             self._loaded_aux = dict(np.load(path))
-
-
-def _dict_dot(a: Dict[int, float], b: Dict[int, float]) -> float:
-    if len(b) < len(a):
-        a, b = b, a
-    return sum(v * b.get(k, 0.0) for k, v in a.items())

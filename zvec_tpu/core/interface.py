@@ -12,6 +12,7 @@ invalidation (rebuild-on-flush replaces in-place graph mutation).
 from __future__ import annotations
 
 import threading
+import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -19,7 +20,45 @@ import numpy as np
 from ..model.param.param import QueryParam, VectorIndexParam
 from ..typing.enum import IndexType, MetricType, QuantizeType
 
-__all__ = ["VectorIndexEngine", "create_engine", "register_engine"]
+__all__ = ["EngineStats", "VectorIndexEngine", "create_engine", "register_engine"]
+
+
+class EngineStats:
+    """Per-runner lifetime stats (reference `index_runner.h:52-140`: every
+    runner tracks trained/built/added counts, index size and timings)."""
+
+    __slots__ = (
+        "rows_built",
+        "build_count",
+        "last_build_secs",
+        "total_build_secs",
+        "search_count",
+        "queries_served",
+        "total_search_secs",
+    )
+
+    def __init__(self):
+        self.rows_built = 0  # rows in the last-built snapshot
+        self.build_count = 0
+        self.last_build_secs = 0.0
+        self.total_build_secs = 0.0
+        self.search_count = 0  # search() dispatches
+        self.queries_served = 0  # individual query rows
+        self.total_search_secs = 0.0
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {s: getattr(self, s) for s in self.__slots__}
+
+    def merge(self, other: "EngineStats") -> "EngineStats":
+        """Aggregate across segments (combined-indexer roll-up)."""
+        self.rows_built += other.rows_built
+        self.build_count += other.build_count
+        self.last_build_secs = max(self.last_build_secs, other.last_build_secs)
+        self.total_build_secs += other.total_build_secs
+        self.search_count += other.search_count
+        self.queries_served += other.queries_served
+        self.total_search_secs += other.total_search_secs
+        return self
 
 
 class VectorIndexEngine:
@@ -45,6 +84,7 @@ class VectorIndexEngine:
         self._version_fn: Optional[Callable[[], int]] = None
         self._built_version = -1
         self._rebuild_lock = threading.RLock()
+        self.stats = EngineStats()
 
     # ---- wiring ----
     def bind_data(
@@ -60,8 +100,15 @@ class VectorIndexEngine:
         with self._rebuild_lock:
             v = self._version_fn() if self._version_fn else 0
             if v != self._built_version:
-                self._rebuild(self._data_fn())
+                t0 = time.perf_counter()
+                data = self._data_fn()
+                self._rebuild(data)
                 self._built_version = v
+                dt = time.perf_counter() - t0
+                self.stats.rows_built = len(data) if data is not None else 0
+                self.stats.build_count += 1
+                self.stats.last_build_secs = dt
+                self.stats.total_build_secs += dt
 
     # ---- to implement ----
     def _rebuild(self, data: np.ndarray) -> None:
@@ -103,7 +150,12 @@ class VectorIndexEngine:
                 mask = np.concatenate([mask, np.zeros(n - len(mask), dtype=bool)])
             else:
                 mask = mask[:n]
-        return self._search_impl(queries, topk, mask, param)
+        t0 = time.perf_counter()
+        out = self._search_impl(queries, topk, mask, param)
+        self.stats.search_count += 1
+        self.stats.queries_served += queries.shape[0]
+        self.stats.total_search_secs += time.perf_counter() - t0
+        return out
 
     # ---- persistence hooks (index-specific auxiliary state, e.g. HNSW graph) ----
     def dump_aux(self, directory: str, prefix: str) -> Dict[str, Any]:

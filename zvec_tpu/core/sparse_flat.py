@@ -8,6 +8,8 @@ Sparse vectors support the IP metric only (`distance_helper.py:148-150`).
 
 from __future__ import annotations
 
+import time
+
 from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -60,11 +62,14 @@ class SparseFlatEngine(VectorIndexEngine):
         if isinstance(queries, dict):
             queries = [queries]
         nq = len(queries)
+        self.stats.search_count += 1
+        self.stats.queries_served += nq
         if self._n == 0:
             return (
                 np.full((nq, topk), -np.inf, np.float32),
                 np.full((nq, topk), -1, np.int64),
             )
+        t0 = time.perf_counter()
         budget = getattr(param, "filtering_budget", 0.0) if param else 0.0
         pruned = [prune_sparse_query(q or {}, budget) for q in queries]
         pq = max(max((len(q) for q in pruned), default=1), 1)
@@ -97,4 +102,5 @@ class SparseFlatEngine(VectorIndexEngine):
             sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
             idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
         sims = np.where(idx >= 0, sims, -np.inf)
+        self.stats.total_search_secs += time.perf_counter() - t0
         return sims, idx

@@ -1057,7 +1057,22 @@ class CollectionImpl:
                 else:
                     built = sum(1 for s in sealed if vs.name in s.meta.indexes)
                     completeness[vs.name] = built / len(sealed)
-            return CollectionStats(alive, completeness)
+            # per-field engine lifetime stats rolled up across segments
+            # (reference per-runner Stats, `index_runner.h:52-140`)
+            from ..core.interface import EngineStats
+
+            index_stats: Dict[str, Dict] = {}
+            all_segs = list(self.segments) + (
+                [self.writing] if self.writing is not None else []
+            )
+            for vs in self.schema.vectors:
+                agg = EngineStats()
+                for s in all_segs:
+                    eng = s._engines.get(vs.name)
+                    if eng is not None:
+                        agg.merge(eng.stats)
+                index_stats[vs.name] = agg.to_dict()
+            return CollectionStats(alive, completeness, index_stats)
 
     def close(self) -> None:
         with self._lock:

@@ -398,17 +398,26 @@ class CollectionSchema:
 
 class CollectionStats:
     """Runtime stats: total doc count + per-indexed-column completeness
-    (reference `src/include/zvec/db/stats.h:25-32`)."""
+    (reference `src/include/zvec/db/stats.h:25-32`), plus per-field engine
+    lifetime stats rolled up across segments (reference per-runner `Stats`,
+    `index_runner.h:52-140`: build/search counts and timings)."""
 
-    def __init__(self, doc_count: int = 0, index_completeness: Optional[Dict[str, float]] = None):
+    def __init__(
+        self,
+        doc_count: int = 0,
+        index_completeness: Optional[Dict[str, float]] = None,
+        index_stats: Optional[Dict[str, Dict[str, Any]]] = None,
+    ):
         self.doc_count = doc_count
         self.index_completeness = index_completeness or {}
+        self.index_stats = index_stats or {}
 
     def __repr__(self) -> str:
         return json.dumps(
             {
                 "doc_count": self.doc_count,
                 "index_completeness": self.index_completeness,
+                "index_stats": self.index_stats,
             },
             indent=2,
         )
