@@ -245,3 +245,26 @@ def test_parquet_forward_format(tmp_path, schema, rng, monkeypatch):
     assert c2.query(VectorQuery("emb", vector=vecs[3]), topk=1)[0].id == "doc3"
     assert c2.fetch("doc5")["doc5"].field("title") == "t5"
     c2._impl.close()
+
+
+def test_collection_pickle_roundtrip(tmp_path, rng):
+    """Pickle = (path, option); unpickle re-opens (reference
+    `python_collection.cc:56-70`). The source handle must be closed first
+    (single-process file lock)."""
+    import pickle
+
+    schema = CollectionSchema(
+        "pk",
+        vectors=[
+            VectorSchema("v", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.L2))
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "pk"), schema)
+    xs = rng.standard_normal((20, 8)).astype(np.float32)
+    c.insert([Doc(id=str(i), vectors={"v": xs[i]}) for i in range(20)])
+    c.flush()
+    blob = pickle.dumps(c)
+    c._impl.close()
+    c2 = pickle.loads(blob)
+    res = c2.query(VectorQuery("v", vector=xs[3]), topk=1)
+    assert res[0].id == "3"

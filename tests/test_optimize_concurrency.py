@@ -150,3 +150,37 @@ def test_writes_during_optimize_survive(tmp_path, schema, rng):
     assert c2.fetch("d5") == {}
     assert c2.fetch("d6")["d6"].field("price") == 999.0
     c2._impl.close()
+
+
+def test_optimize_single_fully_alive_segment_is_in_place(tmp_path, schema, rng):
+    """One sealed segment with zero tombstones: optimize() must not rewrite
+    the segment (no new segment dir), only build indexes + commit."""
+    c = zvec_tpu.create_and_open(str(tmp_path / "triv"), schema)
+    xs = rng.standard_normal((100, 16)).astype(np.float32)
+    c.insert([Doc(id=str(i), vectors={"emb": xs[i]}) for i in range(100)])
+    c.optimize()  # seals + trivial path
+    seg_ids = [s.meta.segment_id for s in c._impl.segments]
+    dirs_before = sorted(
+        d for d in __import__("os").listdir(c.path) if d.startswith("seg_")
+    )
+    c.optimize()  # second optimize: single fully-alive segment -> no-op merge
+    assert [s.meta.segment_id for s in c._impl.segments] == seg_ids
+    dirs_after = sorted(
+        d for d in __import__("os").listdir(c.path) if d.startswith("seg_")
+    )
+    assert dirs_after == dirs_before
+    res = c.query(VectorQuery("emb", vector=xs[7]), topk=1)
+    assert res[0].id == "7"
+
+
+def test_optimize_with_tombstones_still_compacts(tmp_path, schema, rng):
+    c = zvec_tpu.create_and_open(str(tmp_path / "nontrw"), schema)
+    xs = rng.standard_normal((100, 16)).astype(np.float32)
+    c.insert([Doc(id=str(i), vectors={"emb": xs[i]}) for i in range(100)])
+    c.optimize()
+    c.delete([str(i) for i in range(50)])
+    c.optimize()  # tombstones present -> real merge drops them
+    assert c._impl.segments[0].doc_count == 50
+    assert c.stats.doc_count == 50
+    res = c.query(VectorQuery("emb", vector=xs[80]), topk=1)
+    assert res[0].id == "80"

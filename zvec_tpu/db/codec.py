@@ -57,6 +57,7 @@ _T_VEC_F64 = 22
 _T_VEC_I8 = 23
 _T_VEC_U32 = 24  # packed binary vector words (VECTOR_BINARY32)
 _T_VEC_U64 = 25  # packed binary vector words (VECTOR_BINARY64)
+_T_VEC_I16 = 26  # VECTOR_INT16
 _T_SPARSE_F32 = 30
 _T_U64 = 31
 
@@ -76,6 +77,7 @@ _VEC_DTYPES = {
     _T_VEC_I8: np.int8,
     _T_VEC_U32: np.uint32,
     _T_VEC_U64: np.uint64,
+    _T_VEC_I16: np.int16,
 }
 _DTYPE_TO_ARR = {np.dtype(v): k for k, v in _ARR_DTYPES.items()}
 _DTYPE_TO_VEC = {np.dtype(v): k for k, v in _VEC_DTYPES.items()}

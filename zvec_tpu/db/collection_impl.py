@@ -916,21 +916,36 @@ class CollectionImpl:
             alive_masks = [
                 self.deletes.alive_mask(s.doc_id_start, s.doc_count) for s in sources
             ]
-            meta = SegmentMeta(
-                segment_id=self._next_segment_id,
-                doc_id_start=self._next_doc_id,
-                state="sealed",
-            )
-            self._next_segment_id += 1
-            merged_count = int(sum(int(m.sum()) for m in alive_masks))
-            # reserve [doc_id_start, doc_id_start + merged_count): concurrent
-            # inserts during the merge allocate after it
-            self._next_doc_id += merged_count
-            assert self.writing.doc_count == 0, (
-                "writing segment must be empty when its id range moves"
-            )
-            self.writing.meta.doc_id_start = self._next_doc_id
-            self._commit_version()
+            trivial = len(sources) == 1 and bool(alive_masks[0].all())
+            if not trivial:
+                meta = SegmentMeta(
+                    segment_id=self._next_segment_id,
+                    doc_id_start=self._next_doc_id,
+                    state="sealed",
+                )
+                self._next_segment_id += 1
+                merged_count = int(sum(int(m.sum()) for m in alive_masks))
+                # reserve [doc_id_start, doc_id_start + merged_count):
+                # concurrent inserts during the merge allocate after it
+                self._next_doc_id += merged_count
+                assert self.writing.doc_count == 0, (
+                    "writing segment must be empty when its id range moves"
+                )
+                self.writing.meta.doc_id_start = self._next_doc_id
+                self._commit_version()
+
+        if trivial:
+            # Trivial compaction: one fully-alive segment — rewriting 100% of
+            # its rows into an identical segment buys nothing (at 10M that is
+            # ~10GB of table churn). Build any missing indexes in place
+            # (outside the lock — the segment is sealed/immutable, queries
+            # keep serving) and commit. Reference CompactTasks group segments
+            # precisely to avoid single-source no-op merges
+            # (`collection.cc:840-920`).
+            self._build_indexes_for(sources[0])
+            with self._lock:
+                self._commit_version()
+            return
 
         # ---- phase 2 (unlocked): merge tables + build target indexes.
         # Sources are sealed (immutable); concurrent DML only touches the

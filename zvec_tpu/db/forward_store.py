@@ -74,6 +74,8 @@ _VECTOR_NUMPY = {
     DataType.VECTOR_FP32: np.float32,
     DataType.VECTOR_FP64: np.float64,
     DataType.VECTOR_INT8: np.int8,
+    DataType.VECTOR_INT16: np.int16,
+    DataType.VECTOR_INT4: np.int8,  # nibble-packed: 2 elements per byte
     DataType.VECTOR_BINARY32: np.uint32,
     DataType.VECTOR_BINARY64: np.uint64,
 }
@@ -87,6 +89,8 @@ def storage_width(vs) -> int:
         return -(-vs.dimension // 32)
     if vs.data_type == DataType.VECTOR_BINARY64:
         return -(-vs.dimension // 64)
+    if vs.data_type == DataType.VECTOR_INT4:
+        return -(-vs.dimension // 2)
     return vs.dimension
 
 _SPARSE_TYPE = pa.struct(
@@ -196,26 +200,43 @@ class ForwardStore:
         col = self._table.column(name)
         return np.asarray(col.is_null().combine_chunks().to_numpy(zero_copy_only=False))
 
-    def dense_matrix(self, name: str) -> np.ndarray:
-        """(N, D) matrix of a dense vector column in its storage dtype."""
+    def _storage_matrix(self, name: str) -> np.ndarray:
+        """(N, W) matrix in raw storage form (INT4 stays nibble-packed)."""
         if name in self._dense:
             return self._dense[name][: self._count]
         # sealed: reconstruct from arrow fixed-size-list
-        col = self._table.column(name).combine_chunks()
         vs = self.schema.vector(name)
+        col = self._table.column(name).combine_chunks()
         dt = _VECTOR_NUMPY[vs.data_type]
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(dt, copy=False)
         return flat.reshape(self._count, storage_width(vs))
 
-    def dense_vector(self, name: str, idx: int) -> Optional[np.ndarray]:
-        if name in self._dense:
-            return np.array(self._dense[name][idx])
-        col = self._table.column(name)
-        value = col[idx].as_py()
-        if value is None:
-            return None
+    def dense_matrix(self, name: str) -> np.ndarray:
+        """(N, D) matrix of a dense vector column in its storage dtype
+        (INT4 columns come back nibble-unpacked to (N, D) int8; storage and
+        WAL stay packed at 2 elements/byte)."""
         vs = self.schema.vector(name)
-        return np.asarray(value, dtype=_VECTOR_NUMPY[vs.data_type])
+        mat = self._storage_matrix(name)
+        if vs.data_type == DataType.VECTOR_INT4:
+            from ..ops.quantize import unpack_int4
+
+            mat = unpack_int4(np.ascontiguousarray(mat), vs.dimension)
+        return mat
+
+    def dense_vector(self, name: str, idx: int) -> Optional[np.ndarray]:
+        vs = self.schema.vector(name)
+        if name in self._dense:
+            row = np.array(self._dense[name][idx])
+        else:
+            value = self._table.column(name)[idx].as_py()
+            if value is None:
+                return None
+            row = np.asarray(value, dtype=_VECTOR_NUMPY[vs.data_type])
+        if vs.data_type == DataType.VECTOR_INT4:
+            from ..ops.quantize import unpack_int4
+
+            row = unpack_int4(np.ascontiguousarray(row)[None, :], vs.dimension)[0]
+        return row
 
     def sparse_vector(self, name: str, idx: int) -> Optional[Dict[int, float]]:
         if name in self._sparse:
@@ -312,7 +333,7 @@ class ForwardStore:
             if v.data_type.is_sparse_vector:
                 store._sparse[v.name] = self.sparse_rows(v.name)
             else:
-                mat = np.array(self.dense_matrix(v.name))  # writable copy
+                mat = np.array(self._storage_matrix(v.name))  # writable copy
                 store._dense[v.name] = mat
         return store
 

@@ -191,6 +191,31 @@ def validate_doc(
                     StatusCode.INVALID_ARGUMENT, f"vector '{name}': {err}"
                 )
             vectors[name] = arr
+        elif vs.data_type == DataType.VECTOR_INT4:
+            # nibble range check + pack (storage keeps 2 elements/byte;
+            # reference stores DT_INT4 packed, `type_helper.cc:32`)
+            arr = np.asarray(value)
+            if arr.ndim != 1 or arr.shape[0] != vs.dimension:
+                return None, None, Status.error(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"int4 vector '{name}' must be 1-d of length {vs.dimension}",
+                )
+            if not np.issubdtype(arr.dtype, np.number) or (
+                np.issubdtype(arr.dtype, np.floating)
+                and not np.all(arr == np.round(arr))
+            ):
+                return None, None, Status.error(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"int4 vector '{name}' must contain integers",
+                )
+            if arr.min() < -8 or arr.max() > 7:
+                return None, None, Status.error(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"int4 vector '{name}' values must be in [-8, 7]",
+                )
+            from ..ops.quantize import pack_int4
+
+            vectors[name] = pack_int4(arr.astype(np.int8)[None, :])[0]
         else:
             arr = np.asarray(value)
             if arr.ndim != 1:

@@ -39,6 +39,8 @@ DTYPE_MAP = {
     DataType.VECTOR_FP32: np.float32,
     DataType.VECTOR_FP64: np.float64,
     DataType.VECTOR_INT8: np.int8,
+    DataType.VECTOR_INT16: np.int16,
+    DataType.VECTOR_INT4: np.int8,  # queries arrive unpacked (D values in [-8, 7])
 }
 
 

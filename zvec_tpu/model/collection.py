@@ -44,6 +44,13 @@ class Collection:
         self._option = option or CollectionOption()
         self._querier = QueryExecutorFactory.create(impl.schema)
 
+    def __reduce__(self):
+        """Pickle as (path, option); unpickling re-opens the collection
+        (reference `python_collection.cc:56-70` py::pickle support)."""
+        from .. import zvec as _zvec
+
+        return (_zvec.open, (self._impl.path, self._option))
+
     # ========== properties ==========
     @property
     def path(self) -> str:

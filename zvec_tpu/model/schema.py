@@ -38,6 +38,8 @@ SUPPORT_VECTOR_DATA_TYPE = [
     DataType.VECTOR_FP32,
     DataType.VECTOR_FP64,
     DataType.VECTOR_INT8,
+    DataType.VECTOR_INT16,
+    DataType.VECTOR_INT4,
     DataType.SPARSE_VECTOR_FP16,
     DataType.SPARSE_VECTOR_FP32,
 ]
