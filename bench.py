@@ -216,6 +216,15 @@ def main():
         detail["vs_ref_1thread"] = round(headline / float(ref_qps_1t), 2)
     if "10M" in results:
         detail["kernel_qps_10M"] = round(results["10M"]["kernel_qps"], 1)
+    # 10M HNSW end-to-end (benchmarks/bench_10m_hnsw.py) — measured through
+    # the public Collection API on this chip; surfaced so the driver records
+    # the north-star figure (BASELINE.json: qps at recall@10 >= 0.95 on 10M)
+    hnsw10m = os.environ.get("H2H10M_DIR", "/tmp/h2h10m") + "/results.json"
+    if os.path.exists(hnsw10m):
+        try:
+            detail["hnsw_10M_collection_api"] = json.load(open(hnsw10m))
+        except Exception:
+            pass
     print(
         json.dumps(
             {

@@ -268,3 +268,62 @@ def test_collection_pickle_roundtrip(tmp_path, rng):
     c2 = pickle.loads(blob)
     res = c2.query(VectorQuery("v", vector=xs[3]), topk=1)
     assert res[0].id == "3"
+
+
+def test_query_output_fields_and_include_vector_combos(coll, rng):
+    """DQL projection semantics (reference detail/test_collection_dql.py):
+    output_fields=[] -> id+score only; default -> all fields, no vector;
+    include_vector=True -> vector present alongside fields."""
+    docs, vecs = make_docs(rng, 10)
+    coll.insert(docs)
+    q = VectorQuery("emb", vector=vecs[0])
+
+    r = coll.query(q, topk=1, output_fields=[])[0]
+    assert r.id == "doc0" and r.fields == {} and not r.vectors
+
+    r = coll.query(q, topk=1)[0]
+    assert r.field("title") == "t0" and r.field("price") == 0.0
+    assert not r.vectors  # include_vector defaults False
+
+    r = coll.query(q, topk=1, output_fields=["price"])[0]
+    assert set(r.field_names()) == {"price"}
+
+    r = coll.query(q, topk=1, include_vector=True)[0]
+    np.testing.assert_allclose(np.asarray(r.vector("emb")), vecs[0], rtol=1e-6)
+
+    with pytest.raises(ZvecError):
+        coll.query(q, topk=1, output_fields=["nope"])
+
+
+def test_query_null_fields_materialize_as_none(coll, rng):
+    vecs = rng.standard_normal((3, 16)).astype(np.float32)
+    coll.insert(
+        [
+            Doc(id="a", vectors={"emb": vecs[0]}, fields={"title": "x"}),
+            Doc(id="b", vectors={"emb": vecs[1]}, fields={"price": 2.0}),
+            Doc(id="c", vectors={"emb": vecs[2]}),
+        ]
+    )
+    r = coll.query(VectorQuery("emb", vector=vecs[1]), topk=1)[0]
+    assert r.id == "b" and r.field("title") is None and r.field("price") == 2.0
+    # IS NULL / IS NOT NULL filters see the same nullness
+    r = coll.query(
+        VectorQuery("emb", vector=vecs[2]), topk=3, filter="title IS NULL"
+    )
+    assert {d.id for d in r} == {"b", "c"}
+
+
+def test_fetch_missing_and_duplicate_pks(coll, rng):
+    docs, _ = make_docs(rng, 5)
+    coll.insert(docs)
+    got = coll.fetch(["doc1", "missing", "doc1"])
+    assert set(got) == {"doc1"}
+    assert got["doc1"].field("count") == 1
+
+
+def test_topk_zero_and_negative_rejected(coll, rng):
+    docs, vecs = make_docs(rng, 5)
+    coll.insert(docs)
+    for bad in (0, -1):
+        with pytest.raises((ZvecError, ValueError)):
+            coll.query(VectorQuery("emb", vector=vecs[0]), topk=bad)

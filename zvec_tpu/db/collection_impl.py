@@ -560,6 +560,7 @@ class CollectionImpl:
         """Single-vector query returning ranked Docs."""
         from ..utils.profiler import Profiler
 
+        self._check_output_fields(output_fields)
         vs = self.schema.vector(field_name)
         if isinstance(vector, dict):
             q = [vector]
@@ -607,6 +608,7 @@ class CollectionImpl:
         """
         from ..utils.profiler import Profiler
 
+        self._check_output_fields(output_fields)
         vs = self.schema.vector(field_name)
         if vs is None:
             raise ZvecError(
@@ -653,6 +655,8 @@ class CollectionImpl:
         output_fields: Optional[List[str]],
         segs: Optional[List[Segment]] = None,
     ) -> Doc:
+        if output_fields and "*" in output_fields:
+            output_fields = None  # reference: '*' selects all fields
         seg = self._segment_for_doc_id(doc_id, segs)
         pk, fields, vectors = seg.row_by_doc_id(doc_id)
         if output_fields is not None:
@@ -663,6 +667,20 @@ class CollectionImpl:
             fields=fields,
             vectors=vectors if include_vector else None,
         )
+
+    def _check_output_fields(self, output_fields: Optional[List[str]]) -> None:
+        """Unknown projection names are an error (reference analyzer resolves
+        select columns against the schema); '*' selects everything."""
+        if not output_fields:
+            return
+        for name in output_fields:
+            if name == "*":
+                continue
+            if self.schema.field(name) is None and self.schema.vector(name) is None:
+                raise ZvecError(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"unknown output field '{name}'",
+                )
 
     def group_by_query(
         self,
