@@ -353,7 +353,11 @@ class HnswEngine(VectorIndexEngine):
         _log = _os.environ.get("ZVEC_BUILD_LOG") == "1"
         _t0 = _time.perf_counter()
         if clustered:
-            ccand = self._clustered_candidates(
+            # candidates stay DEVICE-RESIDENT (n+1, 2, kc): the old flow
+            # fetched them to host (~5GB D2H at 10M) and re-staged windows
+            # per dispatch (~5GB H2D); the fused path gathers candidate
+            # lanes in-program and only pruned ids cross the tunnel.
+            cand_dev = self._clustered_candidates(
                 data, codes_dev, norms_dev, n, kc=max(32, min(64, max_out))
             )
             if _log:
@@ -362,17 +366,18 @@ class HnswEngine(VectorIndexEngine):
                     f"{_time.perf_counter() - _t0:.1f}s",
                     flush=True,
                 )
-            adj = jnp.full((n, max_out), -1, jnp.int32)
-            c2 = ccand.shape[1]
-            nb_chunk = max(1, min(32, int(2e9 // (B * c2 * 4))))
-            for lo in range(0, nb, nb_chunk):
-                rm = rows_mat[lo : lo + nb_chunk]
-                adj = merge_prune_all(
-                    jnp.asarray(rm), jnp.asarray(ccand[rm]), codes_dev,
-                    norms_dev, adj, metric=metric, max_out=max_out,
+            from ..ops.hnsw import merge_prune_batch_out
+
+            fwd = np.full((n, max_out), -1, np.int32)
+            for lo in range(0, nb, 32):
+                rm = rows_mat[lo : lo + 32]
+                out = merge_prune_batch_out(
+                    jnp.asarray(rm), cand_dev, codes_dev, norms_dev,
+                    metric=metric, max_out=max_out,
                 )
-            fwd = np.asarray(adj)
-            del adj
+                out_np = np.asarray(out).reshape(-1, max_out)
+                fwd[rm.reshape(-1)] = out_np  # padded repeats rewrite a row
+            del cand_dev
             if _log:
                 print(
                     f"[knn-build]   fwd (clustered) in "
@@ -464,8 +469,9 @@ class HnswEngine(VectorIndexEngine):
 
     def _clustered_candidates(
         self, data: np.ndarray, codes_dev, norms_dev, n: int, kc: int
-    ) -> np.ndarray:
-        """Cluster-local kNN candidates -> (n, 2*kc) int32 (-1 pad, unsorted).
+    ):
+        """Cluster-local kNN candidates -> DEVICE (n + 1, 2, kc) int32
+        (-1 pad, unsorted; row n is the invalid-scatter dump slot).
 
         k-means buckets + top-2 spilled assignment; every bucket scores its
         members against each other on the MXU and each member keeps its
@@ -523,7 +529,7 @@ class HnswEngine(VectorIndexEngine):
                 metric=self._search_metric,
                 kc=kc,
             )
-        return np.asarray(cand)[:n].reshape(n, 2 * kc)
+        return cand
 
     def _build_graph_insert(self, data: np.ndarray) -> _Graph:
         n, d = data.shape

@@ -936,15 +936,10 @@ def merge_prune_all(
 
 
 @partial(jax.jit, static_argnames=("block",))
-def assign_top2_blocked(data: jax.Array, cents: jax.Array, block: int = 16384):
-    """Two nearest centroids per row, blocked over N so the (N, K) distance
-    matrix never materializes. Returns (N, 2) int32."""
+def _assign_top2_scan(data: jax.Array, cents: jax.Array, *, block: int):
     from .distance import squared_l2_matrix
 
-    n = data.shape[0]
-    if n % block != 0:
-        block = n
-    nb = n // block
+    nb = data.shape[0] // block
     data_b = data.reshape(nb, block, -1)
 
     def body(_, x):
@@ -953,7 +948,72 @@ def assign_top2_blocked(data: jax.Array, cents: jax.Array, block: int = 16384):
         return None, idx.astype(jnp.int32)
 
     _, out = jax.lax.scan(body, None, data_b)
-    return out.reshape(n, 2)
+    return out.reshape(nb * block, 2)
+
+
+def assign_top2_blocked(data: jax.Array, cents: jax.Array, block: int = 16384):
+    """Two nearest centroids per row, blocked over N so the (N, K) distance
+    matrix never materializes; a non-divisible N runs its remainder as one
+    smaller block (the old whole-N fallback compiled an (N, K) matrix —
+    320GB at 10M x 8000). Returns (N, 2) int32."""
+    n = data.shape[0]
+    block = min(block, n)
+    cut = (n // block) * block
+    parts = []
+    if cut:
+        parts.append(_assign_top2_scan(data[:cut], cents, block=block))
+    if n - cut:
+        parts.append(_assign_top2_scan(data[cut:], cents, block=n - cut))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+@partial(jax.jit, static_argnames=("metric", "max_out"))
+def merge_prune_batch_out(
+    rows_mat: jax.Array,  # (NB, B)
+    cand_full: jax.Array,  # (n + 1, S, kc) device-RESIDENT candidate lanes
+    codes: jax.Array,
+    norms2: jax.Array,
+    *,
+    metric: MetricType,
+    max_out: int,
+):
+    """Forward merge-prune straight from device-resident candidates: each
+    scan step gathers its rows' candidate lanes in-program (no host staging
+    of a (N, C) candidate matrix — at 10M that staging plus the candidate
+    fetch is ~10GB of tunnel traffic) and emits pruned ids (NB, B, max_out)
+    for host-side adjacency assembly."""
+
+    def body(_, rows):
+        cand_ids = jnp.concatenate(
+            [cand_full[rows, s] for s in range(cand_full.shape[1])], axis=1
+        )
+        base = codes[rows].astype(jnp.float32)
+        bnorm2 = norms2[rows]
+        valid = (cand_ids >= 0) & (cand_ids != rows[:, None])
+        safe = jnp.clip(cand_ids, 0, None)
+        vecs = codes[safe].astype(jnp.float32)
+        nrm2 = norms2[safe]
+        sims = _sim_to_base(base, bnorm2, vecs, nrm2, metric)
+        sims = jnp.where(valid, sims, NEG_INF)
+        order = jnp.argsort(-sims, axis=1)
+        ids_o = jnp.take_along_axis(cand_ids, order, 1)
+        sims_o = jnp.take_along_axis(sims, order, 1)
+        valid_o = jnp.take_along_axis(valid, order, 1)
+        vecs_o = jnp.take_along_axis(vecs, order[:, :, None], 1)
+        nrm_o = jnp.take_along_axis(nrm2, order, 1)
+        valid_o = valid_o & ~_dup_mask(ids_o)
+        sims_o = jnp.where(valid_o, sims_o, NEG_INF)
+        pair = _pairwise_sims(vecs_o, nrm_o, metric)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out)
+        ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
+        if ids_c.shape[1] < max_out:
+            ids_c = jnp.pad(
+                ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
+            )
+        return None, ids_c
+
+    _, out = jax.lax.scan(body, None, rows_mat)
+    return out
 
 
 @partial(jax.jit, static_argnames=("metric", "kc"), donate_argnums=(2,))

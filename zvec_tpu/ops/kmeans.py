@@ -53,30 +53,37 @@ def lloyd(
     never materializes (HBM-safe at 10M x 4096). Returns (centroids, assigns)."""
     n = data.shape[0]
     k = centroids.shape[0]
-    if n % block != 0:
-        block = n
-    nb = n // block
+    block = min(block, n)
+    pad = (-n) % block
+    if pad:
+        # pad rows carry zero weight (a whole-N block materializes (N, K))
+        data = jnp.pad(data, ((0, pad), (0, 0)))
+    n_pad = n + pad
+    nb = n_pad // block
     data_b = data.reshape(nb, block, -1)
+    valid_b = (jnp.arange(n_pad) < n).reshape(nb, block)
 
-    def assign_block(cents, x):
+    def assign_block(cents, x, valid):
         d2 = squared_l2_matrix(x, cents)  # (block, K)
         a = jnp.argmin(d2, axis=1)
         one_hot = jax.nn.one_hot(a, k, dtype=jnp.float32)
+        one_hot = one_hot * valid[:, None]
         sums = jnp.einsum(
             "nk,nd->kd", one_hot, x, precision=jax.lax.Precision.HIGHEST
         )
         return a, sums, one_hot.sum(0)
 
     def step(cents, _):
-        def scan_body(carry, x):
+        def scan_body(carry, inp):
+            x, valid = inp
             sums, counts = carry
-            _, s, c = assign_block(cents, x)
+            _, s, c = assign_block(cents, x, valid)
             return (sums + s, counts + c), None
 
         (sums, counts), _ = jax.lax.scan(
             scan_body,
             (jnp.zeros((k, data.shape[1]), jnp.float32), jnp.zeros((k,), jnp.float32)),
-            data_b,
+            (data_b, valid_b),
         )
         new = jnp.where(
             counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), cents
@@ -85,12 +92,13 @@ def lloyd(
 
     centroids, _ = jax.lax.scan(step, centroids.astype(jnp.float32), None, length=iters)
 
-    def final_body(_, x):
-        a, _, _ = assign_block(centroids, x)
+    def final_body(_, inp):
+        x, valid = inp
+        a, _, _ = assign_block(centroids, x, valid)
         return None, a
 
-    _, assigns = jax.lax.scan(final_body, None, data_b)
-    return centroids, assigns.reshape(n)
+    _, assigns = jax.lax.scan(final_body, None, (data_b, valid_b))
+    return centroids, assigns.reshape(n_pad)[:n]
 
 
 def stratified_train(

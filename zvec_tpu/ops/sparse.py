@@ -91,8 +91,18 @@ def sparse_ip_topk(
 ):
     """Sparse IP top-k: returns (sims (Q, topk) desc, indices)."""
     n = doc_idx.shape[0]
-    if n % block_size != 0:
-        block_size = n
+    block_size = min(block_size, n)
+    pad = (-n) % block_size
+    if pad:
+        # pad to a block multiple (a whole-N block materializes (Q, N))
+        doc_idx = jnp.pad(doc_idx, ((0, pad), (0, 0)), constant_values=-1)
+        doc_val = jnp.pad(doc_val, ((0, pad), (0, 0)))
+        mask = (
+            jnp.pad(mask, (0, pad))
+            if mask is not None
+            else jnp.arange(n + pad) < n
+        )
+        n = n + pad
     num_blocks = n // block_size
     nq = q_idx.shape[0]
     q_dense = _densify_queries(q_idx, q_val, vocab)  # (Q, V)

@@ -74,9 +74,20 @@ def blockwise_topk_search(
       sim <= NEG_INF/2 as invalid.
     """
     n = codes.shape[0]
-    if n % block_size != 0:
-        # Fall back to a single-block scan for small/ragged inputs.
-        block_size = n
+    block_size = min(block_size, n)
+    pad = (-n) % block_size
+    if pad:
+        # Pad to a block multiple instead of widening the block to N — a
+        # single (Q, N) similarity block is an HBM bomb at corpus scale.
+        codes = jnp.pad(codes, ((0, pad),) + ((0, 0),) * (codes.ndim - 1))
+        mask = (
+            jnp.pad(mask, (0, pad))
+            if mask is not None
+            else jnp.arange(n + pad) < n
+        )
+        if x_sq_norms is not None:
+            x_sq_norms = jnp.pad(x_sq_norms, (0, pad))
+        n = n + pad
     num_blocks = n // block_size
     nq = q.shape[0]
     q = q.astype(jnp.float32)
