@@ -141,12 +141,14 @@ class QueryExecutor(ABC):
 
         if len(built) == 1 or self._concurrency == 1:
             return {bq.field_name: run(bq) for bq in built}
-        results: Dict[str, List[Doc]] = {}
+        done: Dict[str, List[Doc]] = {}
         with ThreadPoolExecutor(max_workers=self._concurrency) as pool:
             futures = {pool.submit(run, bq): bq.field_name for bq in built}
             for future in as_completed(futures):
-                results[futures[future]] = future.result()
-        return results
+                done[futures[future]] = future.result()
+        # assemble in query order: reranker tie-breaks must not depend on
+        # thread completion order (results deterministic vs serial path)
+        return {bq.field_name: done[bq.field_name] for bq in built}
 
     def _do_merge_rerank_results(
         self, ctx: QueryContext, docs_map: Dict[str, List[Doc]]
