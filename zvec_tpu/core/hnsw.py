@@ -353,7 +353,7 @@ class HnswEngine(VectorIndexEngine):
         _log = _os.environ.get("ZVEC_BUILD_LOG") == "1"
         _t0 = _time.perf_counter()
         if clustered:
-            # candidates stay DEVICE-RESIDENT (n+1, 2, kc): the old flow
+            # candidates stay DEVICE-RESIDENT (n+1, 2*kc): the old flow
             # fetched them to host (~5GB D2H at 10M) and re-staged windows
             # per dispatch (~5GB H2D); the fused path gathers candidate
             # lanes in-program and only pruned ids cross the tunnel.
@@ -470,8 +470,10 @@ class HnswEngine(VectorIndexEngine):
     def _clustered_candidates(
         self, data: np.ndarray, codes_dev, norms_dev, n: int, kc: int
     ):
-        """Cluster-local kNN candidates -> DEVICE (n + 1, 2, kc) int32
-        (-1 pad, unsorted; row n is the invalid-scatter dump slot).
+        """Cluster-local kNN candidates -> DEVICE (n + 1, 2*kc) int32
+        (-1 pad, unsorted; slot s in lanes [s*kc, (s+1)*kc); row n is the
+        invalid-scatter dump slot). Flat lanes keep the 10M table scatter
+        on dim 0 with a full 128-lane tile (no padded-reshape HLO temp).
 
         k-means buckets + top-2 spilled assignment; every bucket scores its
         members against each other on the MXU and each member keeps its
@@ -517,7 +519,7 @@ class HnswEngine(VectorIndexEngine):
                 slot_bkt[c, fill[c] : fill[c] + take] = s
                 fill[c] += take
 
-        cand = jnp.full((n + 1, 2, kc), -1, jnp.int32)
+        cand = jnp.full((n + 1, 2 * kc), -1, jnp.int32)
         CH = 1024  # buckets per dispatch
         for lo in range(0, K, CH):
             cand = bucket_knn_all(

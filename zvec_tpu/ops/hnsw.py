@@ -970,7 +970,7 @@ def assign_top2_blocked(data: jax.Array, cents: jax.Array, block: int = 16384):
 @partial(jax.jit, static_argnames=("metric", "max_out"))
 def merge_prune_batch_out(
     rows_mat: jax.Array,  # (NB, B)
-    cand_full: jax.Array,  # (n + 1, S, kc) device-RESIDENT candidate lanes
+    cand_full: jax.Array,  # (n + 1, S*kc) device-RESIDENT candidate lanes
     codes: jax.Array,
     norms2: jax.Array,
     *,
@@ -984,9 +984,7 @@ def merge_prune_batch_out(
     for host-side adjacency assembly."""
 
     def body(_, rows):
-        cand_ids = jnp.concatenate(
-            [cand_full[rows, s] for s in range(cand_full.shape[1])], axis=1
-        )
+        cand_ids = cand_full[rows]
         base = codes[rows].astype(jnp.float32)
         bnorm2 = norms2[rows]
         valid = (cand_ids >= 0) & (cand_ids != rows[:, None])
@@ -1020,7 +1018,7 @@ def merge_prune_batch_out(
 def bucket_knn_all(
     bucket_rows: jax.Array,  # (NB, Mp) member rows per bucket, -1 pad
     bucket_slot: jax.Array,  # (NB, Mp) 0 = primary member, 1 = spill member
-    cand: jax.Array,  # (n + 1, 2, kc) int32 — DONATED; row n is the dump slot
+    cand: jax.Array,  # (n + 1, 2*kc) int32 — DONATED; row n is the dump slot
     codes: jax.Array,
     norms2: jax.Array,
     *,
@@ -1029,7 +1027,13 @@ def bucket_knn_all(
 ):
     """Per-bucket exact kNN: each bucket scores its members against each
     other ((Mp, Mp) MXU block) and writes every member's top-kc in-bucket
-    neighbors into its (slot) candidate lane."""
+    neighbors into its slot's lane half.
+
+    The candidate table is (n + 1, 2*kc) with slot s occupying lanes
+    [s*kc, (s+1)*kc): a flat lane layout (128 lanes at kc=64) keeps the
+    carry scatter on dim 0 only — a (row, slot) scatter reshapes the 5GB
+    carry to a 64-lane layout whose (8,128) tiling pads 2x (9.5GB HLO temp,
+    the 10M OOM)."""
     n_dump = cand.shape[0] - 1
 
     def body(cand_c, inp):
@@ -1060,7 +1064,17 @@ def bucket_knn_all(
         s, idx = jax.lax.approx_max_k(sims, kc, recall_target=0.95)
         ids = jnp.where(s > NEG_INF / 2, rows_b[idx], -1)
         dest = jnp.where(valid, safe, n_dump)
-        cand_c = cand_c.at[dest, slot_b].set(ids)
+        # full-row read-modify-write: a row appears at most once per bucket
+        # (top-2 assignment never puts primary and spill in the same bucket),
+        # so gathering the current 2*kc lanes, splicing this slot's half and
+        # scattering whole rows is race-free (dup dests only at the dump row)
+        cur = cand_c[dest]
+        upd = jnp.where(
+            slot_b[:, None] == 0,
+            jnp.concatenate([ids, cur[:, kc:]], axis=1),
+            jnp.concatenate([cur[:, :kc], ids], axis=1),
+        )
+        cand_c = cand_c.at[dest].set(upd)
         return cand_c, None
 
     cand, _ = jax.lax.scan(body, cand, (bucket_rows, bucket_slot))
