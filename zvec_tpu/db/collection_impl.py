@@ -627,25 +627,51 @@ class CollectionImpl:
         metric = vs.index_param.metric_type
         scores = np.asarray(similarity_to_score(sims, metric))
         id_score_only = output_fields == [] and not include_vector
+        if id_score_only:
+            # vectorized pk resolution: bucket all hits by segment and fetch
+            # each segment's pks with ONE Arrow take (a per-hit `.as_py()`
+            # loop costs ~10us x Q*topk on the bench path)
+            pks = self._resolve_pks(ids, segs)
+            out = []
+            for r in range(ids.shape[0]):
+                docs: List[Doc] = []
+                row_pks = pks[r]
+                for c in range(ids.shape[1]):
+                    if ids[r, c] < 0:
+                        break
+                    docs.append(Doc(id=row_pks[c], score=float(scores[r, c])))
+                out.append(docs)
+            return out
         out: List[List[Doc]] = []
         for r in range(ids.shape[0]):
             docs: List[Doc] = []
             for sc, doc_id in zip(scores[r], ids[r]):
                 if doc_id < 0:
                     break
-                if id_score_only:
-                    seg = self._segment_for_doc_id(int(doc_id), segs)
-                    pk = seg.store.pk(int(doc_id) - seg.doc_id_start)
-                    docs.append(Doc(id=pk, score=float(sc)))
-                else:
-                    docs.append(
-                        self._materialize_doc(
-                            int(doc_id), float(sc), include_vector, output_fields,
-                            segs=segs,
-                        )
+                docs.append(
+                    self._materialize_doc(
+                        int(doc_id), float(sc), include_vector, output_fields,
+                        segs=segs,
                     )
+                )
             out.append(docs)
         return out
+
+    def _resolve_pks(self, ids: np.ndarray, segs: List[Segment]) -> np.ndarray:
+        """Resolve a (Q, k) global doc_id matrix to pks, one batched store
+        lookup per segment. Invalid ids (<0) resolve to None."""
+        flat = ids.reshape(-1)
+        pks = np.empty(flat.shape[0], dtype=object)
+        valid = flat >= 0
+        for seg in segs:
+            lo = seg.doc_id_start
+            hi = lo + seg.doc_count
+            in_seg = valid & (flat >= lo) & (flat < hi)
+            if not in_seg.any():
+                continue
+            local = (flat[in_seg] - lo).astype(np.int64)
+            pks[in_seg] = seg.store.pks_for(local)
+        return pks.reshape(ids.shape)
 
     def _materialize_doc(
         self,

@@ -175,6 +175,18 @@ class ForwardStore:
             return list(self._pks)
         return self._table.column(PK_COLUMN).to_pylist()
 
+    def pks_for(self, indices: np.ndarray) -> List[str]:
+        """Batched pk lookup — one Arrow `take` instead of per-element
+        `.as_py()` (the hot path of id+score-only batched DQL)."""
+        if self._writable:
+            pk_list = self._pks
+            return [pk_list[int(i)] for i in indices]
+        return (
+            self._table.column(PK_COLUMN)
+            .take(pa.array(np.asarray(indices, dtype=np.int64)))
+            .to_pylist()
+        )
+
     def scalar_value(self, name: str, idx: int):
         if self._writable:
             return self._scalars[name][idx]

@@ -173,7 +173,9 @@ class VectorSchema:
                 f"schema validate failed: dense vector [{name}] requires dimension > 0"
             )
         if index_param is None:
-            index_param = FlatIndexParam()
+            # reference parity: vector fields are HNSW-indexed by default
+            # (`python/zvec/model/schema/field_schema.py:191-193`)
+            index_param = HnswIndexParam()
         if not isinstance(index_param, (HnswIndexParam, FlatIndexParam, IVFIndexParam)):
             raise ValueError(
                 f"schema validate failed: vector field [{name}] requires a vector "
