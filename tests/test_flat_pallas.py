@@ -82,3 +82,31 @@ def test_bf16_codes_rank_parity(data):
     # bf16 group selection + bf16-code rescore: allow 1 boundary swap per query
     for r in range(Q):
         assert len(set(i[r].tolist()) & set(exp_i[r].tolist())) >= K - 1
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP, MetricType.COSINE])
+def test_int8_dequant_epilogue(data, metric):
+    """int8 codes + in-kernel affine dequant == oracle over dequantized data
+    (asymmetric quantized scoring, reference `quantized_integer_metric.cc:320`)."""
+    X, q, mask = data
+    from zvec_tpu.ops.quantize import QuantParams
+    from zvec_tpu.typing import QuantizeType
+
+    lo, hi = float(X.min()), float(X.max())
+    scale = (hi - lo) / 254.0
+    bias = (hi + lo) / 2.0
+    codes = np.clip(np.round((X - bias) / scale), -127, 127).astype(np.int8)
+    deq = codes.astype(np.float32) * scale + bias
+    norms, oracle = _oracle(deq, q, mask, metric)
+    s, i = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(norms), jnp.asarray(mask),
+        metric=metric, topk=K, dequant=(scale, bias),
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    exp_i = np.argsort(-oracle, axis=1)[:, :K]
+    exp_s = np.take_along_axis(oracle, exp_i, axis=1)
+    for r in range(Q):
+        # tile-stage dots are bf16-rounded; the fp32 dequant rescore restores
+        # exact scores — allow 1 boundary swap in group selection
+        assert len(set(i[r].tolist()) & set(exp_i[r].tolist())) >= K - 1
+    assert np.allclose(s[:, 0], exp_s[:, 0], rtol=1e-3, atol=1e-3)

@@ -146,15 +146,22 @@ class FlatEngine(VectorIndexEngine):
         return data, None
 
     def _use_pallas(self, st: _State, k: int) -> bool:
-        """Fused Pallas scan: TPU, fp32/bf16 codes (no dequant epilogue yet),
-        large corpus, small k (group-max extraction)."""
+        """Fused Pallas scan: TPU, fp32/bf16 codes or int8 codes with the
+        in-kernel affine-dequant epilogue (int4 stays on the blockwise
+        unpack path), large corpus, small k (group-max extraction)."""
         from ..ops.runtime import is_tpu
 
+        dtype_ok = st.codes is not None and (
+            (st.dequant is None and st.codes.dtype in (jnp.float32, jnp.bfloat16))
+            or (
+                st.dequant is not None
+                and not st.int4_packed
+                and st.codes.dtype == jnp.int8
+            )
+        )
         return (
             is_tpu()
-            and st.dequant is None
-            and st.codes is not None
-            and st.codes.dtype in (jnp.float32, jnp.bfloat16)
+            and dtype_ok
             and st.n_pad % 1024 == 0
             and st.n >= 100_000
             and k <= 32
@@ -293,6 +300,11 @@ class FlatEngine(VectorIndexEngine):
                 self._device_mask(st, full_mask, as_int8=True),
                 metric=scan_metric,
                 topk=k,
+                dequant=(
+                    None
+                    if st.dequant is None
+                    else (float(st.dequant.scale), float(st.dequant.bias))
+                ),
             )
         else:
             sims, idx = blockwise_topk_search(

@@ -42,11 +42,18 @@ _GROUP = 8  # rows per group; groups interleave across 128 lanes
 _LANES = _TILE_N // _GROUP  # group-max width per tile
 
 
-def _kernel(metric: MetricType, k: int):
-    def kernel(q_ref, qsq_ref, codes_ref, norms_ref, mask_ref, out_s_ref, out_i_ref):
+def _kernel(metric: MetricType, k: int, dequant):
+    def kernel(
+        q_ref, qsq_ref, qsum_ref, codes_ref, norms_ref, mask_ref,
+        out_s_ref, out_i_ref,
+    ):
         t = pl.program_id(0)
         q = q_ref[:]  # (Q, D) f32
-        codes = codes_ref[:]  # (TILE, D) f32/bf16
+        codes = codes_ref[:]  # (TILE, D) f32/bf16/int8
+        if codes.dtype == jnp.int8:
+            # int8 codes ride HBM at 1/4 f32 bandwidth; bf16 holds all 8
+            # code bits exactly, accumulate f32 on the MXU
+            codes = codes.astype(jnp.bfloat16)
         dots = jax.lax.dot_general(
             q,
             codes,
@@ -58,6 +65,10 @@ def _kernel(metric: MetricType, k: int):
                 else jax.lax.Precision.DEFAULT
             ),
         )  # (Q, TILE)
+        if dequant is not None:
+            # global affine dequant fused into the epilogue:
+            # q . (c*scale + bias) = scale*(q . c) + bias*sum(q)
+            dots = dequant[0] * dots + dequant[1] * qsum_ref[:]
         if metric == MetricType.IP:
             sims = dots
         elif metric == MetricType.L2:
@@ -78,24 +89,33 @@ def _kernel(metric: MetricType, k: int):
         for j in range(k):
             m = jnp.max(gmax, axis=1)  # (Q,)
             a = jnp.argmax(gmax, axis=1).astype(jnp.int32)  # (Q,)
-            out_s_ref[0, :, j] = m
-            out_i_ref[0, :, j] = jnp.where(m > NEG_INF / 2, a + base, -1)
+            # outputs are (tile, k, Q): Q rides the 128-lane minor dim, so
+            # each extraction pass stores one contiguous lane row (a (Q, k)
+            # layout pads k=10 lanes to 128 — 12.8x HBM write amplification,
+            # 10.7GB/scan at 10M)
+            out_s_ref[0, j, :] = m
+            out_i_ref[0, j, :] = jnp.where(m > NEG_INF / 2, a + base, -1)
             gmax = jnp.where(colg == a[:, None], NEG_INF, gmax)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("metric", "topk"))
+@partial(jax.jit, static_argnames=("metric", "topk", "dequant"))
 def flat_scan_topk(
     q: jax.Array,  # (Q, D) f32
-    codes: jax.Array,  # (N, D) f32/bf16, N multiple of _TILE_N
+    codes: jax.Array,  # (N, D) f32/bf16/int8, N multiple of _TILE_N
     norms: jax.Array,  # (N,) f32: ||x||^2 (L2) or ||x|| (COSINE); unused for IP
     mask: jax.Array,  # (N,) int8/bool: nonzero = candidate
     *,
     metric: MetricType,
     topk: int,
+    dequant=None,  # (scale, bias) floats: codes store x ~= c*scale + bias
 ):
-    """Exact fused scan. Returns (sims (Q, topk) desc, indices, -1 pad)."""
+    """Exact fused scan. Returns (sims (Q, topk) desc, indices, -1 pad).
+    With int8 codes + `dequant`, scoring is asymmetric (f32 query vs int8
+    codes, reference `quantized_integer_metric.cc:320`): the affine dequant
+    folds into the matmul epilogue and the final rescore dequantizes the
+    <= topk*G candidate rows exactly in fp32."""
     nq, d = q.shape
     n = codes.shape[0]
     assert n % _TILE_N == 0, f"N={n} must be a multiple of {_TILE_N}"
@@ -109,6 +129,7 @@ def flat_scan_topk(
         qside = jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))
     else:
         qside = jnp.zeros((nq, 1), jnp.float32)
+    qsum = jnp.sum(q, axis=1, keepdims=True)  # (Q, 1) for dequant epilogue
 
     norms2d = norms.reshape(1, n).astype(jnp.float32)
     mask2d = mask.reshape(1, n).astype(jnp.int8)
@@ -118,21 +139,22 @@ def flat_scan_topk(
         in_specs=[
             pl.BlockSpec((nq, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nq, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TILE_N, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TILE_N), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TILE_N), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, nq, topk), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, topk), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, topk, nq), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, topk, nq), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     tile_s, tile_i = pl.pallas_call(
-        _kernel(metric, topk),
+        _kernel(metric, topk, dequant),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, nq, topk), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, nq, topk), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, topk, nq), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, topk, nq), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * nq * n * d,
@@ -140,11 +162,11 @@ def flat_scan_topk(
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(q, qside, codes, norms2d, mask2d)
+    )(q, qside, qsum, codes, norms2d, mask2d)
 
-    # global merge over the per-tile winner GROUPS
-    tile_s = tile_s.transpose(1, 0, 2).reshape(nq, n_tiles * topk)
-    tile_i = tile_i.transpose(1, 0, 2).reshape(nq, n_tiles * topk)
+    # global merge over the per-tile winner GROUPS ((tile, k, Q) -> (Q, tile*k))
+    tile_s = tile_s.transpose(2, 0, 1).reshape(nq, n_tiles * topk)
+    tile_i = tile_i.transpose(2, 0, 1).reshape(nq, n_tiles * topk)
     top_s, sel = jax.lax.top_k(tile_s, topk)  # (Q, topk) group scores
     gids = jnp.take_along_axis(tile_i, sel, axis=1)  # (Q, topk) global group ids
     valid_g = (gids >= 0) & (top_s > NEG_INF / 2)
@@ -161,6 +183,8 @@ def flat_scan_topk(
 
     # gather + exact fp32 rescore of the candidate rows
     cand_codes = jnp.take(codes, cand, axis=0).astype(jnp.float32)  # (Q, C, D)
+    if dequant is not None:
+        cand_codes = cand_codes * dequant[0] + dequant[1]
     cand_norms = jnp.take(norms, cand, axis=0)  # (Q, C)
     cand_mask = jnp.take(mask, cand, axis=0) != 0
     dots = jax.lax.dot_general(
