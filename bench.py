@@ -135,11 +135,13 @@ def main():
     from zvec_tpu import VectorQuery
 
     lats = []
-    for i in range(30):
+    for i in range(100):
         t0 = time.perf_counter()
         col.query(VectorQuery("vec", vector=queries[i % Q]), topk=K)
         lats.append(time.perf_counter() - t0)
-    p50_ms = float(np.percentile(np.array(lats) * 1e3, 50))
+    lat_ms = np.array(lats) * 1e3
+    p50_ms = float(np.percentile(lat_ms, 50))
+    p99_ms = float(np.percentile(lat_ms, 99))
 
     # ---- detail: bare kernel on pre-placed device buffers ----
     from zvec_tpu.ops.flat_pallas import flat_scan_topk
@@ -205,6 +207,7 @@ def main():
         "api_batch_ms": round(api_s * 1e3, 2),
         "kernel_qps_1M": round(kernel_qps, 1),
         "query_p50_ms": round(p50_ms, 2),
+        "query_p99_ms": round(p99_ms, 2),
         "collection_build_s": round(build_s, 1),
         "device": jax.devices()[0].platform,
         "recall": 1.0,
