@@ -336,3 +336,55 @@ def test_engine_lifetime_stats(tmp_path, rng):
     assert es["rows_built"] == 50
     assert es["total_search_secs"] > 0.0
     assert es["total_build_secs"] >= es["last_build_secs"] > 0.0
+
+
+def test_group_by_disconnected_clusters(tmp_path, rng):
+    """Well-separated clusters produce a cluster-local kNN graph; the beam
+    exhausts one component, so group-by must escalate to the exact pass
+    (plus NSW teleport links) to honor group_count."""
+    import zvec_tpu
+    from zvec_tpu import (
+        CollectionSchema,
+        DataType,
+        Doc,
+        FieldSchema,
+        HnswIndexParam,
+        MetricType,
+        VectorQuery,
+        VectorSchema,
+    )
+
+    D, per = 24, 700
+    topics = ["a", "b", "c"]
+    centers = {t: rng.standard_normal(D).astype(np.float32) * 6 for t in topics}
+    schema = CollectionSchema(
+        "gdc",
+        fields=[FieldSchema("topic", DataType.STRING)],
+        vectors=[
+            VectorSchema(
+                "v", DataType.VECTOR_FP32, D, HnswIndexParam(MetricType.L2, m=16)
+            )
+        ],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "c"), schema)
+    docs = []
+    for i in range(per * len(topics)):
+        t = topics[i % len(topics)]
+        v = centers[t] + rng.standard_normal(D).astype(np.float32)
+        docs.append(Doc(id=f"d{i}", fields={"topic": t}, vectors={"v": v}))
+    for lo in range(0, len(docs), 1000):
+        col.insert(docs[lo : lo + 1000])
+    col.optimize()
+    q = centers["a"] + 0.2 * rng.standard_normal(D).astype(np.float32)
+    hits = col.group_by_query(
+        VectorQuery("v", vector=q),
+        group_by_field="topic",
+        group_count=3,
+        group_topk=2,
+        output_fields=["topic"],
+    )
+    got = {}
+    for h in hits:
+        got.setdefault(h.fields["topic"], []).append(h.id)
+    assert set(got) == {"a", "b", "c"}
+    assert all(len(v) == 2 for v in got.values())

@@ -459,6 +459,24 @@ class HnswEngine(VectorIndexEngine):
                     adj2, metric=metric, max_out=max_out,
                 )
         out = np.asarray(adj2)
+
+        # NSW-style long links: a kNN graph over well-separated clusters is
+        # DISCONNECTED (every top-efc candidate is in-cluster), which upper-
+        # level routing masks for plain queries but strands group-by
+        # deepening and hostile filters inside one component. Reserve the
+        # last 2 slots for random teleports: they score poorly so the beam
+        # only expands them once the local component is exhausted — exactly
+        # when an escape hatch is needed.
+        if n > 2048 and max_out >= 16:
+            if not out.flags.writeable:
+                out = out.copy()
+            rng_ll = np.random.default_rng(0x10E6)
+            rand = (
+                np.arange(n, dtype=np.int64)[:, None]
+                + rng_ll.integers(1, n, (n, 2))
+            ) % n
+            out[:, -2:] = rand.astype(np.int32)
+
         if _log:
             print(
                 f"[knn-build]   reverse+merge in "

@@ -744,9 +744,15 @@ class CollectionImpl:
         total = sum(s.doc_count for s in segs)
         metric = vs.index_param.metric_type
         overscan = max(group_count * group_topk * 4, 64)
+        use_linear = False
         while True:
+            qparam = query.param
+            if use_linear:
+                from ..model.param.param import QueryParam as _QP
+
+                qparam = _QP(is_linear=True)
             sims, ids = self.query_field(
-                query.field_name, gq, overscan, filter_str, query.param, segs=segs
+                query.field_name, gq, overscan, filter_str, qparam, segs=segs
             )
             groups: Dict[Any, List[Tuple[float, int]]] = {}
             group_order: List[Any] = []
@@ -768,12 +774,17 @@ class CollectionImpl:
                     groups[key].append((float(sim), int(doc_id)))
                     if len(groups[key]) == group_topk:
                         satisfied += 1
-            if (
-                satisfied >= group_count
-                or n_hits < overscan  # corpus/filter exhausted: nothing more
-                or overscan >= total
-            ):
+            if satisfied >= group_count:
                 break
+            if use_linear and (n_hits < overscan or overscan >= total):
+                break  # exact scan exhausted the corpus/filter: nothing more
+            if n_hits < overscan or overscan >= total:
+                # the beam exhausted its graph component short of the corpus
+                # (disconnected clusters / hostile filter): finish with one
+                # exact linear pass so group_count is still honored
+                use_linear = True
+                overscan = min(max(overscan * 4, 256), max(total, 1))
+                continue
             overscan = min(max(overscan * 4, 256), max(total, 1))
         docs: List[Doc] = []
         for key in group_order[:group_count]:
