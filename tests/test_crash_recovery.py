@@ -190,3 +190,89 @@ def test_crash_mid_compaction_before_swap(tmp_path, schema, rng):
     assert not os.path.exists(orphan)
     assert c2.stats.doc_count == 6
     c2._impl.close()
+
+
+def test_crash_inside_commit_before_current_swing(tmp_path, schema, rng, monkeypatch):
+    """Fault injection inside VersionManager.commit: the new version file is
+    fsync'd but the process dies before CURRENT swings. Recovery must come up
+    on the OLD version and replay the WAL; the next flush must be able to
+    reuse/overwrite the orphan version file."""
+    import os
+
+    import zvec_tpu.db.version as vmod
+
+    c = zvec_tpu.create_and_open(str(tmp_path / "c"), schema)
+    docs, vecs = make_docs(rng, 6)
+    c.insert(docs)
+    c.flush()  # durable generation
+    more, mvecs = make_docs(rng, 4, start=6)
+    c.insert(more)  # WAL-only
+
+    real_replace = os.replace
+
+    def bomb(src, dst):
+        if os.path.basename(dst) == "CURRENT":
+            raise OSError("injected crash before CURRENT swing")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(vmod.os, "replace", bomb)
+    with pytest.raises(OSError):
+        c.flush()
+    monkeypatch.setattr(vmod.os, "replace", real_replace)
+
+    # the orphan version file exists but CURRENT still names the old version
+    impl = c._impl
+    orphans = [n for n in os.listdir(impl.path) if n.startswith("version_")]
+    assert orphans
+
+    c2 = crash_and_reopen(c)
+    assert c2.stats.doc_count == 10
+    assert c2.query(VectorQuery("emb", vector=mvecs[1]), topk=1)[0].id == "d7"
+    # a full flush cycle after recovery overwrites the orphan and works
+    c2.flush()
+    c3 = crash_and_reopen(c2)
+    assert c3.stats.doc_count == 10
+    c3._impl.close()
+
+
+def test_leftover_tmp_files_ignored_on_open(tmp_path, schema, rng):
+    """Torn .tmp files from a crashed commit must not break recovery."""
+    import os
+
+    c = zvec_tpu.create_and_open(str(tmp_path / "c"), schema)
+    docs, vecs = make_docs(rng, 5)
+    c.insert(docs)
+    c.flush()
+    impl = c._impl
+    with open(os.path.join(impl.path, "CURRENT.tmp"), "w") as fh:
+        fh.write("999")  # torn: never replaced
+    with open(os.path.join(impl.path, "version_999.json.tmp"), "w") as fh:
+        fh.write("{ torn json")
+    c2 = crash_and_reopen(c)
+    assert c2.stats.doc_count == 5
+    assert c2.query(VectorQuery("emb", vector=vecs[0]), topk=1)[0].id == "d0"
+    c2._impl.close()
+
+
+def test_orphan_snapshots_gcd_by_next_flush(tmp_path, schema, rng):
+    """Snapshot files written for a version that never committed are swept by
+    the next successful flush's snapshot GC."""
+    import os
+
+    c = zvec_tpu.create_and_open(str(tmp_path / "c"), schema)
+    docs, _ = make_docs(rng, 5)
+    c.insert(docs)
+    impl = c._impl
+    impl.writing.write_checkpoint()
+    impl._snapshot_maps()  # writes idmap_{v+1}/deletes_{v+1}, then "crash"
+    c2 = crash_and_reopen(c)
+    assert c2.stats.doc_count == 5
+    c2.flush()
+    snaps = [
+        n
+        for n in os.listdir(c2._impl.path)
+        if n.startswith("idmap_") or n.startswith("deletes_")
+    ]
+    # exactly one live pair remains
+    assert len(snaps) == 2
+    c2._impl.close()
