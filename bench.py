@@ -202,6 +202,10 @@ def main():
         ref_qps = Q / ((time.perf_counter() - t0) * (N / NB))
 
     headline = results["1M"]["api_qps"]
+    # suite results (benchmarks/bench_suite.py): BASELINE configs #3/#4/#5
+    suite = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "suite_results.json"
+    )
     detail = {
         "batch": Q,
         "api_batch_ms": round(api_s * 1e3, 2),
@@ -223,9 +227,19 @@ def main():
     # the public Collection API on this chip; surfaced so the driver records
     # the north-star figure (BASELINE.json: qps at recall@10 >= 0.95 on 10M)
     hnsw10m = os.environ.get("H2H10M_DIR", "/tmp/h2h10m") + "/results.json"
+    if not os.path.exists(hnsw10m):  # committed copy survives /tmp wipes
+        hnsw10m = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", "h2h10m_results.json",
+        )
     if os.path.exists(hnsw10m):
         try:
             detail["hnsw_10M_collection_api"] = json.load(open(hnsw10m))
+        except Exception:
+            pass
+    if os.path.exists(suite):
+        try:
+            detail["suite_configs"] = json.load(open(suite))
         except Exception:
             pass
     print(

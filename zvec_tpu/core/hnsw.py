@@ -294,7 +294,6 @@ class HnswEngine(VectorIndexEngine):
 
         from ..ops.hnsw import (
             knn_build_all,
-            merge_prune_all,
             merge_prune_step,
             prune_scored,
         )
@@ -304,6 +303,14 @@ class HnswEngine(VectorIndexEngine):
         _kk = __import__("os").environ.get("ZVEC_HNSW_KNN_K")
         if _kk:
             knn_k = min(knn_k, int(_kk))
+        _forced = __import__("os").environ.get("ZVEC_HNSW_CLUSTERED") == "1"
+        if n <= 8192 and not _forced:
+            # Tiny layers (upper graph levels) build entirely on HOST: each
+            # device layer build costs 2-4 fresh remote compiles through the
+            # tunnel (minutes each, and the remote compile helper SIGKILLs
+            # under pressure — observed twice at the 150k upper levels). A
+            # few thousand rows are seconds of host BLAS.
+            return self._knn_layer_host(data, norms2, max_out, knn_k=knn_k)
         use_pallas = knn_k <= 127  # Pallas kernel caps topk at 128 lanes
         if not is_tpu():
             # CPU test mesh: cap the candidate pool — the (B, C, C) pairwise
@@ -317,7 +324,23 @@ class HnswEngine(VectorIndexEngine):
         norms_p[:n] = norms2
         mask_p = np.zeros(n_pad, np.int8)
         mask_p[:n] = 1
-        codes_dev = jnp.asarray(codes_p)
+        # >2M rows: store the build codes as bf16 on device — halves the
+        # biggest HBM buffer (5.4GB -> 2.7GB at 10M) and halves candidate-
+        # gather traffic in every prune phase. All consumers gather rows and
+        # cast to f32 before scoring; bf16 storage precision only perturbs
+        # candidate RANKING during construction (search-time scoring never
+        # touches these buffers). ZVEC_BUILD_FP32=1 restores fp32;
+        # ZVEC_BUILD_BF16=1 forces it at small n (tests).
+        _env = __import__("os").environ
+        build_bf16 = (
+            _env.get("ZVEC_BUILD_BF16") == "1"
+            or (is_tpu() and n > 2_000_000 and _env.get("ZVEC_BUILD_FP32") != "1")
+        )
+        codes_dev = (
+            jnp.asarray(codes_p, dtype=jnp.bfloat16)
+            if build_bf16
+            else jnp.asarray(codes_p)
+        )
         norms_dev = jnp.asarray(norms_p)
         mask_dev = jnp.asarray(mask_p)
 
@@ -371,6 +394,11 @@ class HnswEngine(VectorIndexEngine):
             fwd = np.full((n, max_out), -1, np.int32)
             for lo in range(0, nb, 32):
                 rm = rows_mat[lo : lo + 32]
+                if rm.shape[0] < 32:  # pad tail: ONE compile of the program
+                    rm = np.concatenate(
+                        [rm, np.broadcast_to(rm[-1], (32 - rm.shape[0], B))],
+                        axis=0,
+                    )
                 out = merge_prune_batch_out(
                     jnp.asarray(rm), cand_dev, codes_dev, norms_dev,
                     metric=metric, max_out=max_out,
@@ -440,25 +468,39 @@ class HnswEngine(VectorIndexEngine):
         _t1 = _time.perf_counter()
         rev = _reverse_candidates(fwd, cap=max_out)
         cand = np.concatenate([fwd, rev], axis=1).astype(np.int32)
-        adj2 = jnp.full((n, max_out), -1, jnp.int32)
         if is_tpu() and nb >= 64:
+            # host-side adjacency: at 10M a device (n, max_out) int32 target
+            # is 4.2GB of HBM on top of the codes table — staging the OOM
+            # observed in the r4 10M run. Chunk candidates up, pruned ids
+            # down; pad the tail chunk (repeat last batch) so the scan
+            # program compiles ONCE (remote compile is minutes).
+            from ..ops.hnsw import merge_prune_chunk_out
+
             c2 = cand.shape[1]
-            # cap the staged candidate tensor at ~2GB device-side (10M scale)
             nb_chunk = max(1, min(32, int(2e9 // (B * c2 * 4))))
+            out = np.full((n, max_out), -1, np.int32)
             for lo in range(0, nb, nb_chunk):
                 rm = rows_mat[lo : lo + nb_chunk]
-                adj2 = merge_prune_all(
+                if rm.shape[0] < nb_chunk:
+                    pad = np.broadcast_to(
+                        rm[-1], (nb_chunk - rm.shape[0], B)
+                    )
+                    rm = np.concatenate([rm, pad], axis=0)
+                got = merge_prune_chunk_out(
                     jnp.asarray(rm), jnp.asarray(cand[rm]), codes_dev,
-                    norms_dev, adj2, metric=metric, max_out=max_out,
+                    norms_dev, metric=metric, max_out=max_out,
                 )
+                # padded repeats rewrite the same rows with identical output
+                out[rm.reshape(-1)] = np.asarray(got).reshape(-1, max_out)
         else:
+            adj2 = jnp.full((n, max_out), -1, jnp.int32)
             for rows_dev in batches():
                 rows = np.asarray(rows_dev)
                 adj2 = merge_prune_step(
                     rows_dev, jnp.asarray(cand[rows]), codes_dev, norms_dev,
                     adj2, metric=metric, max_out=max_out,
                 )
-        out = np.asarray(adj2)
+            out = np.asarray(adj2)
 
         # NSW-style long links: a kNN graph over well-separated clusters is
         # DISCONNECTED (every top-efc candidate is in-cluster), which upper-
@@ -484,6 +526,60 @@ class HnswEngine(VectorIndexEngine):
                 flush=True,
             )
         return out
+
+    def _knn_layer_host(
+        self,
+        data: np.ndarray,
+        norms2: np.ndarray,
+        max_out: int,
+        *,
+        knn_k: int,
+    ) -> np.ndarray:
+        """Host-numpy twin of `_knn_layer` for tiny layers (n <= 8192):
+        exact kNN candidates, dominance prune + backfill, reverse links,
+        final merge re-prune — identical semantics to the device pipeline
+        (`prune_scored`/`merge_prune_*`), zero device dispatches."""
+        n = data.shape[0]
+        metric = self._search_metric
+        X = np.ascontiguousarray(data, dtype=np.float32)
+        nrm = norms2.astype(np.float32)
+        dots = X @ X.T
+        if metric == MetricType.IP:
+            S = dots
+        elif metric == MetricType.COSINE:
+            nn = np.sqrt(np.maximum(nrm, 0.0))
+            denom = np.outer(nn, nn)
+            S = np.divide(dots, denom, out=np.ones_like(dots), where=denom > 0)
+        else:
+            S = -(nrm[:, None] + nrm[None, :] - 2.0 * dots)
+        np.fill_diagonal(S, -np.inf)
+
+        k = int(max(1, min(knn_k, n - 1)))
+        if k >= n - 1:
+            cand = np.argsort(-S, axis=1)[:, : n - 1]
+        else:
+            part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+            s = np.take_along_axis(S, part, 1)
+            cand = np.take_along_axis(part, np.argsort(-s, axis=1), 1)
+        fwd = _host_prune_compact(X, S, cand.astype(np.int64), metric, max_out)
+        rev = _reverse_candidates(fwd, cap=max_out)
+        comb = np.concatenate([fwd, rev], axis=1).astype(np.int64)
+        # merge phase: re-sort desc by sim-to-base, dedup keep-first
+        valid = comb >= 0
+        safe = np.clip(comb, 0, None)
+        s2 = np.where(
+            valid, np.take_along_axis(S, safe, 1), -np.inf
+        )
+        o2 = np.argsort(-s2, axis=1, kind="stable")
+        comb = np.where(
+            np.take_along_axis(valid, o2, 1), np.take_along_axis(comb, o2, 1), -1
+        )
+        # duplicate ids (mutual fwd/rev edges): keep first occurrence only
+        eq = comb[:, :, None] == comb[:, None, :]
+        earlier = np.tril(np.ones((comb.shape[1], comb.shape[1]), bool), -1)
+        dup = (eq & earlier[None] & (comb[:, None, :] >= 0)).any(axis=2)
+        comb = np.where(dup, -1, comb)
+        return _host_prune_compact(X, S, comb, metric, max_out)
 
     def _clustered_candidates(
         self, data: np.ndarray, codes_dev, norms_dev, n: int, kc: int
@@ -1214,6 +1310,57 @@ def _graph_from_aux(aux: Dict[str, np.ndarray], m: int) -> _Graph:
         g.row_of.append({int(v): i for i, v in enumerate(ids)})
         lvl += 1
     return g
+
+
+def _host_prune_compact(
+    X: np.ndarray,
+    S: np.ndarray,
+    cand: np.ndarray,  # (n, C) DESC-by-sim candidate rows, -1 pad
+    metric: MetricType,
+    max_out: int,
+) -> np.ndarray:
+    """Host twin of `prune_scored`'s dominance prune + backfill compact:
+    keep candidate i iff no already-kept j has sim(i, j) >= sim(i, base);
+    backfill remaining slots with the best dominance-pruned candidates
+    (`_compact_keep_backfill`). Pair sims via batched BLAS on gathered
+    vectors (fancy-indexing S for (B, C, C) pairs is random-read bound)."""
+    n, C = cand.shape
+    out = np.full((n, max_out), -1, np.int32)
+    CH = max(64, int(2e8 // max(C * C * 4, 1)))  # ~200MB pair chunks
+    for lo in range(0, n, CH):
+        hi = min(lo + CH, n)
+        cb = cand[lo:hi]
+        valid = cb >= 0
+        safe = np.clip(cb, 0, None)
+        base_s = np.where(
+            valid, S[np.arange(lo, hi)[:, None], safe], -np.inf
+        ).astype(np.float32)
+        vecs = X[safe]  # (B, C, D)
+        pd = np.matmul(vecs, vecs.transpose(0, 2, 1))
+        if metric == MetricType.L2:
+            nr = (vecs.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+            pair = -(nr[:, :, None] + nr[:, None, :] - 2.0 * pd)
+        elif metric == MetricType.COSINE:
+            nn = np.sqrt(np.maximum((vecs**2).sum(-1), 0.0))
+            den = nn[:, :, None] * nn[:, None, :]
+            pair = np.divide(pd, den, out=np.ones_like(pd), where=den > 0)
+        else:
+            pair = pd
+        b = hi - lo
+        keep = np.zeros((b, C), bool)
+        count = np.zeros(b, np.int32)
+        for i in range(C):
+            conflict = (keep & (pair[:, i, :] >= base_s[:, i, None])).any(axis=1)
+            good = valid[:, i] & ~conflict & (count < max_out)
+            keep[:, i] = good
+            count += good
+        tier = np.where(keep, 0, np.where(valid, 1, 2)).astype(np.int8)
+        rank = np.argsort(tier, axis=1, kind="stable")
+        tier_c = np.take_along_axis(tier, rank, 1)[:, :max_out]
+        ids_c = np.take_along_axis(cb, rank, 1)[:, :max_out]
+        ids_c = np.where(tier_c < 2, ids_c, -1)
+        out[lo:hi, : ids_c.shape[1]] = ids_c
+    return out
 
 
 def _reverse_candidates(adj: np.ndarray, cap: int) -> np.ndarray:

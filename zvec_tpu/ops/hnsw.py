@@ -968,6 +968,53 @@ def assign_top2_blocked(data: jax.Array, cents: jax.Array, block: int = 16384):
 
 
 @partial(jax.jit, static_argnames=("metric", "max_out"))
+def merge_prune_chunk_out(
+    rows_mat: jax.Array,  # (NB, B)
+    cand_mat: jax.Array,  # (NB, B, C) staged forward + reverse candidates
+    codes: jax.Array,
+    norms2: jax.Array,
+    *,
+    metric: MetricType,
+    max_out: int,
+):
+    """merge_prune_all without the device-resident adjacency: emits pruned
+    ids (NB, B, max_out) for host-side assembly. At 10M the (N, max_out)
+    int32 adjacency merge_prune_all scatters into is 4.2GB of HBM on top of
+    the codes table — staging small candidate chunks up and pruned ids down
+    keeps the merge phase's device footprint at codes + one chunk."""
+
+    def body(_, inp):
+        rows, cand_ids = inp
+        base = codes[rows].astype(jnp.float32)
+        bnorm2 = norms2[rows]
+        valid = (cand_ids >= 0) & (cand_ids != rows[:, None])
+        safe = jnp.clip(cand_ids, 0, None)
+        vecs = codes[safe].astype(jnp.float32)
+        nrm2 = norms2[safe]
+        sims = _sim_to_base(base, bnorm2, vecs, nrm2, metric)
+        sims = jnp.where(valid, sims, NEG_INF)
+        order = jnp.argsort(-sims, axis=1)
+        ids_o = jnp.take_along_axis(cand_ids, order, 1)
+        sims_o = jnp.take_along_axis(sims, order, 1)
+        valid_o = jnp.take_along_axis(valid, order, 1)
+        vecs_o = jnp.take_along_axis(vecs, order[:, :, None], 1)
+        nrm_o = jnp.take_along_axis(nrm2, order, 1)
+        valid_o = valid_o & ~_dup_mask(ids_o)
+        sims_o = jnp.where(valid_o, sims_o, NEG_INF)
+        pair = _pairwise_sims(vecs_o, nrm_o, metric)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out)
+        ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
+        if ids_c.shape[1] < max_out:
+            ids_c = jnp.pad(
+                ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
+            )
+        return None, ids_c
+
+    _, out = jax.lax.scan(body, None, (rows_mat, cand_mat))
+    return out
+
+
+@partial(jax.jit, static_argnames=("metric", "max_out"))
 def merge_prune_batch_out(
     rows_mat: jax.Array,  # (NB, B)
     cand_full: jax.Array,  # (n + 1, S*kc) device-RESIDENT candidate lanes
