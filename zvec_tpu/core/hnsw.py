@@ -304,7 +304,10 @@ class HnswEngine(VectorIndexEngine):
         if _kk:
             knn_k = min(knn_k, int(_kk))
         _forced = __import__("os").environ.get("ZVEC_HNSW_CLUSTERED") == "1"
-        if n <= 8192 and not _forced:
+        # (forced-clustered keeps layers >= 4096 on the device clustered
+        # path — its test coverage — but the clustered branch itself
+        # requires n >= 4096, so tinier layers always take the host twin)
+        if n <= 8192 and not (_forced and n >= 4096):
             # Tiny layers (upper graph levels) build entirely on HOST: each
             # device layer build costs 2-4 fresh remote compiles through the
             # tunnel (minutes each, and the remote compile helper SIGKILLs
