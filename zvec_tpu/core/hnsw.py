@@ -241,8 +241,13 @@ class HnswEngine(VectorIndexEngine):
         import time as _time
 
         n, d = data.shape
-        g = self._sample_levels(n)
         _log = __import__("os").environ.get("ZVEC_BUILD_LOG") == "1"
+        if _log:
+            print(
+                f"[knn-build] graph build start n={n} d={d} "
+                f"(data materialized)", flush=True,
+            )
+        g = self._sample_levels(n)
         norms2 = (data.astype(np.float32) ** 2).sum(1)
         m0 = self.m0_out()
 
@@ -377,6 +382,12 @@ class HnswEngine(VectorIndexEngine):
         import time as _time
 
         _log = _os.environ.get("ZVEC_BUILD_LOG") == "1"
+        if _log and is_tpu():
+            codes_dev.block_until_ready()
+            print(
+                f"[knn-build]   codes staged ({codes_dev.dtype}, n_pad={n_pad})",
+                flush=True,
+            )
         _t0 = _time.perf_counter()
         if clustered:
             # candidates stay DEVICE-RESIDENT (n+1, 2*kc): the old flow
@@ -602,17 +613,35 @@ class HnswEngine(VectorIndexEngine):
         from ..ops.hnsw import assign_top2_blocked, bucket_knn_all
         from ..ops.kmeans import lloyd
 
+        import os as _os
+        import time as _time
+
+        _log = _os.environ.get("ZVEC_BUILD_LOG") == "1"
+
+        def _t(msg, t0):
+            if _log:
+                print(
+                    f"[knn-build]     {msg} +{_time.perf_counter() - t0:.1f}s",
+                    flush=True,
+                )
+            return _time.perf_counter()
+
+        _tp = _time.perf_counter()
         rng = np.random.default_rng(0xC111)
         target = 1250  # primary members per cluster
         K = int(min(16384, max(64, n // target), n // 4))
         sub_n = min(524_288, n)
         sub = data[rng.choice(n, sub_n, replace=False)].astype(np.float32)
         seeds = data[rng.choice(n, K, replace=False)].astype(np.float32)
+        _tp = _t("cand: subsample", _tp)
         cents, _ = lloyd(
             jnp.asarray(sub), jnp.asarray(seeds), iters=6,
             block=min(16384, sub_n),
         )
+        cents.block_until_ready()
+        _tp = _t("cand: lloyd", _tp)
         asn = np.asarray(assign_top2_blocked(codes_dev, cents, block=16384))[:n]
+        _tp = _t("cand: assign_top2", _tp)
 
         # ---- pack buckets (host, vectorized): members = primary + spill ----
         sizes = np.bincount(asn[:, 0], minlength=K) + np.bincount(
@@ -636,6 +665,7 @@ class HnswEngine(VectorIndexEngine):
                 slot_bkt[c, fill[c] : fill[c] + take] = s
                 fill[c] += take
 
+        _tp = _t(f"cand: bucket pack (K={K}, mp={mp})", _tp)
         cand = jnp.full((n + 1, 2 * kc), -1, jnp.int32)
         CH = 1024  # buckets per dispatch
         for lo in range(0, K, CH):
@@ -648,6 +678,7 @@ class HnswEngine(VectorIndexEngine):
                 metric=self._search_metric,
                 kc=kc,
             )
+            _tp = _t(f"cand: bucket_knn [{lo}:{lo + CH}]", _tp)
         return cand
 
     def _build_graph_insert(self, data: np.ndarray) -> _Graph:

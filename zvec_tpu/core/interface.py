@@ -11,6 +11,7 @@ invalidation (rebuild-on-flush replaces in-place graph mutation).
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -102,6 +103,12 @@ class VectorIndexEngine:
             if v != self._built_version:
                 t0 = time.perf_counter()
                 data = self._data_fn()
+                if os.environ.get("ZVEC_BUILD_LOG") == "1":
+                    print(
+                        f"[engine] data fetched in "
+                        f"{time.perf_counter() - t0:.1f}s",
+                        flush=True,
+                    )
                 self._rebuild(data)
                 self._built_version = v
                 dt = time.perf_counter() - t0
