@@ -84,6 +84,66 @@ def test_bf16_codes_rank_parity(data):
         assert len(set(i[r].tolist()) & set(exp_i[r].tolist())) >= K - 1
 
 
+def test_tile_8192_group64(data):
+    """N divisible by 8192 engages the max tile (GROUP=64): same exact
+    top-k as the oracle through the wider interleaved-group expansion."""
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((8192, 32)).astype(np.float32)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    mask = (rng.random(8192) > 0.2).astype(np.int8)
+    norms = (X**2).sum(1).astype(np.float32)
+    oracle = -(((q**2).sum(1)[:, None]) + norms[None, :] - 2 * q @ X.T)
+    oracle = np.where(mask[None, :] != 0, oracle, -np.inf)
+    s, i = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(X), jnp.asarray(norms), jnp.asarray(mask),
+        metric=MetricType.L2, topk=K,
+    )
+    i = np.asarray(i)
+    exp_i = np.argsort(-oracle, axis=1)[:, :K]
+    for r in range(4):
+        assert set(i[r].tolist()) == set(exp_i[r].tolist())
+
+
+def test_topk_128_build_shape():
+    """topk = LANES = 128 (the HNSW-build candidate shape) on a non-8192
+    N: tile falls back so topk*GROUP stays within the candidate cap."""
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((3072, 16)).astype(np.float32)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    mask = np.ones(3072, np.int8)
+    norms = (X**2).sum(1).astype(np.float32)
+    oracle = -(((q**2).sum(1)[:, None]) + norms[None, :] - 2 * q @ X.T)
+    s, i = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(X), jnp.asarray(norms), jnp.asarray(mask),
+        metric=MetricType.L2, topk=128,
+    )
+    i = np.asarray(i)
+    exp_i = np.argsort(-oracle, axis=1)[:, :128]
+    for r in range(2):
+        assert set(i[r].tolist()) == set(exp_i[r].tolist())
+
+
+def test_cosine_zero_norm_rows_rank_top():
+    """Zero-norm rows take sims=1.0 (>= any cosine) — the rank-key epilogue
+    must keep them inside the winner groups."""
+    rng = np.random.default_rng(17)
+    X = rng.standard_normal((2048, 16)).astype(np.float32)
+    X[5] = 0.0
+    X[1500] = 0.0
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    mask = np.ones(2048, np.int8)
+    norms = np.sqrt((X**2).sum(1)).astype(np.float32)
+    s, i = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(X), jnp.asarray(norms), jnp.asarray(mask),
+        metric=MetricType.COSINE, topk=K,
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    for r in range(3):
+        got = set(i[r].tolist())
+        assert {5, 1500} <= got, got
+        assert s[r, 0] == pytest.approx(1.0)
+
+
 @pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP, MetricType.COSINE])
 def test_int8_dequant_epilogue(data, metric):
     """int8 codes + in-kernel affine dequant == oracle over dequantized data

@@ -33,7 +33,11 @@ __all__ = ["FlatEngine"]
 # Queries are padded to buckets to bound jit recompilation.
 _QUERY_BUCKETS = (1, 8, 32, 128, 512)
 # Row padding granularity; block scan kicks in above one block.
-_ROW_ALIGN = 1024  # Pallas tile multiple
+_ROW_ALIGN = 1024  # minimum Pallas tile multiple
+_ROW_ALIGN_BIG = 8192  # large corpora pad to the max Pallas tile: the fused
+# kernel's extraction cost scales ~1/GROUP = LANES/TILE, so an 8192 tile cuts
+# the dominant per-tile top-k passes 8x vs 1024 (see ops/flat_pallas.py)
+_BIG_N = 100_000  # matches the _use_pallas corpus threshold
 _BLOCK_SIZE = 131072
 
 
@@ -179,7 +183,8 @@ class FlatEngine(VectorIndexEngine):
             return
         codes, dequant = self._prepare(np.asarray(data))
         mesh = self._mesh()
-        row_mult = _ROW_ALIGN * (mesh.shape["corpus"] if mesh is not None else 1)
+        align = _ROW_ALIGN_BIG if n >= _BIG_N else _ROW_ALIGN
+        row_mult = align * (mesh.shape["corpus"] if mesh is not None else 1)
         n_pad = round_up(n, row_mult)
         padded = np.zeros((n_pad, codes.shape[1]), dtype=codes.dtype)
         padded[:n] = codes

@@ -134,15 +134,23 @@ class HnswEngine(VectorIndexEngine):
         if self._mips:
             data, self._mips_max_norm2 = mips_augment(data)
         n_pad = round_up(self._n, _ROW_ALIGN)
-        padded = np.zeros((n_pad, data.shape[1]), np.float32)
-        padded[: self._n] = data
-        self._codes = jnp.asarray(padded)
-        self._norms = jnp.sum(self._codes * self._codes, axis=-1)
 
+        # Graph build FIRST: the build stages its own code buffers (bf16 at
+        # scale) and candidate tables — at 10M those plus a standing 5GB fp32
+        # search-code table exceed one chip's HBM (the r4 10M OOM). Search
+        # codes go to HBM only after the build transients are freed.
         if self._loaded_aux is not None and self._loaded_aux["n"] == self._n:
             self._graph = _graph_from_aux(self._loaded_aux, self.m)
         if self._graph is None or self._graph.levels.shape[0] != self._n:
             self._graph = self._build_graph(data)
+
+        if self.quantize == QuantizeType.UNDEFINED:
+            padded = np.zeros((n_pad, data.shape[1]), np.float32)
+            padded[: self._n] = data
+            self._codes = jnp.asarray(padded)
+            # norms on HOST: a jnp reduction over a freshly device_put buffer
+            # is pathologically slow through the tunnel (CLAUDE.md)
+            self._norms = jnp.asarray(np.einsum("ij,ij->i", padded, padded))
         self._dev = self._device_graph(self._graph)
         # storage codes: graph is built on fp32; search scores quantized codes
         # with dequant fused (quantized converter/reformer semantics)

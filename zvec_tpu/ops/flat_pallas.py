@@ -2,24 +2,40 @@
 
 The speed-of-light path for the reference's hottest loop (SURVEY §2.8 item 1:
 SIMD distance matrices -> "Pallas MXU/VPU tile kernels"; reference equivalent
-`src/core/algorithm/flat/flat_searcher_context.h:237-314`). Each grid step:
+`src/core/algorithm/flat/flat_searcher_context.h:237-314`). Each grid step
+covers a (TILE_N, D) code tile and runs GROUP sub-steps:
 
-  1. one MXU matmul scores a (TILE_N, D) code tile against all queries,
-  2. the VPU applies the metric epilogue + filter mask in VMEM,
-  3. a lane-aligned group reduction folds the (Q, TILE) score tile into
-     (Q, TILE/G) interleaved group maxima (G=8, group g = cols {g, g+128, ...}
-     — pure static 128-lane slices, no relayout), then K cheap passes extract
-     the tile's top-k GROUPS (G x less VPU work than elementwise K passes).
+  1. one MXU matmul scores a (LANES, D) code sub-tile against all queries,
+  2. the VPU applies a RANK-EQUIVALENT metric epilogue + filter mask and
+     immediately max-folds the (Q, LANES) keys into the running group-max —
+     the full (Q, TILE_N) score tile is never materialized, so TILE_N (and
+     with it GROUP = TILE_N/LANES) can grow far past VMEM's (Q, TILE) limit,
+  3. after the fold, K cheap passes extract the tile's top-k GROUPS from the
+     (Q, LANES) group-max (GROUP x less VPU work than elementwise K passes;
+     the K extraction passes are the measured cost driver — 4.2 ms/pass at
+     1M x 128d — so scan time scales ~1/GROUP).
 
-Winner groups merge globally with one lax.top_k, then the <= topk*G candidate
-rows are gathered from HBM and rescored exactly in fp32-HIGHEST. Exactness:
-the true top-k elements always lie inside the k groups with largest group-max
-(each element > the k-th is its own group's witness), so the candidate set
-provably covers the answer; the rescore produces exact fp32 scores.
+Rank-equivalent keys: per-query positive-affine transforms preserve top-k
+(every comparison — in-tile extraction AND the global group merge — is
+within one query), so the epilogue drops per-query constants:
+  L2       key = 2*dots - ||x||^2          (drops -||q||^2, negation folded)
+  IP       key = dots                      (dequant scale > 0 drops out)
+  COSINE   key = real_dots / ||x||         (drops 1/||q||; zero-norm rows
+                                            take key ||q|| >= cos*||q||,
+                                            matching the sims=1.0 edge rule)
 
-Codes may be f32 or bf16 (bf16 halves HBM traffic + runs the MXU at full
-rate; the fp32 rescore step restores exact final scores). Falls back to
-interpret mode off-TPU (CPU test mesh).
+Winner groups merge globally with one lax.top_k, then the <= topk*GROUP
+candidate rows are gathered from HBM and rescored exactly in fp32-HIGHEST.
+Exactness: the true top-k elements always lie inside the k groups with
+largest group-max (each element > the k-th is its own group's witness), so
+the candidate set provably covers the answer; the rescore produces exact
+fp32 scores under the REAL metric formula.
+
+Codes may be f32, bf16 or int8 (narrow codes halve/quarter HBM traffic and
+run the MXU at full rate; the fp32 rescore step restores exact final
+scores). TILE_N adapts per call: the largest of {8192..1024} that divides N,
+keeps the code tile within VMEM budget, and caps topk*GROUP rescore
+candidates. Falls back to interpret mode off-TPU (CPU test mesh).
 """
 
 from __future__ import annotations
@@ -37,52 +53,73 @@ from .runtime import NEG_INF, interpret_mode
 
 __all__ = ["flat_scan_topk"]
 
-_TILE_N = 1024  # code rows per grid step
-_GROUP = 8  # rows per group; groups interleave across 128 lanes
-_LANES = _TILE_N // _GROUP  # group-max width per tile
+_LANES = 128  # group-max width: one vreg lane row per tile
+_MAX_CAND = 1024  # cap on topk * GROUP rescore candidates per query
+_TILE_VMEM = 4 * 1024 * 1024  # code-tile VMEM budget (bytes)
 
 
-def _kernel(metric: MetricType, k: int, dequant):
+def _pick_tile(n: int, d: int, topk: int, itemsize: int) -> int:
+    """Largest tile that divides n, fits the VMEM budget, and bounds the
+    rescore candidate set. 1024 always qualifies (callers pad to 1024)."""
+    for t in (8192, 4096, 2048, 1024):
+        if (
+            n % t == 0
+            and t * d * itemsize <= _TILE_VMEM
+            and (t // _LANES) * topk <= _MAX_CAND
+        ):
+            return t
+    raise AssertionError(f"N={n} must be a multiple of 1024 (topk={topk})")
+
+
+def _kernel(metric: MetricType, k: int, dequant, group: int):
     def kernel(
         q_ref, qsq_ref, qsum_ref, codes_ref, norms_ref, mask_ref,
         out_s_ref, out_i_ref,
     ):
         t = pl.program_id(0)
         q = q_ref[:]  # (Q, D) f32
-        codes = codes_ref[:]  # (TILE, D) f32/bf16/int8
-        if codes.dtype == jnp.int8:
-            # int8 codes ride HBM at 1/4 f32 bandwidth; bf16 holds all 8
-            # code bits exactly, accumulate f32 on the MXU
-            codes = codes.astype(jnp.bfloat16)
-        dots = jax.lax.dot_general(
-            q,
-            codes,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=(
-                jax.lax.Precision.HIGHEST
-                if codes.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT
-            ),
-        )  # (Q, TILE)
-        if dequant is not None:
-            # global affine dequant fused into the epilogue:
-            # q . (c*scale + bias) = scale*(q . c) + bias*sum(q)
-            dots = dequant[0] * dots + dequant[1] * qsum_ref[:]
-        if metric == MetricType.IP:
-            sims = dots
-        elif metric == MetricType.L2:
-            sims = -(qsq_ref[:] + norms_ref[:] - 2.0 * dots)
-        else:  # COSINE: qsq holds ||q|| (not squared), norms holds ||x||
-            denom = qsq_ref[:] * norms_ref[:]
-            sims = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
-        sims = jnp.where(mask_ref[:] != 0, sims, NEG_INF)
 
-        # fold TILE cols into LANES interleaved groups: group g = cols
-        # {g, g+LANES, ...}. Static 128-wide slices -> no vreg relayout.
-        gmax = sims[:, 0:_LANES]
-        for j in range(1, _GROUP):
-            gmax = jnp.maximum(gmax, sims[:, j * _LANES : (j + 1) * _LANES])
+        # interleaved groups: group l of this tile = rows {l + LANES*j};
+        # sub-tile j scores rows [j*LANES, (j+1)*LANES) and max-folds into
+        # lane l of the running group-max. (Q, TILE) is never materialized.
+        gmax = None
+        for j in range(group):
+            codes = codes_ref[j * _LANES : (j + 1) * _LANES, :]  # (LANES, D)
+            if codes.dtype == jnp.int8:
+                # int8 codes ride HBM at 1/4 f32 bandwidth; bf16 holds all 8
+                # code bits exactly, accumulate f32 on the MXU
+                codes = codes.astype(jnp.bfloat16)
+            dots = jax.lax.dot_general(
+                q,
+                codes,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if codes.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT
+                ),
+            )  # (Q, LANES)
+            nrm = norms_ref[:, j * _LANES : (j + 1) * _LANES]  # (1, LANES)
+            if metric == MetricType.IP:
+                key = dots  # dequant: scale>0 and bias*qsum are rank-inert
+            elif metric == MetricType.L2:
+                if dequant is not None:
+                    # real_dots = scale*dots + bias*qsum; the qsum term is a
+                    # per-query constant -> key = 2*scale*dots - ||x||^2
+                    key = (2.0 * dequant[0]) * dots - nrm
+                else:
+                    key = 2.0 * dots - nrm
+            else:  # COSINE: norms_ref holds 1/||x|| (0 for zero-norm rows)
+                if dequant is not None:
+                    real = dequant[0] * dots + dequant[1] * qsum_ref[:]
+                else:
+                    real = dots
+                # zero-norm rows score sims=1.0 (>= any cosine); in key space
+                # (cos * ||q||) that upper bound is ||q|| (qsq_ref)
+                key = jnp.where(nrm > 0, real * nrm, qsq_ref[:])
+            key = jnp.where(mask_ref[:, j * _LANES : (j + 1) * _LANES] != 0, key, NEG_INF)
+            gmax = key if gmax is None else jnp.maximum(gmax, key)
 
         colg = jax.lax.broadcasted_iota(jnp.int32, gmax.shape, 1)
         base = t * _LANES
@@ -91,8 +128,7 @@ def _kernel(metric: MetricType, k: int, dequant):
             a = jnp.argmax(gmax, axis=1).astype(jnp.int32)  # (Q,)
             # outputs are (tile, k, Q): Q rides the 128-lane minor dim, so
             # each extraction pass stores one contiguous lane row (a (Q, k)
-            # layout pads k=10 lanes to 128 — 12.8x HBM write amplification,
-            # 10.7GB/scan at 10M)
+            # layout pads k=10 lanes to 128 — 12.8x HBM write amplification)
             out_s_ref[0, j, :] = m
             out_i_ref[0, j, :] = jnp.where(m > NEG_INF / 2, a + base, -1)
             gmax = jnp.where(colg == a[:, None], NEG_INF, gmax)
@@ -103,7 +139,7 @@ def _kernel(metric: MetricType, k: int, dequant):
 @partial(jax.jit, static_argnames=("metric", "topk", "dequant"))
 def flat_scan_topk(
     q: jax.Array,  # (Q, D) f32
-    codes: jax.Array,  # (N, D) f32/bf16/int8, N multiple of _TILE_N
+    codes: jax.Array,  # (N, D) f32/bf16/int8, N multiple of 1024
     norms: jax.Array,  # (N,) f32: ||x||^2 (L2) or ||x|| (COSINE); unused for IP
     mask: jax.Array,  # (N,) int8/bool: nonzero = candidate
     *,
@@ -115,12 +151,13 @@ def flat_scan_topk(
     With int8 codes + `dequant`, scoring is asymmetric (f32 query vs int8
     codes, reference `quantized_integer_metric.cc:320`): the affine dequant
     folds into the matmul epilogue and the final rescore dequantizes the
-    <= topk*G candidate rows exactly in fp32."""
+    <= topk*GROUP candidate rows exactly in fp32."""
     nq, d = q.shape
     n = codes.shape[0]
-    assert n % _TILE_N == 0, f"N={n} must be a multiple of {_TILE_N}"
+    tile_n = _pick_tile(n, d, topk, codes.dtype.itemsize)
+    group = tile_n // _LANES
     assert topk <= _LANES, f"topk={topk} exceeds per-tile group width {_LANES}"
-    n_tiles = n // _TILE_N
+    n_tiles = n // tile_n
     q = q.astype(jnp.float32)
 
     if metric == MetricType.L2:
@@ -131,7 +168,14 @@ def flat_scan_topk(
         qside = jnp.zeros((nq, 1), jnp.float32)
     qsum = jnp.sum(q, axis=1, keepdims=True)  # (Q, 1) for dequant epilogue
 
-    norms2d = norms.reshape(1, n).astype(jnp.float32)
+    norms = norms.astype(jnp.float32)
+    if metric == MetricType.COSINE:
+        # kernel key = real_dots * (1/||x||): precompute the reciprocal once
+        # (division is the expensive VPU op; a multiply rides free)
+        knorm = jnp.where(norms > 0, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0)
+    else:
+        knorm = norms
+    norms2d = knorm.reshape(1, n)
     mask2d = mask.reshape(1, n).astype(jnp.int8)
 
     grid_spec = pl.GridSpec(
@@ -140,9 +184,9 @@ def flat_scan_topk(
             pl.BlockSpec((nq, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nq, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nq, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE_N, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_N), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_N), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, topk, nq), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -150,7 +194,7 @@ def flat_scan_topk(
         ],
     )
     tile_s, tile_i = pl.pallas_call(
-        _kernel(metric, topk, dequant),
+        _kernel(metric, topk, dequant, group),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, topk, nq), jnp.float32),
@@ -164,10 +208,12 @@ def flat_scan_topk(
         interpret=interpret_mode(),
     )(q, qside, qsum, codes, norms2d, mask2d)
 
-    # global merge over the per-tile winner GROUPS ((tile, k, Q) -> (Q, tile*k))
+    # global merge over the per-tile winner GROUPS ((tile, k, Q) -> (Q, tile*k)).
+    # Group keys are rank-equivalent per query, and top_k compares only within
+    # a query row, so the merge picks the same winner groups as real scores.
     tile_s = tile_s.transpose(2, 0, 1).reshape(nq, n_tiles * topk)
     tile_i = tile_i.transpose(2, 0, 1).reshape(nq, n_tiles * topk)
-    top_s, sel = jax.lax.top_k(tile_s, topk)  # (Q, topk) group scores
+    top_s, sel = jax.lax.top_k(tile_s, topk)  # (Q, topk) group keys
     gids = jnp.take_along_axis(tile_i, sel, axis=1)  # (Q, topk) global group ids
     valid_g = (gids >= 0) & (top_s > NEG_INF / 2)
 
@@ -176,12 +222,12 @@ def flat_scan_topk(
     safe_g = jnp.where(valid_g, gids, 0)
     tile_of = safe_g // _LANES
     lane_of = safe_g % _LANES
-    offs = (jnp.arange(_GROUP, dtype=jnp.int32) * _LANES)[None, None, :]
-    cand = tile_of[:, :, None] * _TILE_N + lane_of[:, :, None] + offs
-    cand = cand.reshape(nq, topk * _GROUP)  # (Q, C) element row ids
-    cand_valid = jnp.repeat(valid_g, _GROUP, axis=1)
+    offs = (jnp.arange(group, dtype=jnp.int32) * _LANES)[None, None, :]
+    cand = tile_of[:, :, None] * tile_n + lane_of[:, :, None] + offs
+    cand = cand.reshape(nq, topk * group)  # (Q, C) element row ids
+    cand_valid = jnp.repeat(valid_g, group, axis=1)
 
-    # gather + exact fp32 rescore of the candidate rows
+    # gather + exact fp32 rescore of the candidate rows (REAL metric formula)
     cand_codes = jnp.take(codes, cand, axis=0).astype(jnp.float32)  # (Q, C, D)
     if dequant is not None:
         cand_codes = cand_codes * dequant[0] + dequant[1]
