@@ -170,3 +170,61 @@ def test_int8_dequant_epilogue(data, metric):
         # exact scores — allow 1 boundary swap in group selection
         assert len(set(i[r].tolist()) & set(exp_i[r].tolist())) >= K - 1
     assert np.allclose(s[:, 0], exp_s[:, 0], rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP, MetricType.COSINE])
+def test_int4_packed_planes(data, metric):
+    """Nibble-packed int4 codes scored via the [lo | hi] plane matmul ==
+    oracle over dequantized data (reference streaming int4,
+    `integer_quantizer_converter.cc:596-607`)."""
+    X, q, mask = data
+    from zvec_tpu.ops.quantize import pack_int4
+
+    lo, hi = float(X.min()), float(X.max())
+    scale = (hi - lo) / 14.0
+    bias = (hi + lo) / 2.0
+    codes = np.clip(np.round((X - bias) / scale), -7, 7).astype(np.int8)
+    deq = codes.astype(np.float32) * scale + bias
+    norms, oracle = _oracle(deq, q, mask, metric)
+    packed = pack_int4(codes)
+    assert packed.shape == (N, D // 2)
+    s, i = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(packed), jnp.asarray(norms), jnp.asarray(mask),
+        metric=metric, topk=K, dequant=(scale, bias), int4_dim=D,
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    exp_i = np.argsort(-oracle, axis=1)[:, :K]
+    exp_s = np.take_along_axis(oracle, exp_i, axis=1)
+    for r in range(Q):
+        # plane dots are bf16 (exact on int4 values); rescore is exact fp32 —
+        # allow 1 boundary swap from dequant-epilogue float rounding
+        assert len(set(i[r].tolist()) & set(exp_i[r].tolist())) >= K - 1
+    assert np.allclose(s[:, 0], exp_s[:, 0], rtol=1e-3, atol=1e-3)
+
+
+def test_int4_packed_odd_dim():
+    """Odd D: the phantom high nibble of the last packed byte is 0 and the
+    odd query plane zero-pads — scores must match the unpacked oracle."""
+    rng = np.random.default_rng(23)
+    n, d = 2048, 17
+    codes = rng.integers(-7, 8, size=(n, d)).astype(np.int8)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    mask = np.ones(n, np.int8)
+    scale, bias = 0.31, -0.05
+    deq = codes.astype(np.float32) * scale + bias
+    norms = (deq**2).sum(1).astype(np.float32)
+    oracle = -(((q**2).sum(1)[:, None]) + norms[None, :] - 2 * q @ deq.T)
+    from zvec_tpu.ops.quantize import pack_int4
+
+    packed = pack_int4(codes)
+    assert packed.shape == (n, (d + 1) // 2)
+    s, i = flat_scan_topk(
+        jnp.asarray(q), jnp.asarray(packed), jnp.asarray(norms), jnp.asarray(mask),
+        metric=MetricType.L2, topk=K, dequant=(scale, bias), int4_dim=d,
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    exp_i = np.argsort(-oracle, axis=1)[:, :K]
+    exp_s = np.take_along_axis(oracle, exp_i, axis=1)
+    for r in range(4):
+        assert len(set(i[r].tolist()) & set(exp_i[r].tolist())) >= K - 1
+    assert np.allclose(s[:, 0], exp_s[:, 0], rtol=1e-3, atol=1e-3)

@@ -150,18 +150,14 @@ class FlatEngine(VectorIndexEngine):
         return data, None
 
     def _use_pallas(self, st: _State, k: int) -> bool:
-        """Fused Pallas scan: TPU, fp32/bf16 codes or int8 codes with the
-        in-kernel affine-dequant epilogue (int4 stays on the blockwise
-        unpack path), large corpus, small k (group-max extraction)."""
+        """Fused Pallas scan: TPU, fp32/bf16 codes or int8 / nibble-packed
+        int4 codes with the in-kernel affine-dequant epilogue, large corpus,
+        small k (group-max extraction)."""
         from ..ops.runtime import is_tpu
 
         dtype_ok = st.codes is not None and (
             (st.dequant is None and st.codes.dtype in (jnp.float32, jnp.bfloat16))
-            or (
-                st.dequant is not None
-                and not st.int4_packed
-                and st.codes.dtype == jnp.int8
-            )
+            or (st.dequant is not None and st.codes.dtype == jnp.int8)
         )
         return (
             is_tpu()
@@ -308,8 +304,9 @@ class FlatEngine(VectorIndexEngine):
                 dequant=(
                     None
                     if st.dequant is None
-                    else (float(st.dequant.scale), float(st.dequant.bias))
+                    else (float(st.dequant[0]), float(st.dequant[1]))
                 ),
+                int4_dim=q.shape[1] if st.int4_packed else None,
             )
         else:
             sims, idx = blockwise_topk_search(

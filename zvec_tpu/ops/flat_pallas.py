@@ -31,11 +31,16 @@ largest group-max (each element > the k-th is its own group's witness), so
 the candidate set provably covers the answer; the rescore produces exact
 fp32 scores under the REAL metric formula.
 
-Codes may be f32, bf16 or int8 (narrow codes halve/quarter HBM traffic and
-run the MXU at full rate; the fp32 rescore step restores exact final
-scores). TILE_N adapts per call: the largest of {8192..1024} that divides N,
-keeps the code tile within VMEM budget, and caps topk*GROUP rescore
-candidates. Falls back to interpret mode off-TPU (CPU test mesh).
+Codes may be f32, bf16, int8, or nibble-packed int4 (narrow codes cut HBM
+traffic 2-8x and run the MXU at full rate; the fp32 rescore step restores
+exact final scores). Packed int4 (`int4_dim=D` set, codes (N, ceil(D/2))
+int8, reference `integer_quantizer_converter.cc:596-607`) is scored without
+any in-kernel interleave: the byte splits into two sign-extended nibble
+planes [lo | hi] concatenated on the contraction axis, and the query arrives
+pre-permuted as [q_even | q_odd] — q.x = q_even.lo + q_odd.hi as ONE
+full-width matmul. TILE_N adapts per call: the largest of {8192..1024} that
+divides N, keeps the code tile within VMEM budget, and caps topk*GROUP
+rescore candidates. Falls back to interpret mode off-TPU (CPU test mesh).
 """
 
 from __future__ import annotations
@@ -71,7 +76,15 @@ def _pick_tile(n: int, d: int, topk: int, itemsize: int) -> int:
     raise AssertionError(f"N={n} must be a multiple of 1024 (topk={topk})")
 
 
-def _kernel(metric: MetricType, k: int, dequant, group: int):
+def _unpack_nibble_planes(c32):
+    """int8-as-int32 packed bytes -> (lo, hi) sign-extended int4 planes
+    (int32 `>>` is arithmetic, so both nibbles sign-extend for free)."""
+    lo = (c32 << 28) >> 28
+    hi = c32 >> 4
+    return lo, hi
+
+
+def _kernel(metric: MetricType, k: int, dequant, group: int, int4: bool):
     def kernel(
         q_ref, qsq_ref, qsum_ref, codes_ref, norms_ref, mask_ref,
         out_s_ref, out_i_ref,
@@ -85,7 +98,14 @@ def _kernel(metric: MetricType, k: int, dequant, group: int):
         gmax = None
         for j in range(group):
             codes = codes_ref[j * _LANES : (j + 1) * _LANES, :]  # (LANES, D)
-            if codes.dtype == jnp.int8:
+            if int4:
+                # packed nibbles -> [lo | hi] planes on the contraction axis;
+                # q arrives pre-permuted as [q_even | q_odd], so one matmul
+                # computes q_even.lo + q_odd.hi = q.x (values in [-8, 7] are
+                # exact in bf16)
+                lo, hi = _unpack_nibble_planes(codes.astype(jnp.int32))
+                codes = jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)
+            elif codes.dtype == jnp.int8:
                 # int8 codes ride HBM at 1/4 f32 bandwidth; bf16 holds all 8
                 # code bits exactly, accumulate f32 on the MXU
                 codes = codes.astype(jnp.bfloat16)
@@ -136,7 +156,7 @@ def _kernel(metric: MetricType, k: int, dequant, group: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("metric", "topk", "dequant"))
+@partial(jax.jit, static_argnames=("metric", "topk", "dequant", "int4_dim"))
 def flat_scan_topk(
     q: jax.Array,  # (Q, D) f32
     codes: jax.Array,  # (N, D) f32/bf16/int8, N multiple of 1024
@@ -146,15 +166,29 @@ def flat_scan_topk(
     metric: MetricType,
     topk: int,
     dequant=None,  # (scale, bias) floats: codes store x ~= c*scale + bias
+    int4_dim=None,  # set to D when codes are nibble-packed (N, ceil(D/2)) int8
 ):
     """Exact fused scan. Returns (sims (Q, topk) desc, indices, -1 pad).
-    With int8 codes + `dequant`, scoring is asymmetric (f32 query vs int8
-    codes, reference `quantized_integer_metric.cc:320`): the affine dequant
-    folds into the matmul epilogue and the final rescore dequantizes the
-    <= topk*GROUP candidate rows exactly in fp32."""
+    With int8/int4 codes + `dequant`, scoring is asymmetric (f32 query vs
+    integer codes, reference `quantized_integer_metric.cc:320`): the affine
+    dequant folds into the matmul epilogue and the final rescore dequantizes
+    the <= topk*GROUP candidate rows exactly in fp32."""
     nq, d = q.shape
     n = codes.shape[0]
-    tile_n = _pick_tile(n, d, topk, codes.dtype.itemsize)
+    int4 = int4_dim is not None
+    if int4:
+        assert d == int4_dim and codes.dtype == jnp.int8 and dequant is not None
+        dp = codes.shape[1]  # ceil(D/2) packed bytes per row
+        # kernel query = [q_even | q_odd] (odd plane zero-padded when D is
+        # odd — the matching phantom high nibble packs as 0)
+        qe = jnp.zeros((nq, dp), jnp.float32).at[:, : (d + 1) // 2].set(q[:, 0::2])
+        qo = jnp.zeros((nq, dp), jnp.float32).at[:, : d // 2].set(q[:, 1::2])
+        q_kern = jnp.concatenate([qe, qo], axis=1)  # (Q, 2*Dp)
+        d_tile = dp
+    else:
+        q_kern = q.astype(jnp.float32)
+        d_tile = d
+    tile_n = _pick_tile(n, d_tile, topk, codes.dtype.itemsize)
     group = tile_n // _LANES
     assert topk <= _LANES, f"topk={topk} exceeds per-tile group width {_LANES}"
     n_tiles = n // tile_n
@@ -181,10 +215,12 @@ def flat_scan_topk(
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((nq, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nq, q_kern.shape[1]), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((nq, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nq, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_tile), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
@@ -194,7 +230,7 @@ def flat_scan_topk(
         ],
     )
     tile_s, tile_i = pl.pallas_call(
-        _kernel(metric, topk, dequant, group),
+        _kernel(metric, topk, dequant, group, int4),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, topk, nq), jnp.float32),
@@ -202,11 +238,11 @@ def flat_scan_topk(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * nq * n * d,
-            bytes_accessed=n * d * codes.dtype.itemsize + nq * d * 4,
+            bytes_accessed=n * d_tile * codes.dtype.itemsize + nq * d * 4,
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(q, qside, qsum, codes, norms2d, mask2d)
+    )(q_kern, qside, qsum, codes, norms2d, mask2d)
 
     # global merge over the per-tile winner GROUPS ((tile, k, Q) -> (Q, tile*k)).
     # Group keys are rank-equivalent per query, and top_k compares only within
@@ -228,7 +264,12 @@ def flat_scan_topk(
     cand_valid = jnp.repeat(valid_g, group, axis=1)
 
     # gather + exact fp32 rescore of the candidate rows (REAL metric formula)
-    cand_codes = jnp.take(codes, cand, axis=0).astype(jnp.float32)  # (Q, C, D)
+    cand_codes = jnp.take(codes, cand, axis=0)  # (Q, C, D) or (Q, C, Dp) packed
+    if int4:
+        lo, hi = _unpack_nibble_planes(cand_codes.astype(jnp.int32))
+        cand_codes = jnp.stack([lo, hi], axis=-1).reshape(nq, cand.shape[1], 2 * dp)
+        cand_codes = cand_codes[:, :, :d]
+    cand_codes = cand_codes.astype(jnp.float32)
     if dequant is not None:
         cand_codes = cand_codes * dequant[0] + dequant[1]
     cand_norms = jnp.take(norms, cand, axis=0)  # (Q, C)
