@@ -221,3 +221,42 @@ def test_hnsw_ip_second_rebuild_reaugments(rng):
     assert hits / (len(qs) * k) >= 0.85
     # top-1 similarity equals the true inner product
     assert sims[0, 0] == pytest.approx(float(qs[0] @ xs[expect[0, 0]]), rel=1e-3)
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP, MetricType.COSINE])
+def test_hnsw_bf16_search_codes(rng, metric, monkeypatch):
+    """ZVEC_HNSW_BF16_SEARCH=1: traversal runs on bf16 codes (half the
+    gather bandwidth) but returned scores are exact fp32 (host rescore)."""
+    monkeypatch.setenv("ZVEC_HNSW_BF16_SEARCH", "1")
+    n, d, k = 2500, 16, 10
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((12, d)).astype(np.float32)
+
+    engine = HnswEngine(metric, d, HnswIndexParam(metric, m=8, ef_construction=60))
+    engine.bind_data(lambda: xs, lambda: 1)
+    sims, idx = engine.search(qs, k, param=HnswQueryParam(ef=100))
+    assert engine._codes.dtype == np.dtype("bfloat16")
+
+    expect = brute_topk(qs, xs, metric, k)
+    hits = sum(
+        len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(len(qs))
+    )
+    recall = hits / (len(qs) * k)
+    assert recall >= 0.85, f"recall@10 = {recall}"
+
+    # exact fp32 score parity on the returned hits
+    for i in range(len(qs)):
+        for j in range(k):
+            r = int(idx[i][j])
+            if r < 0:
+                continue
+            if metric == MetricType.L2:
+                exp = -((qs[i] - xs[r]) ** 2).sum()
+            elif metric == MetricType.IP:
+                exp = float(qs[i] @ xs[r])
+            else:
+                exp = float(
+                    qs[i] @ xs[r]
+                    / (np.linalg.norm(qs[i]) * max(np.linalg.norm(xs[r]), 1e-12))
+                )
+            assert sims[i][j] == pytest.approx(exp, rel=2e-4, abs=2e-4)

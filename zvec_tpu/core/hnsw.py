@@ -100,6 +100,7 @@ class HnswEngine(VectorIndexEngine):
         # device state
         self._codes = None
         self._norms = None
+        self._bf16_search = False
         self._dequant = None
         self._qparams: Optional[QuantParams] = None
         self._dev = None  # dict of device graph arrays
@@ -147,7 +148,21 @@ class HnswEngine(VectorIndexEngine):
         if self.quantize == QuantizeType.UNDEFINED:
             padded = np.zeros((n_pad, data.shape[1]), np.float32)
             padded[: self._n] = data
-            self._codes = jnp.asarray(padded)
+            # opt-in bf16 search codes: halves the beam's code-gather HBM
+            # bandwidth (the dominant per-hop cost) and the H2D staging
+            # payload. Final hits are re-scored exactly on host (refine), so
+            # user-facing scores stay fp32-exact; traversal order changes
+            # only at bf16 rounding boundaries. ±1 hamming codes are exact
+            # in bf16 (no rescore needed).
+            self._bf16_search = (
+                os.environ.get("ZVEC_HNSW_BF16_SEARCH", "0") == "1"
+            )
+            if self._bf16_search:
+                import ml_dtypes
+
+                self._codes = jnp.asarray(padded.astype(ml_dtypes.bfloat16))
+            else:
+                self._codes = jnp.asarray(padded)
             # norms on HOST: a jnp reduction over a freshly device_put buffer
             # is pathologically slow through the tunnel (CLAUDE.md)
             self._norms = jnp.asarray(np.einsum("ij,ij->i", padded, padded))
@@ -1278,6 +1293,12 @@ class HnswEngine(VectorIndexEngine):
             sims, idx = refine(self._data_fn, raw_q, idx, self.metric, out_topk)
             idx = idx.astype(np.int64)
             topk = out_topk
+        elif getattr(self, "_bf16_search", False) and not self._hamming:
+            # bf16 traversal scores -> exact fp32 scores for the returned
+            # hits (cheap: topk rows/query); MIPS converts via IP directly
+            raw_q = queries[:, :-1] if self._mips else queries
+            sims, idx = refine(self._data_fn, raw_q, idx, self.metric, topk)
+            idx = idx.astype(np.int64)
         elif self._mips:
             # augmented-L2 similarity -> true inner product:
             # -l2 = -(||q||^2 + M^2 - 2 ip)  =>  ip = (sim + ||q||^2 + M^2) / 2
