@@ -76,5 +76,7 @@ build_tool local_builder local_builder.cc
 build_tool recall recall.cc
 build_tool bench bench.cc
 build_tool local_builder_original local_builder_original.cc
+build_tool recall_original recall_original.cc
+build_tool bench_original bench_original.cc
 
 echo "done: $OUT/bin"
