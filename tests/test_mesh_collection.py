@@ -108,3 +108,49 @@ def test_sharded_delete_and_requery(tmp_path, rng, mesh8):
     col.delete([doc.id for doc in first])
     second = col.query(VectorQuery("emb", vector=q), topk=3)
     assert not ({doc.id for doc in first} & {doc.id for doc in second})
+
+
+@pytest.mark.parametrize("qt_name", ["INT8", "INT4"])
+def test_sharded_quantized_flat(tmp_path, rng, mesh8, qt_name):
+    """Quantized codes (int8 / nibble-packed int4) corpus-shard across the
+    mesh and score with the dequant epilogue inside each shard."""
+    from zvec_tpu.typing import QuantizeType
+
+    qt = QuantizeType[qt_name]
+    n, d = 4096, 16
+    X = rng.standard_normal((n, d)).astype(np.float32) * 1.5
+    schema = CollectionSchema(
+        name="meshq",
+        vectors=[
+            VectorSchema(
+                "emb", DataType.VECTOR_FP32, d,
+                FlatIndexParam(MetricType.L2, quantize_type=qt),
+            )
+        ],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "meshq"), schema)
+    for i in range(0, n, 1000):
+        col.insert(
+            [Doc(id=f"pk{j}", vectors={"emb": X[j]}) for j in range(i, min(i + 1000, n))]
+        )
+    col.flush()
+    col.optimize()
+
+    # oracle over the engine's own dequantized codes
+    seg = col._impl.segments[0]
+    eng = seg.engine_for("emb")
+    eng._ensure_fresh()
+    st = eng._st
+    codes = np.asarray(st.codes)
+    if st.int4_packed:
+        from zvec_tpu.ops.quantize import unpack_int4
+
+        codes = unpack_int4(codes, d)
+    deq = codes[:n].astype(np.float32) * float(st.dequant[0]) + float(st.dequant[1])
+
+    q = rng.standard_normal(d).astype(np.float32)
+    docs = col.query(VectorQuery("emb", vector=q), topk=10)
+    d2 = ((deq - q) ** 2).sum(1)
+    exp = np.argsort(d2)[:10]
+    got = [d_.id for d_ in docs]
+    assert len(set(got) & {f"pk{i}" for i in exp}) >= 9, (got, exp)
