@@ -24,6 +24,14 @@ _INT_RANGES = {
     DataType.UINT64: (0, 2**64 - 1),
 }
 
+# dense float vectors coerce straight to their storage dtype at validation
+# (integer vector dtypes keep the inspect-then-cast path: range semantics)
+_FLOAT_STORE_DTYPES = {
+    DataType.VECTOR_FP32: np.float32,
+    DataType.VECTOR_FP64: np.float64,
+    DataType.VECTOR_FP16: np.float16,
+}
+
 
 def coerce_scalar(value: Any, dt: DataType) -> Tuple[Any, Optional[str]]:
     """Coerce `value` to data type `dt`. Returns (value, error_message)."""
@@ -217,7 +225,20 @@ def validate_doc(
 
             vectors[name] = pack_int4(arr.astype(np.int8)[None, :])[0]
         else:
-            arr = np.asarray(value)
+            store_dt = _FLOAT_STORE_DTYPES.get(vs.data_type)
+            if store_dt is not None:
+                # float storage dtypes coerce in ONE C pass (python-float
+                # lists would otherwise round-trip through an f64 array and
+                # write 2x WAL bytes for FP32 fields)
+                try:
+                    arr = np.asarray(value, dtype=store_dt)
+                except (ValueError, TypeError):
+                    return None, None, Status.error(
+                        StatusCode.INVALID_ARGUMENT,
+                        f"vector '{name}' must be numeric",
+                    )
+            else:
+                arr = np.asarray(value)
             if arr.ndim != 1:
                 return None, None, Status.error(
                     StatusCode.INVALID_ARGUMENT,
