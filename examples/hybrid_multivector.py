@@ -4,6 +4,12 @@ Run: python examples/hybrid_multivector.py
 """
 
 import os
+
+if os.environ.get("ZVEC_EXAMPLE_CPU") == "1":  # run off-TPU: CPU backend
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import shutil
 import sys
 

@@ -8,6 +8,12 @@ Run: python examples/quantized_groupby.py  (CPU or TPU)
 """
 
 import os
+
+if os.environ.get("ZVEC_EXAMPLE_CPU") == "1":  # run off-TPU: CPU backend
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import shutil
 import sys
 

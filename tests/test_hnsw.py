@@ -260,3 +260,31 @@ def test_hnsw_bf16_search_codes(rng, metric, monkeypatch):
                     / (np.linalg.norm(qs[i]) * max(np.linalg.norm(xs[r]), 1e-12))
                 )
             assert sims[i][j] == pytest.approx(exp, rel=2e-4, abs=2e-4)
+
+
+def test_hnsw_filtered_cross_cluster(rng):
+    """Filter excludes the query's own cluster: the ef-capped beam strands
+    inside it (zero filtered hits) — the exact-masked rescan safety net must
+    return the true filtered top-k (reference walks its unbounded candidate
+    heap under the scan budget instead, `hnsw_algorithm.cc:180-278`)."""
+    n, d, k = 6000, 32, 5
+    kc = 4
+    centers = rng.standard_normal((kc, d)).astype(np.float32) * 6.0
+    asn = np.arange(n) % kc
+    xs = (centers[asn] + rng.standard_normal((n, d)).astype(np.float32)).astype(
+        np.float32
+    )
+    engine = HnswEngine(
+        MetricType.L2, d, HnswIndexParam(MetricType.L2, m=12, ef_construction=80)
+    )
+    engine.bind_data(lambda: xs, lambda: 1)
+    qs = (centers[0] + 0.3 * rng.standard_normal((4, d))).astype(np.float32)
+    mask = asn == 1  # only the far cluster passes
+    sims, idx = engine.search(qs, k, mask=mask, param=HnswQueryParam(ef=64))
+    ok = np.flatnonzero(mask)
+    d2 = ((qs[:, None, :] - xs[ok][None, :, :]) ** 2).sum(-1)
+    exp = ok[np.argsort(d2, axis=1)[:, :k]]
+    for i in range(4):
+        got = idx[i][idx[i] >= 0]
+        assert len(got) == k, f"query {i}: only {len(got)} filtered hits"
+        assert set(got) == set(exp[i]), (got, exp[i])

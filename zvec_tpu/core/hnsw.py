@@ -1288,6 +1288,32 @@ class HnswEngine(VectorIndexEngine):
                 frontier=4,  # 4-way beam: ~4x fewer sequential steps
             )
             sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
+            if mask is not None:
+                # Filtered-beam safety net: the working candidate set is
+                # ef-capped, so on clustered data a filter excluding the
+                # query's cluster can strand the beam with ZERO filtered
+                # hits (the reference's candidate heap is unbounded and
+                # keeps walking under its scan budget,
+                # `hnsw_algorithm.cc:180-278`). Queries that came back with
+                # fewer valid hits than the filter can supply rescan
+                # exactly over the masked rows.
+                achievable = min(k, int(np.count_nonzero(mask)))
+                deficient = (idx >= 0).sum(axis=1) < achievable
+                if deficient.any():
+                    sims = np.array(sims)  # np.asarray views of jax arrays
+                    idx = np.array(idx)  # are read-only; copies for scatter
+                    fsims, fidx = blockwise_topk_search(
+                        queries[deficient],
+                        self._codes,
+                        self._search_metric,
+                        k,
+                        mask=dmask,
+                        x_sq_norms=self._norms,
+                        dequant=self._dequant,
+                        int4_packed=getattr(self, "_int4_packed", False),
+                    )
+                    sims[deficient] = np.asarray(fsims)[:, :k]
+                    idx[deficient] = np.asarray(fidx).astype(np.int64)[:, :k]
         if use_refiner:
             raw_q = queries[:, :-1] if self._mips else queries
             sims, idx = refine(self._data_fn, raw_q, idx, self.metric, out_topk)
