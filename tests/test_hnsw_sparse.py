@@ -93,3 +93,38 @@ def test_sparse_hnsw_through_collection(tmp_path, rng):
     assert res[0].id == "s3"
     assert eng._loaded_aux is not None
     c2._impl.close()
+
+
+def test_sparse_hnsw_filtered_disjoint_region(rng):
+    """Filter selects docs sharing no terms with the query's neighborhood:
+    the deficient-query rescan must still return the exact filtered top-k."""
+    import numpy as np
+
+    from zvec_tpu.core.hnsw_sparse import SparseHnswEngine
+    from zvec_tpu.model.param.param import HnswIndexParam, HnswQueryParam
+    from zvec_tpu.typing import MetricType
+
+    n = 3000
+    # two disjoint vocabularies: docs 0..n/2 use dims 0..99, rest 100..199
+    docs = []
+    for i in range(n):
+        base = 0 if i < n // 2 else 100
+        dims = (np.arange(4) * 7 + i) % 100 + base
+        docs.append({int(d): float(1.0 + (i % 5) * 0.1) for d in dims})
+    engine = SparseHnswEngine(
+        MetricType.IP, 0, HnswIndexParam(MetricType.IP, m=8, ef_construction=60)
+    )
+    engine.bind_data(lambda: docs, lambda: 1)
+    q = docs[3]  # query from the FIRST vocabulary
+    mask = np.zeros(n, dtype=bool)
+    mask[n // 2 :] = True  # only second-vocabulary docs pass
+    sims, idx = engine.search([q], 5, mask=mask, param=HnswQueryParam(ef=50))
+    got = idx[0][idx[0] >= 0]
+    # exact oracle over the masked rows
+    def ip(a, b):
+        return sum(v * b.get(k, 0.0) for k, v in a.items())
+    scores = np.array([ip(q, docs[i]) if mask[i] else -np.inf for i in range(n)])
+    exp = np.argsort(-scores)[:5]
+    assert len(got) == 5, got
+    assert set(got) <= set(np.flatnonzero(mask)), "filter violated"
+    assert sims[0][0] == pytest.approx(scores[exp[0]], rel=1e-4)

@@ -182,6 +182,18 @@ class SparseHnswEngine(SparseFlatEngine):
         )
         sims = np.asarray(sims)
         idx = np.asarray(idx).astype(np.int64)
+        if mask is not None:
+            # same safety net as dense HNSW: the ef-capped beam can strand
+            # inside the query's neighborhood when the filter excludes it —
+            # deficient queries rescan exactly via the sparse flat parent
+            achievable = min(k, int(np.count_nonzero(mask)))
+            deficient = (idx >= 0).sum(axis=1) < achievable
+            if deficient.any():
+                sub = [queries[i] for i in np.flatnonzero(deficient)]
+                fsims, fidx = super().search(sub, k, mask, param)
+                sims, idx = np.array(sims), np.array(idx)
+                sims[deficient] = np.asarray(fsims)[:, :k]
+                idx[deficient] = np.asarray(fidx).astype(np.int64)[:, :k]
         if k < topk:
             pad = topk - k
             sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
