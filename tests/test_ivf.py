@@ -229,3 +229,53 @@ def test_ivf_int4_packed(rng):
     expect = np.argsort(dmat, axis=1)[:, :k]
     hits = sum(len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(len(qs)))
     assert hits / (len(qs) * k) >= 0.5
+
+
+def test_ivf_filtered_cross_cluster_safety_net(rng):
+    """Filter excludes every probed list's cluster: the deficient-query
+    re-probe over all lists must return the exact filtered top-k (the
+    reference would return whatever the nprobe lists contain — nothing)."""
+    import zvec_tpu
+    from zvec_tpu import (
+        CollectionSchema,
+        DataType,
+        Doc,
+        FieldSchema,
+        IVFIndexParam,
+        IVFQueryParam,
+        MetricType,
+        VectorQuery,
+        VectorSchema,
+    )
+    import shutil
+
+    n, d, k = 6000, 24, 5
+    centers = rng.standard_normal((4, d)).astype(np.float32) * 6
+    asn = np.arange(n) % 4
+    X = (centers[asn] + rng.standard_normal((n, d))).astype(np.float32)
+    path = "/tmp/ivf_filter_net"
+    shutil.rmtree(path, ignore_errors=True)
+    schema = CollectionSchema(
+        "iv",
+        fields=[FieldSchema("g", DataType.INT32)],
+        vectors=[VectorSchema("v", DataType.VECTOR_FP32, d, IVFIndexParam(MetricType.L2))],
+    )
+    col = zvec_tpu.create_and_open(path, schema)
+    for lo in range(0, n, 1000):
+        col.insert(
+            [Doc(id=str(i), fields={"g": int(asn[i])}, vectors={"v": X[i]})
+             for i in range(lo, lo + 1000)]
+        )
+    col.flush()
+    col.optimize()
+    q = (centers[0] + 0.3 * rng.standard_normal(d)).astype(np.float32)
+    hits = col.query(
+        VectorQuery("v", vector=q, param=IVFQueryParam(nprobe=8)),
+        topk=k, filter="g = 1", output_fields=["g"],
+    )
+    assert len(hits) == k, hits
+    assert all(h.fields["g"] == 1 for h in hits)
+    ok = np.flatnonzero(asn == 1)
+    d2 = ((X[ok] - q) ** 2).sum(1)
+    exp = {str(i) for i in ok[np.argsort(d2)[:k]]}
+    assert {h.id for h in hits} == exp

@@ -352,6 +352,35 @@ class IvfEngine(VectorIndexEngine):
         sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
         if self.use_soar:
             sims, idx = _dedupe_topk(sims, idx, topk)
+        if mask is not None and nprobe < k_lists:
+            # Filtered-probe safety net (deliberate improvement over the
+            # reference, which returns whatever the nprobe lists contain —
+            # possibly nothing): queries whose probed lists supplied fewer
+            # valid hits than the filter allows re-probe EVERY list, which
+            # is an exact masked scan in list order.
+            achievable = min(topk, int(np.count_nonzero(np.asarray(mask))))
+            deficient = (idx >= 0).sum(axis=1) < min(achievable, sims.shape[1])
+            if deficient.any():
+                fs, fi = _ivf_probe(
+                    jnp.asarray(queries[deficient]),
+                    self._centroids,
+                    self._lists_codes,
+                    self._lists_norms,
+                    self._lists_ids,
+                    dmask,
+                    self._dequant,
+                    metric=self.metric,
+                    nprobe=k_lists,
+                    topk=scan_k,
+                    int4_packed=getattr(self, "_int4_packed", False),
+                )
+                fs, fi = np.asarray(fs), np.asarray(fi).astype(np.int64)
+                if self.use_soar:
+                    fs, fi = _dedupe_topk(fs, fi, topk)
+                w = min(sims.shape[1], fs.shape[1])
+                sims, idx = np.array(sims), np.array(idx)
+                sims[deficient, :w] = fs[:, :w]
+                idx[deficient, :w] = fi[:, :w]
         if use_refiner:
             sims, idx = refine(self._data_fn, queries, idx, self.metric, out_topk)
             idx = idx.astype(np.int64)
