@@ -260,3 +260,26 @@ def test_query_concurrency_env(tmp_path, rng, monkeypatch):
     serial = col.query(queries, reranker=RrfReRanker(topn=10))
     assert [d.id for d in threaded] == [d.id for d in serial]
     assert [d.score for d in threaded] == [d.score for d in serial]
+
+
+def test_fusion_output_count_is_reranker_topn(tmp_path, rng):
+    """Reference parity: the fused result count is governed by the
+    reranker's `topn`, NOT the per-field `topk` (reference
+    `query_executor.py:213-225` never truncates after rerank)."""
+    from zvec_tpu import RrfReRanker
+
+    col = zvec_tpu.create_and_open(str(tmp_path / "c"), _schema(2, "mv"))
+    _fill(col, rng, n_fields=2)
+    q = rng.standard_normal(D).astype(np.float32)
+    docs = col.query(
+        [VectorQuery("v0", vector=q), VectorQuery("v1", vector=q)],
+        topk=3,
+        reranker=RrfReRanker(topn=4),
+    )
+    assert len(docs) == 4  # two top-3 lists fuse, topn caps the output
+    docs = col.query(
+        [VectorQuery("v0", vector=q), VectorQuery("v1", vector=q)],
+        topk=3,
+        reranker=RrfReRanker(topn=50),
+    )
+    assert 3 <= len(docs) <= 6  # at most 2*topk uniques
