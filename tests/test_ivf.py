@@ -253,7 +253,8 @@ def test_ivf_filtered_cross_cluster_safety_net(rng):
     centers = rng.standard_normal((4, d)).astype(np.float32) * 6
     asn = np.arange(n) % 4
     X = (centers[asn] + rng.standard_normal((n, d))).astype(np.float32)
-    path = "/tmp/ivf_filter_net"
+    import tempfile
+    path = tempfile.mkdtemp(prefix="ivf_filter_net_") + "/col"
     shutil.rmtree(path, ignore_errors=True)
     schema = CollectionSchema(
         "iv",
@@ -279,3 +280,4 @@ def test_ivf_filtered_cross_cluster_safety_net(rng):
     d2 = ((X[ok] - q) ** 2).sum(1)
     exp = {str(i) for i in ok[np.argsort(d2)[:k]]}
     assert {h.id for h in hits} == exp
+    col._impl.close()

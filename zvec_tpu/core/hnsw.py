@@ -47,7 +47,7 @@ from ..ops.quantize import (
 from ..ops.runtime import round_up
 from ..ops.topk import blockwise_topk_search
 from ..typing.enum import IndexType, MetricType, QuantizeType
-from .interface import VectorIndexEngine, register_engine
+from .interface import VectorIndexEngine, register_engine, rescan_deficient
 from .refiner import refine
 
 __all__ = ["HnswEngine"]
@@ -1294,16 +1294,11 @@ class HnswEngine(VectorIndexEngine):
                 # query's cluster can strand the beam with ZERO filtered
                 # hits (the reference's candidate heap is unbounded and
                 # keeps walking under its scan budget,
-                # `hnsw_algorithm.cc:180-278`). Queries that came back with
-                # fewer valid hits than the filter can supply rescan
-                # exactly over the masked rows.
-                achievable = min(k, int(np.count_nonzero(mask)))
-                deficient = (idx >= 0).sum(axis=1) < achievable
-                if deficient.any():
-                    sims = np.array(sims)  # np.asarray views of jax arrays
-                    idx = np.array(idx)  # are read-only; copies for scatter
-                    fsims, fidx = blockwise_topk_search(
-                        queries[deficient],
+                # `hnsw_algorithm.cc:180-278`).
+                sims, idx = rescan_deficient(
+                    sims, idx, k, mask,
+                    lambda: blockwise_topk_search(
+                        queries,
                         self._codes,
                         self._search_metric,
                         k,
@@ -1311,9 +1306,8 @@ class HnswEngine(VectorIndexEngine):
                         x_sq_norms=self._norms,
                         dequant=self._dequant,
                         int4_packed=getattr(self, "_int4_packed", False),
-                    )
-                    sims[deficient] = np.asarray(fsims)[:, :k]
-                    idx[deficient] = np.asarray(fidx).astype(np.int64)[:, :k]
+                    ),
+                )
         if use_refiner:
             raw_q = queries[:, :-1] if self._mips else queries
             sims, idx = refine(self._data_fn, raw_q, idx, self.metric, out_topk)

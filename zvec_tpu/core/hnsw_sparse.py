@@ -185,15 +185,22 @@ class SparseHnswEngine(SparseFlatEngine):
         if mask is not None:
             # same safety net as dense HNSW: the ef-capped beam can strand
             # inside the query's neighborhood when the filter excludes it —
-            # deficient queries rescan exactly via the sparse flat parent
-            achievable = min(k, int(np.count_nonzero(mask)))
-            deficient = (idx >= 0).sum(axis=1) < achievable
-            if deficient.any():
-                sub = [queries[i] for i in np.flatnonzero(deficient)]
-                fsims, fidx = super().search(sub, k, mask, param)
-                sims, idx = np.array(sims), np.array(idx)
-                sims[deficient] = np.asarray(fsims)[:, :k]
-                idx[deficient] = np.asarray(fidx).astype(np.int64)[:, :k]
+            # deficient queries get an exact masked scan over the SAME
+            # (unpruned, stable-shape) query arrays the beam used
+            from .interface import rescan_deficient
+
+            sims, idx = rescan_deficient(
+                sims, idx, k, full_mask[: self._n],
+                lambda: sparse_ip_topk(
+                    jnp.asarray(q_idx),
+                    jnp.asarray(q_val),
+                    self._doc_idx,
+                    self._doc_val,
+                    jnp.asarray(full_mask),
+                    topk=k,
+                    vocab=self._vocab,
+                ),
+            )
         if k < topk:
             pad = topk - k
             sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)

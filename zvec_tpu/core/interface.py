@@ -21,7 +21,39 @@ import numpy as np
 from ..model.param.param import QueryParam, VectorIndexParam
 from ..typing.enum import IndexType, MetricType, QuantizeType
 
-__all__ = ["EngineStats", "VectorIndexEngine", "create_engine", "register_engine"]
+__all__ = [
+    "EngineStats",
+    "VectorIndexEngine",
+    "create_engine",
+    "register_engine",
+    "rescan_deficient",
+]
+
+
+def rescan_deficient(sims, idx, k, mask, rescan_fn):
+    """Filtered-search safety net shared by the HNSW beams and IVF probes:
+    queries that returned fewer valid hits than the filter can supply get
+    exact masked results from `rescan_fn()` scattered over their rows.
+
+    `rescan_fn` must rescan the FULL query batch (same shape as the main
+    search): a `queries[deficient]` subset would trigger a fresh remote XLA
+    compile per distinct deficient-count through the tunnel (CLAUDE.md:
+    keep shapes stable). Returns possibly-copied (sims, idx)."""
+    sims = np.asarray(sims)
+    idx = np.asarray(idx)
+    achievable = min(k, int(np.count_nonzero(mask)), sims.shape[1])
+    deficient = (idx >= 0).sum(axis=1) < achievable
+    if not deficient.any():
+        return sims, idx
+    fsims, fidx = rescan_fn()
+    fsims = np.asarray(fsims)
+    fidx = np.asarray(fidx).astype(idx.dtype)
+    w = min(sims.shape[1], fsims.shape[1])
+    sims, idx = np.array(sims), np.array(idx)  # jax views are read-only
+    rows = np.flatnonzero(deficient)
+    sims[rows[:, None], np.arange(w)[None, :]] = fsims[rows][:, :w]
+    idx[rows[:, None], np.arange(w)[None, :]] = fidx[rows][:, :w]
+    return sims, idx
 
 
 class EngineStats:

@@ -27,7 +27,7 @@ from ..ops.kmeans import kmeanspp_seed, lloyd
 from ..ops.quantize import QuantParams, decode, encode, train_quantizer
 from ..ops.runtime import NEG_INF
 from ..typing.enum import IndexType, MetricType, QuantizeType
-from .interface import VectorIndexEngine, register_engine
+from .interface import VectorIndexEngine, register_engine, rescan_deficient
 from .refiner import refine
 
 __all__ = ["IvfEngine"]
@@ -358,11 +358,9 @@ class IvfEngine(VectorIndexEngine):
             # possibly nothing): queries whose probed lists supplied fewer
             # valid hits than the filter allows re-probe EVERY list, which
             # is an exact masked scan in list order.
-            achievable = min(topk, int(np.count_nonzero(np.asarray(mask))))
-            deficient = (idx >= 0).sum(axis=1) < min(achievable, sims.shape[1])
-            if deficient.any():
+            def _all_lists():
                 fs, fi = _ivf_probe(
-                    jnp.asarray(queries[deficient]),
+                    jnp.asarray(queries),
                     self._centroids,
                     self._lists_codes,
                     self._lists_norms,
@@ -374,13 +372,13 @@ class IvfEngine(VectorIndexEngine):
                     topk=scan_k,
                     int4_packed=getattr(self, "_int4_packed", False),
                 )
-                fs, fi = np.asarray(fs), np.asarray(fi).astype(np.int64)
                 if self.use_soar:
-                    fs, fi = _dedupe_topk(fs, fi, topk)
-                w = min(sims.shape[1], fs.shape[1])
-                sims, idx = np.array(sims), np.array(idx)
-                sims[deficient, :w] = fs[:, :w]
-                idx[deficient, :w] = fi[:, :w]
+                    fs, fi = _dedupe_topk(
+                        np.asarray(fs), np.asarray(fi).astype(np.int64), topk
+                    )
+                return fs, fi
+
+            sims, idx = rescan_deficient(sims, idx, topk, mask, _all_lists)
         if use_refiner:
             sims, idx = refine(self._data_fn, queries, idx, self.metric, out_topk)
             idx = idx.astype(np.int64)

@@ -225,20 +225,18 @@ def validate_doc(
 
             vectors[name] = pack_int4(arr.astype(np.int8)[None, :])[0]
         else:
+            arr = np.asarray(value)
             store_dt = _FLOAT_STORE_DTYPES.get(vs.data_type)
-            if store_dt is not None:
-                # float storage dtypes coerce in ONE C pass (python-float
-                # lists would otherwise round-trip through an f64 array and
-                # write 2x WAL bytes for FP32 fields)
-                try:
-                    arr = np.asarray(value, dtype=store_dt)
-                except (ValueError, TypeError):
-                    return None, None, Status.error(
-                        StatusCode.INVALID_ARGUMENT,
-                        f"vector '{name}' must be numeric",
-                    )
-            else:
-                arr = np.asarray(value)
+            if (
+                store_dt is not None
+                and arr.dtype != store_dt
+                and arr.dtype.kind in "iuf"
+            ):
+                # float storage dtypes coerce here, after the numeric-kind
+                # gate (strings/bools must still reject): the WAL record
+                # then carries storage width (FP32 fields stop writing
+                # double-width records)
+                arr = arr.astype(store_dt)
             if arr.ndim != 1:
                 return None, None, Status.error(
                     StatusCode.INVALID_ARGUMENT,

@@ -20,8 +20,13 @@ class Status:
     __slots__ = ("code", "message")
 
     def __init__(self, code: StatusCode = StatusCode.OK, message: str = ""):
-        self.code = StatusCode(code)
-        self.message = message
+        object.__setattr__(self, "code", StatusCode(code))
+        object.__setattr__(self, "message", message)
+
+    def __setattr__(self, name, value):
+        # immutable: ok() returns a shared instance; a mutable status would
+        # let one caller rewrite every future OK status process-wide
+        raise AttributeError("Status is immutable; build a new one instead")
 
     @classmethod
     def ok(cls) -> "Status":
