@@ -22,6 +22,7 @@ import numpy as np
 
 from ..model.param.param import QueryParam
 from ..ops.quantize import QuantParams, decode, encode, train_quantizer
+from ..ops.runtime import bucket_queries as _bucket_queries
 from ..ops.runtime import round_up
 from ..ops.topk import blockwise_topk_search
 from ..typing.enum import IndexType, MetricType, QuantizeType
@@ -30,8 +31,6 @@ from .refiner import refine
 
 __all__ = ["FlatEngine"]
 
-# Queries are padded to buckets to bound jit recompilation.
-_QUERY_BUCKETS = (1, 8, 32, 128, 512)
 # Row padding granularity; block scan kicks in above one block.
 _ROW_ALIGN = 1024  # minimum Pallas tile multiple
 _ROW_ALIGN_BIG = 8192  # large corpora pad to the max Pallas tile: the fused
@@ -41,11 +40,6 @@ _BIG_N = 100_000  # matches the _use_pallas corpus threshold
 _BLOCK_SIZE = 131072
 
 
-def _bucket_queries(nq: int) -> int:
-    for b in _QUERY_BUCKETS:
-        if nq <= b:
-            return b
-    return round_up(nq, _QUERY_BUCKETS[-1])
 
 
 class _State(NamedTuple):

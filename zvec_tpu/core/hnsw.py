@@ -1239,12 +1239,23 @@ class HnswEngine(VectorIndexEngine):
         ef = max(ef, topk)
         is_linear = bool(param.is_linear) if isinstance(param, QueryParam) else False
 
+        # pad the batch to a bucket: the search programs compile per query
+        # count; remote compile is 2-60s per shape (ops/runtime.py)
+        from ..ops.runtime import bucket_queries
+
+        nq_pad = bucket_queries(nq)
+        if nq_pad != nq:
+            qpad = np.zeros((nq_pad, queries.shape[1]), np.float32)
+            qpad[:nq] = queries
+        else:
+            qpad = np.asarray(queries, dtype=np.float32)
+
         if is_linear or self._n < _BRUTE_FORCE_THRESHOLD:
             full_mask = np.zeros(self._codes.shape[0], dtype=bool)
             full_mask[: self._n] = True if mask is None else mask
             k = min(topk, self._n)
             sims, idx = blockwise_topk_search(
-                queries,
+                qpad,
                 self._codes,
                 self._search_metric,
                 k,
@@ -1268,7 +1279,7 @@ class HnswEngine(VectorIndexEngine):
                 dmask = jnp.asarray(fm)
             k = min(topk, self._n)
             sims, idx = hnsw_search(
-                jnp.asarray(queries),
+                jnp.asarray(qpad),
                 self._codes,
                 self._norms,
                 self._dev["l0"],
@@ -1288,17 +1299,20 @@ class HnswEngine(VectorIndexEngine):
                 frontier=4,  # 4-way beam: ~4x fewer sequential steps
             )
             sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
-            if mask is not None:
+            sims, idx = sims[:nq], idx[:nq]  # padding rows must not trigger
+            if mask is not None:  # the rescan below
                 # Filtered-beam safety net: the working candidate set is
                 # ef-capped, so on clustered data a filter excluding the
                 # query's cluster can strand the beam with ZERO filtered
                 # hits (the reference's candidate heap is unbounded and
                 # keeps walking under its scan budget,
-                # `hnsw_algorithm.cc:180-278`).
+                # `hnsw_algorithm.cc:180-278`). The rescan runs the FULL
+                # padded batch (stable compile shape); the helper scatters
+                # only the deficient real rows.
                 sims, idx = rescan_deficient(
                     sims, idx, k, mask,
                     lambda: blockwise_topk_search(
-                        queries,
+                        qpad,
                         self._codes,
                         self._search_metric,
                         k,
@@ -1308,6 +1322,7 @@ class HnswEngine(VectorIndexEngine):
                         int4_packed=getattr(self, "_int4_packed", False),
                     ),
                 )
+        sims, idx = sims[:nq], idx[:nq]  # drop bucket padding (brute branch)
         if use_refiner:
             raw_q = queries[:, :-1] if self._mips else queries
             sims, idx = refine(self._data_fn, raw_q, idx, self.metric, out_topk)

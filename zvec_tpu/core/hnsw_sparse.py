@@ -133,10 +133,13 @@ class SparseHnswEngine(SparseFlatEngine):
         return l0
 
     def _queries_from_rows(self, rows):
+        from ..ops.runtime import bucket_queries
+
         pq = max(max((len(r or {}) for r in rows), default=1), 1)
         pq = min(round_up(pq, 8), _QUERY_NNZ_PAD * 8)
-        q_idx = np.full((len(rows), pq), -1, dtype=np.int32)
-        q_val = np.zeros((len(rows), pq), dtype=np.float32)
+        nq_pad = bucket_queries(len(rows))  # stable compile shapes
+        q_idx = np.full((nq_pad, pq), -1, dtype=np.int32)
+        q_val = np.zeros((nq_pad, pq), dtype=np.float32)
         for i, r in enumerate(rows):
             items = sorted((r or {}).items(), key=lambda kv: -abs(kv[1]))[:pq]
             for j, (k, v) in enumerate(sorted(items)):
@@ -180,8 +183,8 @@ class SparseHnswEngine(SparseFlatEngine):
             vocab=self._vocab,
             frontier=4,
         )
-        sims = np.asarray(sims)
-        idx = np.asarray(idx).astype(np.int64)
+        sims = np.asarray(sims)[:nq]
+        idx = np.asarray(idx).astype(np.int64)[:nq]
         if mask is not None:
             # same safety net as dense HNSW: the ef-capped beam can strand
             # inside the query's neighborhood when the filter excludes it —

@@ -334,10 +334,19 @@ class IvfEngine(VectorIndexEngine):
             nprobe = k_lists
         nprobe = min(nprobe + getattr(self, "_extra_probes", 0), k_lists)
         dmask = jnp.asarray(mask) if mask is not None else None
+        # pad the batch to a bucket: probe programs compile per query count
+        from ..ops.runtime import bucket_queries
+
+        nq_pad = bucket_queries(nq)
+        if nq_pad != nq:
+            qpad = np.zeros((nq_pad, queries.shape[1]), np.float32)
+            qpad[:nq] = queries
+        else:
+            qpad = np.asarray(queries, dtype=np.float32)
         # SOAR spilling duplicates rows across lists: overscan and dedupe
         scan_k = 2 * topk if self.use_soar else topk
         sims, idx = _ivf_probe(
-            jnp.asarray(queries),
+            jnp.asarray(qpad),
             self._centroids,
             self._lists_codes,
             self._lists_norms,
@@ -352,6 +361,7 @@ class IvfEngine(VectorIndexEngine):
         sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
         if self.use_soar:
             sims, idx = _dedupe_topk(sims, idx, topk)
+        sims, idx = sims[:nq], idx[:nq]  # drop bucket-padding rows
         if mask is not None and nprobe < k_lists:
             # Filtered-probe safety net (deliberate improvement over the
             # reference, which returns whatever the nprobe lists contain —
@@ -360,7 +370,7 @@ class IvfEngine(VectorIndexEngine):
             # is an exact masked scan in list order.
             def _all_lists():
                 fs, fi = _ivf_probe(
-                    jnp.asarray(queries),
+                    jnp.asarray(qpad),
                     self._centroids,
                     self._lists_codes,
                     self._lists_norms,

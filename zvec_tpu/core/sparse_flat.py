@@ -74,8 +74,11 @@ class SparseFlatEngine(VectorIndexEngine):
         pruned = [prune_sparse_query(q or {}, budget) for q in queries]
         pq = max(max((len(q) for q in pruned), default=1), 1)
         pq = min(round_up(pq, 8), _QUERY_NNZ_PAD * 8)
-        q_idx = np.full((nq, pq), -1, dtype=np.int32)
-        q_val = np.zeros((nq, pq), dtype=np.float32)
+        from ..ops.runtime import bucket_queries
+
+        nq_pad = bucket_queries(nq)  # stable compile shapes per bucket
+        q_idx = np.full((nq_pad, pq), -1, dtype=np.int32)
+        q_val = np.zeros((nq_pad, pq), dtype=np.float32)
         for i, q in enumerate(pruned):
             items = sorted(q.items(), key=lambda kv: -abs(kv[1]))[:pq]
             for j, (k, v) in enumerate(sorted(items)):
@@ -95,8 +98,8 @@ class SparseFlatEngine(VectorIndexEngine):
             topk=k,
             vocab=self._vocab,
         )
-        sims = np.asarray(sims)
-        idx = np.asarray(idx).astype(np.int64)
+        sims = np.asarray(sims)[:nq]
+        idx = np.asarray(idx).astype(np.int64)[:nq]
         if k < topk:
             pad = topk - k
             sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)

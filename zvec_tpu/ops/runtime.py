@@ -14,7 +14,21 @@ __all__ = [
     "cdiv",
     "NEG_INF",
     "pad_axis0",
+    "QUERY_BUCKETS",
+    "bucket_queries",
 ]
+
+# Query batches pad to these row counts so every engine's search program
+# compiles once per bucket instead of once per distinct batch size (remote
+# compile through the tunnel is 2-60s; the cache does not help).
+QUERY_BUCKETS = (1, 8, 32, 128, 512)
+
+
+def bucket_queries(nq: int) -> int:
+    for b in QUERY_BUCKETS:
+        if nq <= b:
+            return b
+    return round_up(nq, QUERY_BUCKETS[-1])
 
 NEG_INF = float(np.finfo(np.float32).min)  # large-negative sentinel, avoids NaN from inf-inf
 
