@@ -327,3 +327,35 @@ def test_topk_zero_and_negative_rejected(coll, rng):
     for bad in (0, -1):
         with pytest.raises((ZvecError, ValueError)):
             coll.query(VectorQuery("emb", vector=vecs[0]), topk=bad)
+
+
+def test_batch_query_matches_single_queries(tmp_path, rng):
+    """Differential parity: batch_query(Q) returns the same ids (exact) and
+    scores (up to batch-shape float reassociation) as per-query query()."""
+    from zvec_tpu import HnswIndexParam, HnswQueryParam, MetricType
+
+    n, d = 2500, 16
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    schema = CollectionSchema(
+        "bp",
+        fields=[FieldSchema("g", DataType.INT32)],
+        vectors=[VectorSchema("v", DataType.VECTOR_FP32, d,
+                              HnswIndexParam(MetricType.L2, m=12, ef_construction=60))],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "bp"), schema)
+    for lo in range(0, n, 1000):
+        col.insert([Doc(id=str(i), fields={"g": i % 5}, vectors={"v": X[i]})
+                    for i in range(lo, min(lo + 1000, n))])
+    col.flush()
+    col.optimize()
+    Q = rng.standard_normal((9, d)).astype(np.float32)
+    p = HnswQueryParam(ef=100)
+    for flt in (None, "g = 2", "g >= 3"):
+        bres = col.batch_query("v", Q, topk=5, filter=flt, output_fields=["g"], param=p)
+        for i in range(9):
+            single = col.query(VectorQuery("v", vector=Q[i], param=p),
+                               topk=5, filter=flt, output_fields=["g"])
+            assert [h.id for h in bres[i]] == [h.id for h in single], (flt, i)
+            assert np.allclose([h.score for h in bres[i]],
+                               [h.score for h in single], rtol=1e-4)
+            assert all(bh.fields == sh.fields for bh, sh in zip(bres[i], single))
