@@ -95,6 +95,11 @@ def cmd_gen(args):
         with open(f"{WORK}/{name}_gt.txt", "w") as fh:
             for i in range(gt.shape[0]):
                 fh.write(str(i) + ";" + " ".join(str(int(v)) for v in gt[i]) + "\n")
+    if args.npy_only:
+        # tpu-recall only needs the npy triplet; skip the text dump + the
+        # reference txt2vecs conversion (which needs /tmp/refbuild binaries)
+        print(f"generated {name} (base/query/gt npy only)")
+        return
     write_txt(f"{WORK}/{name}_base.txt", X)
     write_txt(f"{WORK}/{name}_query.txt", Q)
     subprocess.run(
@@ -288,6 +293,7 @@ def main():
         sp.add_argument("--cpu", action="store_true")
         sp.add_argument("--index", default="hnsw", choices=("hnsw", "flat"))
         sp.add_argument("--no-gt", action="store_true", dest="no_gt")
+        sp.add_argument("--npy-only", action="store_true", dest="npy_only")
     args = p.parse_args()
     {
         "gen": cmd_gen,
