@@ -184,3 +184,91 @@ def test_memory_limit_soft_cap(tmp_path, rng, monkeypatch):
     assert c.fetch("m5") != {}
     assert len(c.query(VectorQuery("e", vector=xs[1]), topk=3)) == 3
     c._impl.close()
+
+
+def test_alter_column_name_collision(tmp_path):
+    """Renaming a column onto an existing field/vector name must be refused
+    (reference AlterColumn validates the target name; a silent rename would
+    leave two columns with the same name in the schema)."""
+    schema = CollectionSchema(
+        "alt",
+        fields=[FieldSchema("x", DataType.INT64), FieldSchema("y", DataType.INT64)],
+        vectors=[
+            VectorSchema("v", DataType.VECTOR_FP32, 4, FlatIndexParam(MetricType.L2))
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "alt"), schema)
+    c.insert([Doc(id="1", fields={"x": 1, "y": 2}, vectors={"v": np.ones(4, np.float32)})])
+    with pytest.raises(ZvecError) as ei:
+        c.alter_column("x", new_name="y")
+    assert ei.value.code == StatusCode.INVALID_ARGUMENT
+    with pytest.raises(ZvecError):
+        c.alter_column("x", new_name="v")  # vector names collide too
+    # schema unchanged, data intact
+    assert c.schema.field_names() == ["x", "y"]
+    assert c.fetch("1")["1"].fields == {"x": 1, "y": 2}
+    # renaming onto itself is a no-op, not a collision
+    c.alter_column("x", new_name="x")
+    c._impl.close()
+
+
+def test_add_duplicate_column_refused(coll):
+    with pytest.raises(ValueError):
+        coll.add_column(FieldSchema("n", DataType.INT64))
+    with pytest.raises(ValueError):
+        coll.add_column(FieldSchema("e", DataType.INT64))  # vector name
+
+
+def test_drop_unknown_column_refused(coll):
+    with pytest.raises(ZvecError) as ei:
+        coll.drop_column("nope")
+    assert ei.value.code == StatusCode.INVALID_ARGUMENT
+    with pytest.raises(ZvecError):
+        coll.alter_column("nope", new_name="x")
+
+
+def test_ops_after_close_raise(tmp_path):
+    """Reference analog: resource cleanup — writes on a closed collection
+    fail with FAILED_PRECONDITION instead of corrupting files."""
+    schema = CollectionSchema(
+        "cl", vectors=[VectorSchema("e", DataType.VECTOR_FP32, 4)]
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "cl"), schema)
+    c.insert([Doc(id="a", vectors={"e": np.ones(4, np.float32)})])
+    c._impl.close()
+    with pytest.raises(ZvecError) as ei:
+        c.insert([Doc(id="b", vectors={"e": np.ones(4, np.float32)})])
+    assert ei.value.code == StatusCode.FAILED_PRECONDITION
+    with pytest.raises(ZvecError):
+        c.delete("a")
+    with pytest.raises(ZvecError):
+        c.add_column(FieldSchema("z", DataType.INT64))
+
+
+def test_fetch_missing_and_mixed_ids(coll):
+    got = coll.fetch(["x1", "ghost", "x3"])
+    assert set(got) == {"x1", "x3"}
+    assert coll.fetch("ghost") == {}
+
+
+def test_delete_missing_pk_status(coll):
+    sts = coll.delete(["x1", "ghost"])
+    assert sts[0].is_ok()
+    assert sts[1].code == StatusCode.NOT_FOUND
+    # deleted doc invisible to fetch and query
+    assert coll.fetch("x1") == {}
+
+
+def test_destroy_removes_files(tmp_path):
+    import os
+
+    schema = CollectionSchema(
+        "de", vectors=[VectorSchema("e", DataType.VECTOR_FP32, 4)]
+    )
+    path = str(tmp_path / "de")
+    c = zvec_tpu.create_and_open(path, schema)
+    c.insert([Doc(id="a", vectors={"e": np.ones(4, np.float32)})])
+    c.flush()
+    assert os.path.isdir(path)
+    c.destroy()
+    assert not os.path.exists(path)

@@ -1096,6 +1096,14 @@ class CollectionImpl:
                     StatusCode.INVALID_ARGUMENT, f"unknown field '{old_name}'"
                 )
             target_name = new_name or (field_schema.name if field_schema else old_name)
+            if target_name != old_name and (
+                self.schema.field(target_name) is not None
+                or self.schema.vector(target_name) is not None
+            ):
+                raise ZvecError(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"field '{target_name}' already exists",
+                )
             target_dt = field_schema.data_type if field_schema else fs.data_type
             new_fs = FieldSchema(target_name, target_dt, fs.nullable, fs.index_param)
             self.schema._replace_field(old_name, new_fs)
