@@ -154,3 +154,193 @@ def test_sharded_quantized_flat(tmp_path, rng, mesh8, qt_name):
     exp = np.argsort(d2)[:10]
     got = [d_.id for d_ in docs]
     assert len(set(got) & {f"pk{i}" for i in exp}) >= 9, (got, exp)
+
+
+# ---------------- mesh-sharded HNSW ----------------
+
+
+def _mk_hnsw_collection(tmp_path, metric, n, d, rng, m=16, efc=100):
+    from zvec_tpu.model.param.param import HnswIndexParam
+
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    schema = CollectionSchema(
+        name="meshhnsw",
+        fields=[FieldSchema("tag", DataType.INT64)],
+        vectors=[
+            VectorSchema(
+                "emb", DataType.VECTOR_FP32, d,
+                HnswIndexParam(metric, m=m, ef_construction=efc),
+            )
+        ],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "meshhnsw"), schema)
+    docs = [
+        Doc(id=f"pk{i}", fields={"tag": int(i % 7)}, vectors={"emb": X[i]})
+        for i in range(n)
+    ]
+    for i in range(0, n, 1000):
+        col.insert(docs[i : i + 1000])
+    col.flush()
+    col.optimize()  # seal -> per-shard subgraphs over the corpus mesh
+    return col, X
+
+
+def test_sharded_hnsw_collection_recall(tmp_path, rng, mesh8):
+    from zvec_tpu.model.param.param import HnswQueryParam
+
+    n, d = 4096, 24
+    col, X = _mk_hnsw_collection(tmp_path, MetricType.L2, n, d, rng)
+    eng = col._impl.segments[0].engine_for("emb")
+    eng._ensure_fresh()
+    assert eng._dev.get("sharded"), "expected a mesh-sharded HNSW graph"
+    assert len(eng._codes.sharding.device_set) == 8
+    Q = rng.standard_normal((8, d)).astype(np.float32)
+    d2 = ((Q[:, None, :] - X[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :10]
+    docs = col.batch_query(
+        "emb", Q, topk=10, output_fields=[], param=HnswQueryParam(ef=128)
+    )
+    hits = 0
+    for i in range(len(Q)):
+        got = {int(doc.id[2:]) for doc in docs[i]}
+        hits += len(got & set(gt[i].tolist()))
+    assert hits / (len(Q) * 10) >= 0.95
+    # score convention: L2 squared ascending
+    top = docs[0][0]
+    assert abs(top.score - d2[0][int(top.id[2:])]) < 1e-2
+
+
+def test_sharded_hnsw_filtered_and_reopen(tmp_path, rng, mesh8):
+    from zvec_tpu.model.param.param import HnswQueryParam
+
+    n, d = 2048, 16
+    col, X = _mk_hnsw_collection(tmp_path, MetricType.L2, n, d, rng)
+    q = X[33] + 0.01
+    # hostile filter: tag excludes most rows; safety net must fill topk
+    res = col.query(
+        VectorQuery("emb", vector=q, param=HnswQueryParam(ef=32)),
+        topk=5,
+        filter="tag = 3",
+    )
+    assert len(res) == 5
+    assert all(int(r.id[2:]) % 7 == 3 for r in res)
+    d2 = ((X - q) ** 2).sum(1)
+    cand = np.flatnonzero(np.arange(n) % 7 == 3)
+    expect = {int(i) for i in cand[np.argsort(d2[cand])[:5]]}
+    assert {int(r.id[2:]) for r in res} == expect
+    # reopen: sharded graphs reload from the aux dump (no rebuild)
+    path = col.path
+    col._impl.close()
+    col2 = zvec_tpu.open(path)
+    eng = col2._impl.segments[0].engine_for("emb")
+    eng._ensure_fresh()
+    assert eng._dev.get("sharded")
+    assert eng._shard_graphs is not None
+    res2 = col2.query(VectorQuery("emb", vector=q), topk=3)
+    assert res2[0].id == "pk33"
+    col2._impl.close()
+
+
+def test_sharded_hnsw_ip_metric(tmp_path, rng, mesh8):
+    from zvec_tpu.model.param.param import HnswQueryParam
+
+    n, d = 2048, 16
+    col, X = _mk_hnsw_collection(tmp_path, MetricType.IP, n, d, rng)
+    Q = rng.standard_normal((4, d)).astype(np.float32)
+    dots = Q @ X.T
+    gt = np.argsort(-dots, axis=1)[:, :10]
+    docs = col.batch_query(
+        "emb", Q, topk=10, output_fields=[], param=HnswQueryParam(ef=128)
+    )
+    hits = 0
+    for i in range(len(Q)):
+        got = {int(doc.id[2:]) for doc in docs[i]}
+        hits += len(got & set(gt[i].tolist()))
+    assert hits / (len(Q) * 10) >= 0.9
+    # IP score convention: dot product descending
+    top = docs[0][0]
+    assert abs(top.score - dots[0, int(top.id[2:])]) < 1e-2
+
+
+def test_sharded_hnsw_empty_shards_no_phantom_hits(tmp_path, rng, mesh8):
+    """n=1030 over 8 shards (R=256) leaves shards 5-7 EMPTY: their entry row
+    is a zero-padding code whose IP score (dot=0) beats all-negative real
+    dots — the resident validity mask must keep padding ids out of results."""
+    from zvec_tpu.model.param.param import HnswIndexParam, HnswQueryParam
+
+    n, d = 1030, 16
+    # all-positive data + all-negative query => every real dot is negative,
+    # so the padding row's dot=0 would win without the validity mask
+    X = (rng.standard_normal((n, d)) + 5.0).astype(np.float32)
+    schema = CollectionSchema(
+        "phantom",
+        vectors=[
+            VectorSchema(
+                "emb", DataType.VECTOR_FP32, d,
+                HnswIndexParam(MetricType.IP, m=8, ef_construction=50),
+            )
+        ],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "phantom"), schema)
+    for lo in range(0, n, 1000):
+        col.insert(
+            [Doc(id=f"pk{i}", vectors={"emb": X[i]}) for i in range(lo, min(lo + 1000, n))]
+        )
+    col.flush()
+    col.optimize()
+    eng = col._impl.segments[0].engine_for("emb")
+    eng._ensure_fresh()
+    assert eng._dev.get("sharded")
+    q = -np.ones(d, np.float32)
+    dots = X @ q
+    assert (dots < 0).all()
+    docs = col.query(
+        VectorQuery("emb", vector=q, param=HnswQueryParam(ef=64)), topk=10
+    )
+    assert len(docs) == 10
+    for doc in docs:
+        i = int(doc.id[2:])
+        assert 0 <= i < n, f"phantom padding id {doc.id}"
+    assert int(docs[0].id[2:]) == int(np.argmax(dots))
+
+
+def test_sharded_hnsw_int8(tmp_path, rng, mesh8):
+    from zvec_tpu.model.param.param import HnswIndexParam, HnswQueryParam
+    from zvec_tpu.typing import QuantizeType
+
+    n, d = 2048, 16
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    schema = CollectionSchema(
+        name="meshq",
+        vectors=[
+            VectorSchema(
+                "emb", DataType.VECTOR_FP32, d,
+                HnswIndexParam(
+                    MetricType.L2, m=16, ef_construction=100,
+                    quantize_type=QuantizeType.INT8,
+                ),
+            )
+        ],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "meshq"), schema)
+    for lo in range(0, n, 1024):
+        col.insert(
+            [Doc(id=f"q{i}", vectors={"emb": X[i]}) for i in range(lo, min(lo + 1024, n))]
+        )
+    col.flush()
+    col.optimize()
+    eng = col._impl.segments[0].engine_for("emb")
+    eng._ensure_fresh()
+    assert eng._dev.get("sharded") and eng._dequant is not None
+    Q = rng.standard_normal((4, d)).astype(np.float32)
+    d2 = ((Q[:, None, :] - X[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :10]
+    docs = col.batch_query(
+        "emb", Q, topk=10, output_fields=[], param=HnswQueryParam(ef=128)
+    )
+    hits = 0
+    for i in range(len(Q)):
+        got = {int(doc.id[1:]) for doc in docs[i]}
+        hits += len(got & set(gt[i].tolist()))
+    # int8 codes: allow quantization slack
+    assert hits / (len(Q) * 10) >= 0.8, hits / (len(Q) * 10)

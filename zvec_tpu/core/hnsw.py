@@ -96,6 +96,7 @@ class HnswEngine(VectorIndexEngine):
         self.build_chunk_cap = 4096
         self.build_chunk_divisor = 4
         self._graph: Optional[_Graph] = None
+        self._shard_graphs: Optional[List[Optional[_Graph]]] = None
         self._n = 0
         # device state
         self._codes = None
@@ -134,20 +135,52 @@ class HnswEngine(VectorIndexEngine):
         )
         if self._mips:
             data, self._mips_max_norm2 = mips_augment(data)
+
+        mesh = self._mesh()
+        if mesh is not None and self._n >= _BRUTE_FORCE_THRESHOLD:
+            self._rebuild_sharded(data, mesh)
+            return
+        self._shard_graphs = None
         n_pad = round_up(self._n, _ROW_ALIGN)
 
         # Graph build FIRST: the build stages its own code buffers (bf16 at
         # scale) and candidate tables — at 10M those plus a standing 5GB fp32
         # search-code table exceed one chip's HBM (the r4 10M OOM). Search
         # codes go to HBM only after the build transients are freed.
-        if self._loaded_aux is not None and self._loaded_aux["n"] == self._n:
+        if (
+            self._loaded_aux is not None
+            and self._loaded_aux["n"] == self._n
+            and "shards" not in self._loaded_aux
+        ):
             self._graph = _graph_from_aux(self._loaded_aux, self.m)
         if self._graph is None or self._graph.levels.shape[0] != self._n:
             self._graph = self._build_graph(data)
 
+        codes_host, norms_host = self._storage_codes_host(data, n_pad)
+        if self.quantize == QuantizeType.UNDEFINED:
+            self._codes = jnp.asarray(codes_host)
+            # norms on HOST: a jnp reduction over a freshly device_put buffer
+            # is pathologically slow through the tunnel (CLAUDE.md)
+            self._norms = jnp.asarray(norms_host)
+        self._dev = self._device_graph(self._graph)
+        if self.quantize != QuantizeType.UNDEFINED:
+            self._codes = jnp.asarray(codes_host)
+            self._norms = jnp.asarray(norms_host)
+
+    def _mesh(self):
+        from ..parallel.mesh import collection_mesh
+
+        return collection_mesh()
+
+    def _storage_codes_host(self, data: np.ndarray, n_pad: int):
+        """Host-side (codes (n_pad, Dc) in storage dtype, norms (n_pad,) f32).
+        Sets _bf16_search/_qparams/_dequant/_int4_packed as side effects.
+        Storage codes: the graph builds on fp32; search scores quantized codes
+        with dequant fused (quantized converter/reformer semantics)."""
         if self.quantize == QuantizeType.UNDEFINED:
             padded = np.zeros((n_pad, data.shape[1]), np.float32)
             padded[: self._n] = data
+            norms = np.einsum("ij,ij->i", padded, padded)
             # opt-in bf16 search codes: halves the beam's code-gather HBM
             # bandwidth (the dominant per-hop cost) and the H2D staging
             # payload. Final hits are re-scored exactly on host (refine), so
@@ -160,41 +193,157 @@ class HnswEngine(VectorIndexEngine):
             if self._bf16_search:
                 import ml_dtypes
 
-                self._codes = jnp.asarray(padded.astype(ml_dtypes.bfloat16))
-            else:
-                self._codes = jnp.asarray(padded)
-            # norms on HOST: a jnp reduction over a freshly device_put buffer
-            # is pathologically slow through the tunnel (CLAUDE.md)
-            self._norms = jnp.asarray(np.einsum("ij,ij->i", padded, padded))
-        self._dev = self._device_graph(self._graph)
-        # storage codes: graph is built on fp32; search scores quantized codes
-        # with dequant fused (quantized converter/reformer semantics)
-        if self.quantize != QuantizeType.UNDEFINED:
-            store = data
-            if self._search_metric == MetricType.COSINE:
-                nrm = np.linalg.norm(store, axis=1, keepdims=True)
-                store = np.where(nrm > 0, store / np.where(nrm > 0, nrm, 1.0), store)
-            if self.quantize in (QuantizeType.INT8, QuantizeType.INT4):
-                self._qparams = train_quantizer(store, self.quantize)
-                codes = encode(store, self.quantize, self._qparams)
-                self._dequant = (
-                    jnp.float32(self._qparams.scale),
-                    jnp.float32(self._qparams.bias),
-                )
-            else:
-                codes = store.astype(np.float16)
-            padded_c = np.zeros((n_pad, codes.shape[1]), dtype=codes.dtype)
-            padded_c[: self._n] = codes
-            deq = decode(padded_c, self._qparams)
-            self._norms = jnp.asarray((deq.astype(np.float32) ** 2).sum(1))
-            if self.quantize == QuantizeType.INT4:
-                # nibble-packed HBM residency: halves gather + scan bandwidth
-                # vs int8 (`integer_quantizer_converter.cc:596-607`)
-                from ..ops.quantize import pack_int4
+                padded = padded.astype(ml_dtypes.bfloat16)
+            return padded, norms
+        store = data
+        if self._search_metric == MetricType.COSINE:
+            nrm = np.linalg.norm(store, axis=1, keepdims=True)
+            store = np.where(nrm > 0, store / np.where(nrm > 0, nrm, 1.0), store)
+        if self.quantize in (QuantizeType.INT8, QuantizeType.INT4):
+            self._qparams = train_quantizer(store, self.quantize)
+            codes = encode(store, self.quantize, self._qparams)
+            self._dequant = (
+                jnp.float32(self._qparams.scale),
+                jnp.float32(self._qparams.bias),
+            )
+        else:
+            codes = store.astype(np.float16)
+        padded_c = np.zeros((n_pad, codes.shape[1]), dtype=codes.dtype)
+        padded_c[: self._n] = codes
+        deq = decode(padded_c, self._qparams)
+        norms = (deq.astype(np.float32) ** 2).sum(1)
+        if self.quantize == QuantizeType.INT4:
+            # nibble-packed HBM residency: halves gather + scan bandwidth
+            # vs int8 (`integer_quantizer_converter.cc:596-607`)
+            from ..ops.quantize import pack_int4
 
-                padded_c = pack_int4(padded_c)
-                self._int4_packed = True
-            self._codes = jnp.asarray(padded_c)
+            padded_c = pack_int4(padded_c)
+            self._int4_packed = True
+        return padded_c, norms
+
+    def _rebuild_sharded(self, data: np.ndarray, mesh) -> None:
+        """Mesh mode: S independent subgraphs over contiguous global row
+        ranges [s*R, (s+1)*R), codes/norms/graph arrays corpus-sharded so
+        every search fans out over the mesh and merges per-shard top-k over
+        ICI (the TPU scale-out of the reference's per-segment fan-out,
+        `query_planner.cc:344-448`). `data` is already metric-transformed
+        (MIPS-augmented / hamming ±1)."""
+        import jax
+
+        from ..parallel.mesh import corpus_sharding
+
+        S = mesh.shape["corpus"]
+        R = round_up(-(-self._n // S), _ROW_ALIGN)
+        n_pad = R * S
+        graphs: List[Optional[_Graph]] = []
+        aux = self._loaded_aux
+        if (
+            aux is not None
+            and int(aux.get("n", -1)) == self._n
+            and int(aux.get("shards", 0)) == S
+        ):
+            graphs = _shard_graphs_from_aux(aux, self.m, S)
+        if not graphs:
+            for s in range(S):
+                chunk = data[s * R : min((s + 1) * R, self._n)]
+                graphs.append(self._build_graph(chunk) if len(chunk) else None)
+        self._shard_graphs = graphs
+        self._graph = None
+        codes_host, norms_host = self._storage_codes_host(data, n_pad)
+        self._codes = jax.device_put(codes_host, corpus_sharding(mesh, 2))
+        self._norms = jax.device_put(
+            norms_host.astype(np.float32), corpus_sharding(mesh, 1)
+        )
+        self._dev = self._shard_device_graph(graphs, R, mesh)
+        if n_pad > self._n:
+            # Resident validity mask: an EMPTY shard (its whole [s*R,(s+1)*R)
+            # range is padding) still scores its entry row 0 — a zero code
+            # whose similarity is finite (IP: dot=0 beats all-negative real
+            # dots) — so unmasked searches must exclude padding rows.
+            self._dev["valid"] = jax.device_put(
+                np.arange(n_pad) < self._n, corpus_sharding(mesh, 1)
+            )
+
+    def _shard_device_graph(self, graphs, R: int, mesh) -> Dict[str, Any]:
+        """Stack per-shard graphs into corpus-sharded flat arrays. Shards
+        missing an upper level get a 1-node pass-through at their entry so
+        every shard descends the same static number of levels."""
+        import jax
+
+        from ..parallel.mesh import corpus_sharding
+
+        S = len(graphs)
+        m0 = 2 * self.m
+        l0 = np.full((S * R, m0), -1, np.int32)
+        for s, g in enumerate(graphs):
+            if g is not None:
+                l0[s * R : s * R + g.l0.shape[0], : g.l0.shape[1]] = g.l0
+        L = max((len(g.upper_ids) for g in graphs if g is not None), default=0)
+        entries = np.zeros((S, L + 1), np.int32)
+        for s, g in enumerate(graphs):
+            if g is not None:
+                entries[s, 0] = max(g.entry_point, 0)
+        upper_ids, upper_nbrs, upper_down = [], [], []
+        for lvl in range(L):
+            U = max(
+                (
+                    len(g.upper_ids[lvl])
+                    for g in graphs
+                    if g is not None and lvl < len(g.upper_ids)
+                ),
+                default=1,
+            )
+            ids = np.zeros((S, U), np.int32)
+            nbrs = np.full((S, U, self.m), -1, np.int32)
+            down = np.zeros((S, U), np.int32)
+            for s, g in enumerate(graphs):
+                if g is None:
+                    continue
+                if lvl < len(g.upper_ids):
+                    gl = g.upper_ids[lvl]
+                    ids[s, : len(gl)] = gl
+                    nbrs[s, : len(gl), : g.upper_nbrs[lvl].shape[1]] = (
+                        g.upper_nbrs[lvl]
+                    )
+                    if lvl == 0:
+                        down[s, : len(gl)] = gl
+                    else:
+                        row_below = g.row_of[lvl - 1]
+                        down[s, : len(gl)] = np.asarray(
+                            [row_below[int(i)] for i in gl], np.int32
+                        )
+                    entries[s, lvl + 1] = g.row_of[lvl].get(int(g.entry_point), 0)
+                else:
+                    # pass-through level: one node at the entry, no neighbors;
+                    # the greedy descent scores it once and drops straight to
+                    # the entry row of the level below
+                    ids[s, :] = max(g.entry_point, 0)
+                    down[s, :] = entries[s, lvl]
+                    entries[s, lvl + 1] = 0
+            upper_ids.append(
+                jax.device_put(ids.reshape(-1), corpus_sharding(mesh, 1))
+            )
+            upper_nbrs.append(
+                jax.device_put(
+                    nbrs.reshape(S * U, self.m), corpus_sharding(mesh, 2)
+                )
+            )
+            upper_down.append(
+                jax.device_put(down.reshape(-1), corpus_sharding(mesh, 1))
+            )
+        return {
+            "sharded": True,
+            "mesh": mesh,
+            "R": R,
+            "l0": jax.device_put(l0, corpus_sharding(mesh, 2)),
+            "upper_ids": tuple(upper_ids),
+            "upper_nbrs": tuple(upper_nbrs),
+            "upper_down": tuple(upper_down),
+            "entry_rows": jax.device_put(
+                entries.reshape(-1), corpus_sharding(mesh, 1)
+            ),
+            "num_levels": L,
+        }
 
     def _device_graph(self, g: _Graph) -> Dict[str, Any]:
         upper_ids, upper_nbrs, upper_down = [], [], []
@@ -1250,21 +1399,38 @@ class HnswEngine(VectorIndexEngine):
         else:
             qpad = np.asarray(queries, dtype=np.float32)
 
+        sharded = self._dev is not None and self._dev.get("sharded")
         if is_linear or self._n < _BRUTE_FORCE_THRESHOLD:
             full_mask = np.zeros(self._codes.shape[0], dtype=bool)
             full_mask[: self._n] = True if mask is None else mask
             k = min(topk, self._n)
-            sims, idx = blockwise_topk_search(
-                qpad,
-                self._codes,
-                self._search_metric,
-                k,
-                mask=jnp.asarray(full_mask),
-                x_sq_norms=self._norms,
-                dequant=self._dequant,
-                int4_packed=getattr(self, "_int4_packed", False),
-            )
+            if sharded:
+                sims, idx = self._sharded_flat(qpad, full_mask, k)
+            else:
+                sims, idx = blockwise_topk_search(
+                    qpad,
+                    self._codes,
+                    self._search_metric,
+                    k,
+                    mask=jnp.asarray(full_mask),
+                    x_sq_norms=self._norms,
+                    dequant=self._dequant,
+                    int4_packed=getattr(self, "_int4_packed", False),
+                )
             sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
+        elif sharded:
+            k = min(topk, self._n)
+            sims, idx = self._search_sharded(qpad, k, mask, ef)
+            sims = np.asarray(sims)[:nq]
+            idx = np.asarray(idx)[:nq].astype(np.int64)
+            if mask is not None:
+                # same filtered-beam safety net as the single-device path
+                fm = np.zeros(self._codes.shape[0], dtype=bool)
+                fm[: self._n] = mask
+                sims, idx = rescan_deficient(
+                    sims, idx, k, mask,
+                    lambda: self._sharded_flat(qpad, fm, k),
+                )
         else:
             budget = jnp.int32(
                 min(
@@ -1297,6 +1463,11 @@ class HnswEngine(VectorIndexEngine):
                 num_levels=self._dev["num_levels"],
                 int4_packed=getattr(self, "_int4_packed", False),
                 frontier=4,  # 4-way beam: ~4x fewer sequential steps
+                # exact visited bitset is n_pad/8 bytes PER QUERY — 1.28GB
+                # for a 1024-query batch at 10M rows (the r2 measure OOM);
+                # hash at scale like the build path (reference VisitFilter
+                # likewise switches bitmap->bloom, `visit_filter.h:39`)
+                visited_bits=0 if self._codes.shape[0] <= (1 << 21) else 21,
             )
             sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
             sims, idx = sims[:nq], idx[:nq]  # padding rows must not trigger
@@ -1364,13 +1535,98 @@ class HnswEngine(VectorIndexEngine):
             idx = np.where(ok, idx, -1)
         return sims, idx
 
+    # ------------- mesh-sharded search -------------
+    def _sharded_flat(self, qpad, full_mask: np.ndarray, k: int):
+        """Exact corpus-sharded scan over the mesh (brute-force threshold /
+        is_linear / filtered-rescan paths in mesh mode)."""
+        import jax
+
+        from ..parallel.mesh import corpus_sharding, sharded_flat_search
+
+        mesh = self._dev["mesh"]
+        dmask = jax.device_put(full_mask, corpus_sharding(mesh, 1))
+        return sharded_flat_search(
+            mesh,
+            jnp.asarray(np.asarray(qpad, dtype=np.float32)),
+            self._codes,
+            self._search_metric,
+            k,
+            mask=dmask,
+            x_sq_norms=self._norms,
+            dequant=self._dequant,
+            int4_packed=getattr(self, "_int4_packed", False),
+        )
+
+    def _search_sharded(self, qpad, k: int, mask, ef: int):
+        """Batched beam over every shard's local subgraph + ICI merge."""
+        import jax
+
+        from ..parallel.mesh import corpus_sharding, sharded_hnsw_search
+
+        dev = self._dev
+        mesh = dev["mesh"]
+        R = dev["R"]
+        budget = jnp.int32(min(max(_MIN_SCAN_LIMIT, int(_MAX_SCAN_RATIO * R)), R))
+        dmask = dev.get("valid")  # excludes empty-shard padding rows
+        if mask is not None:
+            fm = np.zeros(self._codes.shape[0], dtype=bool)
+            fm[: self._n] = mask
+            dmask = jax.device_put(fm, corpus_sharding(mesh, 1))
+        return sharded_hnsw_search(
+            mesh,
+            jnp.asarray(np.asarray(qpad, dtype=np.float32)),
+            self._codes,
+            self._norms,
+            dev["l0"],
+            dev["upper_ids"],
+            dev["upper_nbrs"],
+            dev["upper_down"],
+            dev["entry_rows"],
+            dmask,
+            budget,
+            self._dequant,
+            metric=self._search_metric,
+            ef=ef,
+            topk=k,
+            max_steps=ef + 64,
+            num_levels=dev["num_levels"],
+            frontier=4,
+            int4_packed=getattr(self, "_int4_packed", False),
+            visited_bits=0 if R <= (1 << 21) else 21,  # per-shard row space
+        )
+
     # ------------- persistence -------------
     def dump_aux(self, directory: str, prefix: str) -> Dict[str, Any]:
         g = self._graph
-        if g is None:
+        if g is None and self._shard_graphs is None:
             self._ensure_fresh()
             g = self._graph
         fname = f"hnsw_{prefix}.npz"
+        if self._shard_graphs is not None:
+            # mesh mode: per-shard subgraphs, keys prefixed s{i}_
+            payload = {
+                "n": np.int64(self._n),
+                "m": np.int64(self.m),
+                "shards": np.int64(len(self._shard_graphs)),
+            }
+            for si, sg in enumerate(self._shard_graphs):
+                if sg is None:
+                    continue
+                p = f"s{si}_"
+                payload[p + "levels"] = sg.levels
+                payload[p + "l0"] = sg.l0
+                payload[p + "entry_point"] = np.int64(sg.entry_point)
+                payload[p + "max_level"] = np.int64(sg.max_level)
+                for lvl in range(len(sg.upper_ids)):
+                    payload[f"{p}upper_ids_{lvl}"] = sg.upper_ids[lvl]
+                    payload[f"{p}upper_nbrs_{lvl}"] = sg.upper_nbrs[lvl]
+            np.savez_compressed(os.path.join(directory, fname), **payload)
+            return {
+                "file": fname,
+                "type": "hnsw",
+                "m": self.m,
+                "shards": len(self._shard_graphs),
+            }
         payload = {
             "n": np.int64(self._n),
             "m": np.int64(self.m),
@@ -1391,6 +1647,25 @@ class HnswEngine(VectorIndexEngine):
             return
         data = dict(np.load(path))
         self._loaded_aux = data
+
+
+def _shard_graphs_from_aux(
+    aux: Dict[str, np.ndarray], m: int, shards: int
+) -> List[Optional[_Graph]]:
+    """Reconstruct per-shard graphs from a sharded dump (keys s{i}_*)."""
+    out: List[Optional[_Graph]] = []
+    for si in range(shards):
+        p = f"s{si}_"
+        if p + "l0" not in aux:
+            out.append(None)
+            continue
+        sub = {
+            k[len(p):]: v for k, v in aux.items() if k.startswith(p)
+        }
+        sub["n"] = sub["l0"].shape[0]
+        sub["m"] = aux.get("m", m)
+        out.append(_graph_from_aux(sub, m))
+    return out
 
 
 def _graph_from_aux(aux: Dict[str, np.ndarray], m: int) -> _Graph:

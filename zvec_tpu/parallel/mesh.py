@@ -26,6 +26,7 @@ __all__ = [
     "collection_mesh",
     "corpus_sharding",
     "sharded_flat_search",
+    "sharded_hnsw_search",
     "sharded_kmeans_step",
 ]
 
@@ -131,6 +132,93 @@ def sharded_flat_search(
         if out_k < topk:
             m_s = jnp.pad(m_s, ((0, 0), (0, topk - out_k)), constant_values=NEG_INF)
             m_i = jnp.pad(m_i, ((0, 0), (0, topk - out_k)), constant_values=-1)
+        m_i = jnp.where(m_s > NEG_INF / 2, m_i, -1)
+        return m_s, m_i
+
+    return search(*args)
+
+
+def sharded_hnsw_search(
+    mesh: Mesh,
+    queries: jax.Array,  # (Q, D) f32
+    codes: jax.Array,  # (S*R, Dc) corpus-sharded, contiguous global rows
+    norms: jax.Array,  # (S*R,) corpus-sharded
+    l0_nbrs: jax.Array,  # (S*R, M0) per-shard LOCAL rows, corpus-sharded
+    upper_ids,  # tuple, per level: (S*U_l,) local L0 ids
+    upper_nbrs,  # tuple, per level: (S*U_l, Mu) local level rows
+    upper_down,  # tuple, per level: (S*U_l,) local rows one level down
+    entry_rows: jax.Array,  # (S*(L+1),) per-shard entry row per level
+    mask: Optional[jax.Array],  # (S*R,) bool, corpus-sharded
+    scan_budget: jax.Array,  # () int32 per-shard budget
+    dequant: Optional[Tuple[jax.Array, jax.Array]] = None,
+    *,
+    metric: MetricType,
+    ef: int,
+    topk: int,
+    max_steps: int,
+    num_levels: int,
+    frontier: int = 4,
+    int4_packed: bool = False,
+    visited_bits: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Corpus-sharded HNSW search: every device owns an INDEPENDENT subgraph
+    over its contiguous global row range [shard*R, (shard+1)*R); queries
+    replicate over the 'corpus' axis, each shard runs the batched beam on its
+    local graph, then per-shard top-k merge with one all_gather over ICI —
+    the TPU-native scale-out of the reference's per-segment search fan-out
+    (`query_planner.cc:344-448`). The union of per-shard graph searches
+    dominates a single monolithic graph at equal ef (each shard's beam is
+    exhaustive over a smaller corpus). Returns (sims (Q, topk) desc, GLOBAL
+    row ids (Q, topk), -1 padded)."""
+    from ..ops.hnsw import _beam_core
+
+    n_corpus = mesh.shape["corpus"]
+    shard_rows = codes.shape[0] // n_corpus
+    has_mask = mask is not None
+
+    lvl_specs_1d = tuple(P("corpus") for _ in upper_ids)
+    lvl_specs_2d = tuple(P("corpus", None) for _ in upper_nbrs)
+    in_specs = [
+        P("batch", None),  # queries replicated along 'corpus'
+        P("corpus", None),  # codes
+        P("corpus"),  # norms
+        P("corpus", None),  # l0
+        lvl_specs_1d,  # upper_ids
+        lvl_specs_2d,  # upper_nbrs
+        lvl_specs_1d,  # upper_down
+        P("corpus"),  # entry_rows
+    ]
+    args = [
+        queries, codes, norms, l0_nbrs,
+        tuple(upper_ids), tuple(upper_nbrs), tuple(upper_down), entry_rows,
+    ]
+    if has_mask:
+        in_specs.append(P("corpus"))
+        args.append(mask)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P("batch", None), P("batch", None)),
+        check_vma=False,
+    )
+    def search(q_blk, codes_blk, norms_blk, l0_blk, uids, unbrs, udown,
+               entries, *rest):
+        mask_blk = rest[0] if has_mask else None
+        loc_s, loc_i = _beam_core(
+            q_blk, codes_blk, norms_blk, l0_blk, uids, unbrs, udown,
+            entries, mask_blk, scan_budget, dequant,
+            metric=metric, ef=ef, topk=topk, max_steps=max_steps,
+            num_levels=num_levels, frontier=frontier,
+            int4_packed=int4_packed, visited_bits=visited_bits,
+        )
+        my_shard = jax.lax.axis_index("corpus")
+        loc_i = jnp.where(loc_i >= 0, loc_i + my_shard * shard_rows, -1)
+        all_s = jax.lax.all_gather(loc_s, "corpus", axis=1, tiled=True)
+        all_i = jax.lax.all_gather(loc_i, "corpus", axis=1, tiled=True)
+        m_s, sel = jax.lax.top_k(all_s, topk)
+        m_i = jnp.take_along_axis(all_i, sel, axis=1)
         m_i = jnp.where(m_s > NEG_INF / 2, m_i, -1)
         return m_s, m_i
 
