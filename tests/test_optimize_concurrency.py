@@ -173,6 +173,35 @@ def test_optimize_single_fully_alive_segment_is_in_place(tmp_path, schema, rng):
     assert res[0].id == "7"
 
 
+def test_optimize_builds_index_exactly_once(tmp_path, rng):
+    """optimize() seals (building the index) and then takes the trivial
+    single-segment path — which must NOT rebuild the identical-params index
+    a second time (at 10M that second build costs hours)."""
+    from zvec_tpu import HnswIndexParam
+
+    schema = CollectionSchema(
+        "once",
+        vectors=[
+            VectorSchema(
+                "emb", DataType.VECTOR_FP32, 16,
+                HnswIndexParam(MetricType.L2, m=8, ef_construction=50),
+            )
+        ],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "once"), schema)
+    xs = rng.standard_normal((200, 16)).astype(np.float32)
+    c.insert([Doc(id=str(i), vectors={"emb": xs[i]}) for i in range(200)])
+    c.optimize()
+    seg = c._impl.segments[0]
+    eng = seg.engine_for("emb")
+    assert eng.stats.build_count == 1, eng.stats.build_count
+    c.optimize()  # trivial path again: same engine, still one build
+    assert c._impl.segments[0].engine_for("emb") is eng
+    assert eng.stats.build_count == 1, eng.stats.build_count
+    res = c.query(VectorQuery("emb", vector=xs[7]), topk=1)
+    assert res[0].id == "7"
+
+
 def test_optimize_with_tombstones_still_compacts(tmp_path, schema, rng):
     c = zvec_tpu.create_and_open(str(tmp_path / "nontrw"), schema)
     xs = rng.standard_normal((100, 16)).astype(np.float32)

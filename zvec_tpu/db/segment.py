@@ -251,7 +251,22 @@ class Segment:
 
     # ------------- index DDL -------------
     def build_index(self, field: str, params: VectorIndexParam) -> None:
-        """Build a full index for `field` and persist its aux files."""
+        """Build a full index for `field` and persist its aux files.
+
+        No-op when an identical-params index is already built on this
+        segment: the segment is sealed/immutable, so the existing engine and
+        its dumped aux stay valid. Without this, optimize()'s trivial path
+        re-built the index `_seal_writing_segment` had just finished — a
+        second multi-hour graph build at 10M (reference CreateIndexTask
+        likewise skips existing indexes, `collection.cc:608-660`)."""
+        existing = self._built_index_params.get(field)
+        if (
+            existing is not None
+            and field in self._engines
+            and field in self.meta.indexes
+            and existing.to_dict() == params.to_dict()
+        ):
+            return
         vs = self.schema.vector(field)
         if vs.data_type.is_sparse_vector:
             from ..core.hnsw_sparse import SparseHnswEngine
