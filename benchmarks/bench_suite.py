@@ -356,12 +356,35 @@ STAGES = {
     "ivf_hybrid": stage_ivf_hybrid,
     "fusion": stage_fusion,
 }
+RESULT_KEYS = {
+    "int8_hnsw": "int8_hnsw_cosine",
+    "ivf_hybrid": "ivf_hybrid_filter",
+    "fusion": "dense_sparse_fusion",
+}
+
+
+def _fresh(key: str, max_age_s: float = 12 * 3600) -> bool:
+    """True if RESULTS already holds a measurement for `key` younger than
+    max_age_s — lets an interrupted/restarted chain skip completed stages
+    (set SUITE_FORCE=1 to re-measure)."""
+    if os.environ.get("SUITE_FORCE") == "1" or not os.path.exists(RESULTS):
+        return False
+    try:
+        row = json.load(open(RESULTS)).get(key)
+        ts = time.mktime(time.strptime(row["measured_at"], "%Y-%m-%d %H:%M:%S"))
+        return (time.time() - ts) < max_age_s
+    except Exception:
+        return False
 
 
 def main():
     os.makedirs(WORK, exist_ok=True)
     names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(STAGES)
     for name in names:
+        key = RESULT_KEYS.get(name, name)
+        if _fresh(key):
+            log(f"=== stage {name} === (fresh result in suite_results.json, skip)")
+            continue
         log(f"=== stage {name} ===")
         STAGES[name]()
 
