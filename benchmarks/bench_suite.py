@@ -232,26 +232,52 @@ def stage_ivf_hybrid():
     )
     gt = sel_idx[np.argsort(d2, axis=1)[:, :k]]
 
+    # unfiltered exact ground truth (measures the IVF probe path itself; the
+    # 5%-selectivity filter below demotes to brute-force-by-keys, reference
+    # `doc_filter.cc:120-122`)
+    d2u = (
+        (Q[:gt_q] ** 2).sum(1)[:, None]
+        + (X**2).sum(1)[None, :]
+        - 2.0 * (Q[:gt_q] @ X.T)
+    )
+    gtu = np.argsort(d2u, axis=1)[:, :k]
+
     row = {"n": n, "dim": d, "metric": "l2", "filter": flt,
            "selectivity": round(float(sel.mean()), 4),
            "insert_secs": round(insert_s, 1), "build_secs": round(build_s, 1),
-           "nprobe": {}}
-    for nprobe in (8, 16, 32):
+           "nprobe": {}, "filtered": {}}
+    for nprobe in (8, 16, 32, 64):
         p = IVFQueryParam(nprobe=nprobe)
-        col.batch_query("vec", Q, topk=k, filter=flt, output_fields=[], param=p)
-        col.batch_query("vec", Q, topk=k, filter=flt, output_fields=[], param=p)
+        col.batch_query("vec", Q, topk=k, output_fields=[], param=p)
+        col.batch_query("vec", Q, topk=k, output_fields=[], param=p)
         t0 = time.perf_counter()
-        docs = col.batch_query("vec", Q, topk=k, filter=flt, output_fields=[], param=p)
+        docs = col.batch_query("vec", Q, topk=k, output_fields=[], param=p)
         dt = time.perf_counter() - t0
         hits = sum(
-            len({int(h.id) for h in docs[i]} & set(gt[i].tolist()))
+            len({int(h.id) for h in docs[i]} & set(gtu[i].tolist()))
             for i in range(gt_q)
         )
         row["nprobe"][nprobe] = {
             "recall_at_10": round(hits / (gt_q * k), 4),
             "qps": round(nq / dt, 1),
         }
-        log(f"  nprobe={nprobe}: {row['nprobe'][nprobe]}")
+        log(f"  nprobe={nprobe} (unfiltered): {row['nprobe'][nprobe]}")
+    # filtered path: 5% selectivity demotes to the masked exact device scan
+    col.batch_query("vec", Q, topk=k, filter=flt, output_fields=[])
+    col.batch_query("vec", Q, topk=k, filter=flt, output_fields=[])
+    t0 = time.perf_counter()
+    docs = col.batch_query("vec", Q, topk=k, filter=flt, output_fields=[])
+    dt = time.perf_counter() - t0
+    hits = sum(
+        len({int(h.id) for h in docs[i]} & set(gt[i].tolist()))
+        for i in range(gt_q)
+    )
+    row["filtered"] = {
+        "recall_at_10": round(hits / (gt_q * k), 4),
+        "qps": round(nq / dt, 1),
+        "path": "brute_force_by_keys (masked exact device scan)",
+    }
+    log(f"  filtered 5%: {row['filtered']}")
     col._impl.close()
     merge_results("ivf_hybrid_filter", row)
 

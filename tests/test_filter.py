@@ -242,3 +242,53 @@ def test_sealed_arrow_parity(tmp_path, schema, rng):
         assert (mw == ms).all(), (e, np.nonzero(mw != ms)[0])
     a._impl.close()
     b._impl.close()
+
+
+def test_bf_by_keys_device_demotion(tmp_path, rng, monkeypatch):
+    """Selective filters demote to an EXACT scan. Above the host-BLAS cap the
+    demotion must run as a masked device linear scan (never the per-row host
+    gather), and results must match the filtered oracle exactly."""
+    from zvec_tpu import HnswIndexParam
+    import zvec_tpu.db.collection_impl as ci
+
+    n, d, nq = 20000, 32, 512
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    tags = rng.integers(0, 13, n)  # 'tag = 3' selects ~7.7% < ratio 0.1
+    schema = CollectionSchema(
+        "bfk",
+        fields=[FieldSchema("tag", DataType.INT64)],
+        vectors=[
+            VectorSchema(
+                "emb", DataType.VECTOR_FP32, d,
+                HnswIndexParam(MetricType.L2, m=8, ef_construction=50),
+            )
+        ],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "bfk"), schema)
+    for lo in range(0, n, 1000):
+        col.insert(
+            [
+                Doc(id=str(i), fields={"tag": int(tags[i])}, vectors={"emb": X[i]})
+                for i in range(lo, min(lo + 1000, n))
+            ]
+        )
+    col.flush()
+    col.optimize()
+
+    def _boom(*a, **k):  # host gather must not run at this size
+        raise AssertionError("expected the device linear-scan demotion")
+
+    monkeypatch.setattr(ci, "_exact_over_rows", _boom)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    docs = col.batch_query("emb", Q, topk=5, filter="tag = 3", output_fields=[])
+    sel = np.flatnonzero(tags == 3)
+    d2 = (
+        (Q[:8] ** 2).sum(1)[:, None]
+        + (X[sel] ** 2).sum(1)[None, :]
+        - 2.0 * (Q[:8] @ X[sel].T)
+    )
+    for i in range(8):
+        expect = [str(int(j)) for j in sel[np.argsort(d2[i])[:5]]]
+        got = [h.id for h in docs[i]]
+        assert got == expect, (i, got, expect)
+    col._impl.close()

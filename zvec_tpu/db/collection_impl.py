@@ -507,10 +507,27 @@ class CollectionImpl:
 
                     ratio = GlobalConfig.instance().brute_force_by_keys_ratio
                     n_alive = int(alive.sum())
-                    if n_alive <= max(1, int(ratio * n_rows)) and n_alive <= 50_000:
-                        sims, ids = _exact_over_rows(
-                            seg, field_name, queries, topk, alive, vs
-                        )
+                    if n_alive <= max(1, int(ratio * n_rows)):
+                        # tiny candidate sets: host BLAS beats a device
+                        # dispatch (single selective queries especially)
+                        if queries.shape[0] * n_alive * queries.shape[1] <= (1 << 24):
+                            sims, ids = _exact_over_rows(
+                                seg, field_name, queries, topk, alive, vs
+                            )
+                        else:
+                            # TPU demotion: masked EXACT scan fused into the
+                            # flat kernel over the whole segment — same
+                            # guarantee as the reference's explicit-pk list
+                            # (recall 1.0 on the filtered set) without the
+                            # host gather; compute is one fused device scan
+                            import copy
+
+                            p_lin = copy.copy(param) if param is not None else QueryParam()
+                            p_lin.is_linear = True
+                            with prof.stage(f"bf_by_keys seg_{seg.meta.segment_id}"):
+                                sims, ids = seg.search(
+                                    field_name, queries, topk, alive, p_lin
+                                )
                         all_sims.append(sims)
                         all_ids.append(ids)
                         continue
