@@ -262,6 +262,29 @@ def test_sharded_hnsw_ip_metric(tmp_path, rng, mesh8):
     assert abs(top.score - dots[0, int(top.id[2:])]) < 1e-2
 
 
+def test_sharded_hnsw_cosine_metric(tmp_path, rng, mesh8):
+    from zvec_tpu.model.param.param import HnswQueryParam
+
+    n, d = 2048, 16
+    col, X = _mk_hnsw_collection(tmp_path, MetricType.COSINE, n, d, rng)
+    Q = rng.standard_normal((4, d)).astype(np.float32)
+    cos = (Q @ X.T) / (
+        np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(X, axis=1)[None]
+    )
+    gt = np.argsort(-cos, axis=1)[:, :10]
+    docs = col.batch_query(
+        "emb", Q, topk=10, output_fields=[], param=HnswQueryParam(ef=128)
+    )
+    hits = 0
+    for i in range(len(Q)):
+        got = {int(doc.id[2:]) for doc in docs[i]}
+        hits += len(got & set(gt[i].tolist()))
+    assert hits / (len(Q) * 10) >= 0.9
+    # COSINE score convention: 1 - cos, ascending
+    top = docs[0][0]
+    assert abs(top.score - (1.0 - cos[0, int(top.id[2:])])) < 1e-3
+
+
 def test_sharded_hnsw_empty_shards_no_phantom_hits(tmp_path, rng, mesh8):
     """n=1030 over 8 shards (R=256) leaves shards 5-7 EMPTY: their entry row
     is a zero-padding code whose IP score (dot=0) beats all-negative real
