@@ -60,7 +60,12 @@ __all__ = ["flat_scan_topk"]
 
 _LANES = 128  # group-max width: one vreg lane row per tile
 _MAX_CAND = 1024  # cap on topk * GROUP rescore candidates per query
-_TILE_VMEM = 4 * 1024 * 1024  # code-tile VMEM budget (bytes)
+# Code-tile VMEM budget. The scoped-vmem ceiling is 16MB per core and the
+# pipeline double-buffers every HBM operand slice; a 4MB code tile (fp32
+# 8192x128) compiled to a 17.75MB stack at 10M (measured r2 OOM). 2MB keeps
+# the whole pipeline comfortably under the ceiling: fp32 128d tiles at 4096,
+# bf16/int8 still reach 8192.
+_TILE_VMEM = 2 * 1024 * 1024
 
 
 def _pick_tile(n: int, d: int, topk: int, itemsize: int) -> int:
