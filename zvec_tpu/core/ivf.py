@@ -280,6 +280,9 @@ class IvfEngine(VectorIndexEngine):
         lists_codes[v_lists, v_slots] = codes[sorted_rows]
         lists_norms[v_lists, v_slots] = deq_norms[sorted_rows]
         lists_ids[v_lists, v_slots] = sorted_rows
+        # host flat view of slot -> global row (-1 padding): the linear-scan
+        # path maps fused-kernel positions back to rows without a device trip
+        self._flat_ids = lists_ids.reshape(-1).copy()
         self._int4_packed = self.quantize == QuantizeType.INT4
         if self._int4_packed:
             # nibble-pack list codes (2 per byte) — halves HBM + scan traffic
@@ -307,6 +310,36 @@ class IvfEngine(VectorIndexEngine):
                 jnp.float32(self._qparams.bias),
             )
 
+    def _linear_scan(self, qpad, mask, scan_k):
+        """Exact scan as ONE fused flat kernel over the list-concatenated
+        code buffer ((KV, lmax, D) viewed flat), padding and filter fused as
+        a mask; kernel positions map back to global rows via the host flat-id
+        table. Serves brute-force fallback, explicit is_linear queries, and
+        the filtered-probe safety net."""
+        from ..ops.topk import blockwise_topk_search
+
+        kv, lmax = self._lists_ids.shape
+        flat_codes = self._lists_codes.reshape(kv * lmax, -1)
+        flat_norms = self._lists_norms.reshape(kv * lmax)
+        ids = self._flat_ids
+        valid = ids >= 0
+        if mask is not None:
+            valid = valid & np.asarray(mask, dtype=bool)[np.clip(ids, 0, None)]
+        sims, pos = blockwise_topk_search(
+            jnp.asarray(qpad),
+            flat_codes,
+            self.metric,
+            min(scan_k, int(valid.sum()) or 1),
+            mask=jnp.asarray(valid),
+            x_sq_norms=flat_norms,
+            dequant=self._dequant,
+            int4_packed=getattr(self, "_int4_packed", False),
+        )
+        sims = np.asarray(sims)
+        pos = np.asarray(pos)
+        idx = np.where(pos >= 0, ids[np.clip(pos, 0, None)], -1)
+        return sims, idx.astype(np.int64)
+
     # ------------- search -------------
     def _search_impl(self, queries, topk, mask, param):
         nq = queries.shape[0]
@@ -328,10 +361,13 @@ class IvfEngine(VectorIndexEngine):
             topk = min(topk * getattr(param, "refiner_scale_factor", 10), self._n)
 
         k_lists = self._centroids.shape[0]
-        # brute-force fallback: tiny corpus or explicit linear search probes
-        # every list (`ivf_searcher.cc:185` threshold behavior)
-        if self._n < _BRUTE_FORCE_THRESHOLD or getattr(param, "is_linear", False):
-            nprobe = k_lists
+        # brute-force fallback: tiny corpus or explicit linear search runs ONE
+        # fused flat kernel over the list-concatenated codes instead of
+        # probing every list (`ivf_searcher.cc:185` threshold behavior; the
+        # per-list probe at nprobe=K is ~100x slower than the flat scan)
+        linear = self._n < _BRUTE_FORCE_THRESHOLD or getattr(
+            param, "is_linear", False
+        )
         nprobe = min(nprobe + getattr(self, "_extra_probes", 0), k_lists)
         dmask = jnp.asarray(mask) if mask is not None else None
         # pad the batch to a bucket: probe programs compile per query count
@@ -345,47 +381,37 @@ class IvfEngine(VectorIndexEngine):
             qpad = np.asarray(queries, dtype=np.float32)
         # SOAR spilling duplicates rows across lists: overscan and dedupe
         scan_k = 2 * topk if self.use_soar else topk
-        sims, idx = _ivf_probe(
-            jnp.asarray(qpad),
-            self._centroids,
-            self._lists_codes,
-            self._lists_norms,
-            self._lists_ids,
-            dmask,
-            self._dequant,
-            metric=self.metric,
-            nprobe=nprobe,
-            topk=scan_k,
-            int4_packed=getattr(self, "_int4_packed", False),
-        )
+        if linear:
+            sims, idx = self._linear_scan(qpad, mask, scan_k)
+        else:
+            sims, idx = _ivf_probe(
+                jnp.asarray(qpad),
+                self._centroids,
+                self._lists_codes,
+                self._lists_norms,
+                self._lists_ids,
+                dmask,
+                self._dequant,
+                metric=self.metric,
+                nprobe=nprobe,
+                topk=scan_k,
+                int4_packed=getattr(self, "_int4_packed", False),
+            )
         sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
         if self.use_soar:
             sims, idx = _dedupe_topk(sims, idx, topk)
         sims, idx = sims[:nq], idx[:nq]  # drop bucket-padding rows
-        if mask is not None and nprobe < k_lists:
+        if mask is not None and not linear:
             # Filtered-probe safety net (deliberate improvement over the
             # reference, which returns whatever the nprobe lists contain —
             # possibly nothing): queries whose probed lists supplied fewer
-            # valid hits than the filter allows re-probe EVERY list, which
-            # is an exact masked scan in list order.
+            # valid hits than the filter allows fall back to the exact
+            # masked flat scan over all lists.
             def _all_lists():
-                fs, fi = _ivf_probe(
-                    jnp.asarray(qpad),
-                    self._centroids,
-                    self._lists_codes,
-                    self._lists_norms,
-                    self._lists_ids,
-                    dmask,
-                    self._dequant,
-                    metric=self.metric,
-                    nprobe=k_lists,
-                    topk=scan_k,
-                    int4_packed=getattr(self, "_int4_packed", False),
-                )
+                fs, fi = self._linear_scan(qpad, mask, scan_k)
+                fs, fi = np.asarray(fs), np.asarray(fi).astype(np.int64)
                 if self.use_soar:
-                    fs, fi = _dedupe_topk(
-                        np.asarray(fs), np.asarray(fi).astype(np.int64), topk
-                    )
+                    fs, fi = _dedupe_topk(fs, fi, topk)
                 return fs, fi
 
             sims, idx = rescan_deficient(sims, idx, topk, mask, _all_lists)
