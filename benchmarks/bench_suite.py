@@ -186,8 +186,11 @@ def stage_ivf_hybrid():
     n = int(os.environ.get("SUITE_N_IVF", 1_000_000))
     d, nq, k = 96, 1024, 10
     rng = np.random.default_rng(SEED + 1)
-    X = rng.standard_normal((n, d), dtype=np.float32)
-    Q = rng.standard_normal((nq, d), dtype=np.float32)
+    # clustered data (Deep-like): IVF partitions cluster structure; isotropic
+    # gaussian noise has none and caps every IVF implementation's recall
+    from benchmarks.h2h import make_data
+
+    X, Q = make_data("clustered", n, d, nq=nq)
     tags = rng.integers(0, 10, n)  # 'tag = tN' selects ~10%
     price = rng.random(n)
 
