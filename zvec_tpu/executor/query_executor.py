@@ -74,7 +74,13 @@ class _BuiltQuery:
 class QueryExecutor(ABC):
     def __init__(self, schema: CollectionSchema):
         self._schema = schema
-        self._concurrency = max(1, int(os.getenv("ZVEC_QUERY_CONCURRENCY", "1")))
+        # default 0 = auto: one worker per vector field (host-side mask
+        # build/transfer prep of the per-field searches overlaps; the device
+        # serializes kernels regardless, and the merge assembles in query
+        # order so results are identical to the serial path). The reference
+        # defaults to serial (`query_executor.py:122`) — auto is the
+        # TPU-native choice; set ZVEC_QUERY_CONCURRENCY=1 to match serial.
+        self._concurrency = max(0, int(os.getenv("ZVEC_QUERY_CONCURRENCY", "0")))
 
     @abstractmethod
     def _do_validate(self, ctx: QueryContext) -> None:
@@ -139,10 +145,11 @@ class QueryExecutor(ABC):
                 param=bq.param,
             )
 
-        if len(built) == 1 or self._concurrency == 1:
+        workers = self._concurrency or min(4, len(built))
+        if len(built) == 1 or workers == 1:
             return {bq.field_name: run(bq) for bq in built}
         done: Dict[str, List[Doc]] = {}
-        with ThreadPoolExecutor(max_workers=self._concurrency) as pool:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = {pool.submit(run, bq): bq.field_name for bq in built}
             for future in as_completed(futures):
                 done[futures[future]] = future.result()
