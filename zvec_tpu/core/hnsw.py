@@ -598,6 +598,44 @@ class HnswEngine(VectorIndexEngine):
                     f"{_time.perf_counter() - _t0:.1f}s",
                     flush=True,
                 )
+            # NN-descent refinement (Dong et al., WWW'11): cluster-local
+            # candidates miss true neighbors across k-means cell boundaries
+            # (on weakly-clustered data most of them — gaussian 1M forced-
+            # clustered measured recall@10 0.31 @ ef=128 vs 0.65 exact).
+            # Neighbor-of-neighbor rounds repair exactly those edges.
+            rounds = int(_env.get("ZVEC_HNSW_NNDESCENT", "1"))
+            expand = max(1, min(4, 256 // max_out))
+            from ..ops.hnsw import nn_descent_round
+
+            for rd in range(rounds):
+                _t1 = _time.perf_counter()
+                fwd_dev = jnp.asarray(
+                    np.concatenate(
+                        [fwd, np.full((1, max_out), -1, np.int32)], axis=0
+                    )
+                )
+                new_fwd = np.full_like(fwd, -1)
+                for lo in range(0, nb, 32):
+                    rm = rows_mat[lo : lo + 32]
+                    if rm.shape[0] < 32:
+                        rm = np.concatenate(
+                            [rm, np.broadcast_to(rm[-1], (32 - rm.shape[0], B))],
+                            axis=0,
+                        )
+                    out = nn_descent_round(
+                        jnp.asarray(rm), fwd_dev, codes_dev, norms_dev,
+                        metric=metric, max_out=max_out, expand=expand,
+                    )
+                    new_fwd[rm.reshape(-1)] = np.asarray(out).reshape(-1, max_out)
+                fwd = new_fwd
+                del fwd_dev
+                if _log:
+                    print(
+                        f"[knn-build]   nn-descent round {rd + 1}/{rounds} "
+                        f"(expand={expand}) in "
+                        f"{_time.perf_counter() - _t1:.1f}s",
+                        flush=True,
+                    )
         elif is_tpu():
             # Large layers: ONE lax.scan program (batch-loop dispatch through
             # the remote tunnel costs ~1s/call -> 16 min at 1M). Small layers:

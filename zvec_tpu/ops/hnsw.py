@@ -1014,6 +1014,70 @@ def merge_prune_chunk_out(
     return out
 
 
+@partial(jax.jit, static_argnames=("metric", "max_out", "expand"))
+def nn_descent_round(
+    rows_mat: jax.Array,  # (NB, B)
+    fwd_full: jax.Array,  # (n + 1, m0) int32 adjacency, -1 pad; row n all -1
+    codes: jax.Array,
+    norms2: jax.Array,
+    *,
+    metric: MetricType,
+    max_out: int,
+    expand: int,
+):
+    """One asynchronous NN-descent round (Dong et al., WWW'11), batched on
+    device: each node's candidates = own neighbors U the neighbors of its
+    `expand` best neighbors, scored exactly against the node and re-pruned
+    with the dominance heuristic + backfill. Heals the boundary errors of
+    cluster-local candidate generation on weakly-clustered data (a node's
+    true neighbors in an adjacent k-means cell are 2 hops away in the
+    initial graph). Returns pruned ids (NB, B, max_out)."""
+    dump = fwd_full.shape[0] - 1  # all -1 row: expansions of pads are invalid
+
+    def body(_, rows):
+        nbrs = fwd_full[rows]  # (B, m0) sim-desc from the previous prune
+        safe_n = jnp.where(nbrs >= 0, nbrs, dump)
+        # strided expansion sample: the top neighbors are the most likely to
+        # share the node's k-means cell (their lists re-offer what we have);
+        # spreading the expansion across the ranked list reaches farther
+        # cells — the diversification role of NN-descent's random sampling
+        stride = max(1, nbrs.shape[1] // expand)
+        nn2 = fwd_full[safe_n[:, ::stride][:, :expand]]  # (B, expand, m0)
+        cand_ids = jnp.concatenate(
+            [nbrs, nn2.reshape(nbrs.shape[0], -1)], axis=1
+        )
+        base = codes[rows].astype(jnp.float32)
+        bnorm2 = norms2[rows]
+        valid = (cand_ids >= 0) & (cand_ids != rows[:, None])
+        safe = jnp.clip(cand_ids, 0, None)
+        vecs = codes[safe].astype(jnp.float32)
+        nrm2 = norms2[safe]
+        sims = _sim_to_base(base, bnorm2, vecs, nrm2, metric)
+        sims = jnp.where(valid, sims, NEG_INF)
+        order = jnp.argsort(-sims, axis=1)
+        ids_o = jnp.take_along_axis(cand_ids, order, 1)
+        sims_o = jnp.take_along_axis(sims, order, 1)
+        valid_o = jnp.take_along_axis(valid, order, 1)
+        # prune sees the best window only: bounds the (B, C, C) pair buffer
+        C = min(ids_o.shape[1], 2 * max_out)
+        ids_o, sims_o, valid_o = ids_o[:, :C], sims_o[:, :C], valid_o[:, :C]
+        vecs_o = jnp.take_along_axis(vecs, order[:, :C, None], 1)
+        nrm_o = jnp.take_along_axis(nrm2, order[:, :C], 1)
+        valid_o = valid_o & ~_dup_mask(ids_o)
+        sims_o = jnp.where(valid_o, sims_o, NEG_INF)
+        pair = _pairwise_sims(vecs_o, nrm_o, metric)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out)
+        ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
+        if ids_c.shape[1] < max_out:
+            ids_c = jnp.pad(
+                ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
+            )
+        return None, ids_c
+
+    _, out = jax.lax.scan(body, None, rows_mat)
+    return out
+
+
 @partial(jax.jit, static_argnames=("metric", "max_out"))
 def merge_prune_batch_out(
     rows_mat: jax.Array,  # (NB, B)
