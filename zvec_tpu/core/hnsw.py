@@ -491,7 +491,14 @@ class HnswEngine(VectorIndexEngine):
             # under pressure — observed twice at the 150k upper levels). A
             # few thousand rows are seconds of host BLAS.
             return self._knn_layer_host(data, norms2, max_out, knn_k=knn_k)
-        use_pallas = knn_k <= 127  # Pallas kernel caps topk at 128 lanes
+        # Pallas kernel caps topk at 128 lanes. ZVEC_HNSW_NO_PALLAS=1 falls
+        # back to the blockwise approx_max_k scan — a much smaller program
+        # for the remote compile helper (the k=127 unrolled-extraction kernel
+        # got the helper OOM-SIGKILLed twice at 1M on 2026-08-18)
+        use_pallas = (
+            knn_k <= 127
+            and __import__("os").environ.get("ZVEC_HNSW_NO_PALLAS") != "1"
+        )
         if not is_tpu():
             # CPU test mesh: cap the candidate pool — the (B, C, C) pairwise
             # prune at C=500 is minutes of host matmul per batch
