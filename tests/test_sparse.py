@@ -174,3 +174,71 @@ def test_bm25(rng):
     scores = [sparse_dot(q, d) for d in doc_vecs]
     assert np.argmax(scores) == 0  # doc 0 has both fox and dog
     assert scores[2] == 0.0  # no overlap
+
+
+def test_bm25_formula_oracle():
+    """query . doc must equal the textbook BM25 score (idf on the query
+    side, saturated tf on the doc side) — hand-computed oracle, matching
+    the reference test methodology (`test_embedding.py`)."""
+    import math
+
+    corpus = [
+        "the quick brown fox",
+        "the lazy dog",
+        "quick quick fox jumps",
+        "a dog and a fox",
+    ]
+    k1, b = 1.5, 0.75
+    bm25 = BM25EmbeddingFunction(k1=k1, b=b).fit(corpus)
+    docs = bm25.embed_documents(corpus)
+    q = bm25.embed_query("quick fox")
+
+    def tok(t):
+        import re
+        return [w.lower() for w in re.findall(r"[A-Za-z0-9_]+", t)]
+
+    n = len(corpus)
+    lens = [len(tok(t)) for t in corpus]
+    avgdl = sum(lens) / n
+
+    def idf(term):
+        df = sum(term in set(tok(t)) for t in corpus)
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    for di, text in enumerate(corpus):
+        toks = tok(text)
+        expect = 0.0
+        for term in ("quick", "fox"):
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            denom = tf + k1 * (1 - b + b * len(toks) / avgdl)
+            expect += idf(term) * tf * (k1 + 1) / denom
+        got = sum(w * docs[di].get(i, 0.0) for i, w in q.items())
+        assert abs(got - expect) < 1e-9, (di, got, expect)
+    # ranking sanity: doc 2 (two 'quick' + 'fox') outscores doc 1 (neither)
+    scores = [sum(w * d.get(i, 0.0) for i, w in q.items()) for d in docs]
+    assert scores[2] == max(scores) and scores[1] == min(scores)
+
+
+def test_bm25_query_indicator_and_doc_idf():
+    """Queries carry weight 1.0 per distinct term (idf lives on the doc
+    side); rarer terms get larger doc weights via idf."""
+    import math
+
+    corpus = ["alpha beta", "beta gamma", "gamma delta"]
+    bm25 = BM25EmbeddingFunction().fit(corpus)
+    q1 = bm25.embed_query("alpha gamma gamma")
+    q2 = bm25.embed_query("alpha gamma")
+    assert q1 == q2  # set semantics + deterministic hashing
+    assert sorted(q1.values()) == [1.0, 1.0]
+    # same tf/dl everywhere here, so doc weight ordering follows idf:
+    # 'alpha' (df=1) outweighs 'beta' (df=2) inside doc 0
+    d0 = bm25.embed_documents(["alpha beta"])[0]
+    w = sorted(d0.values(), reverse=True)
+    n, k1, b = 3, 1.5, 0.75
+    tf_sat = (k1 + 1) / (1 + k1)  # tf=1, dl == avgdl
+    idf_alpha = math.log(1 + (n - 1 + 0.5) / 1.5)
+    idf_beta = math.log(1 + (n - 2 + 0.5) / 2.5)
+    assert abs(w[0] - idf_alpha * tf_sat) < 1e-9
+    assert abs(w[1] - idf_beta * tf_sat) < 1e-9

@@ -2,8 +2,8 @@
 
 Reference equivalent: `python/zvec/extension/bm25_embedding_function.py` —
 local BM25 term weighting producing {term_hash: weight} sparse vectors.
-Documents get BM25 TF weights (idf folded in); queries get raw IDF weights,
-so query . doc = BM25 score.
+Documents get full BM25 term weights (idf x saturated tf); queries get
+weight 1.0 per distinct term, so query . doc = the textbook BM25 score.
 """
 
 from __future__ import annotations
