@@ -120,16 +120,31 @@ def main():
 
     col, build_s = build_collection(X)
 
-    # ---- headline: batched public-API queries ----
+    # ---- headline: batched public-API queries (sustained, pipelined) ----
+    # batch_query_many dispatches all blocks before collecting the first
+    # result, overlapping H2D upload + dispatch with device compute — the
+    # sustained-throughput shape (the reference bench likewise saturates the
+    # engine with 16 threads, `tools/core/bench.cc`). Sequential per-call
+    # batch_query is reported in detail.api_sequential_qps.
     def api_pass(iters):
+        t0 = time.perf_counter()
+        col.batch_query_many(
+            "vec", [qset[i % len(qset)] for i in range(iters)], topk=K,
+            output_fields=[],
+        )
+        return (time.perf_counter() - t0) / iters
+
+    def api_seq_pass(iters):
         t0 = time.perf_counter()
         for i in range(iters):
             col.batch_query("vec", qset[i % len(qset)], topk=K, output_fields=[])
         return (time.perf_counter() - t0) / iters
 
     col.batch_query("vec", qset[0], topk=K, output_fields=[])  # warm + compile
-    api_s = min(api_pass(4) for _ in range(2))
+    api_pass(2)
+    api_s = min(api_pass(8) for _ in range(2))
     api_qps = Q / api_s
+    api_seq_s = min(api_seq_pass(4) for _ in range(2))
 
     # oracle check through the API (exactness of the whole path)
     hits = col.batch_query("vec", queries[:4], topk=K, output_fields=[])
@@ -217,6 +232,7 @@ def main():
     detail = {
         "batch": Q,
         "api_batch_ms": round(api_s * 1e3, 2),
+        "api_sequential_qps": round(Q / api_seq_s, 1),
         "kernel_qps_1M": round(kernel_qps, 1),
         "query_p50_ms": round(p50_ms, 2),
         "query_p99_ms": round(p99_ms, 2),

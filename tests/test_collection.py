@@ -359,3 +359,34 @@ def test_batch_query_matches_single_queries(tmp_path, rng):
             assert np.allclose([h.score for h in bres[i]],
                                [h.score for h in single], rtol=1e-4)
             assert all(bh.fields == sh.fields for bh, sh in zip(bres[i], single))
+
+
+def test_batch_query_many_matches_batch_query(tmp_path, rng):
+    """Pipelined batch_query_many == [batch_query(b) for b in blocks], across
+    filters and both doc-materialization paths (id+score-only and fields)."""
+    n, d = 3000, 12
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    schema = CollectionSchema(
+        "bqm",
+        fields=[FieldSchema("g", DataType.INT32)],
+        vectors=[VectorSchema("v", DataType.VECTOR_FP32, d,
+                              FlatIndexParam(MetricType.L2))],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "bqm"), schema)
+    for lo in range(0, n, 1000):
+        col.insert([Doc(id=str(i), fields={"g": i % 7}, vectors={"v": X[i]})
+                    for i in range(lo, min(lo + 1000, n))])
+    col.flush()
+    col.optimize()
+    blocks = [rng.standard_normal((6, d)).astype(np.float32) for _ in range(3)]
+    for flt, fields in ((None, []), ("g != 4", ["g"])):
+        many = col.batch_query_many("v", blocks, topk=5, filter=flt,
+                                    output_fields=fields)
+        assert len(many) == len(blocks)
+        for bi, block in enumerate(blocks):
+            solo = col.batch_query("v", block, topk=5, filter=flt,
+                                   output_fields=fields)
+            for qi in range(block.shape[0]):
+                assert [h.id for h in many[bi][qi]] == [h.id for h in solo[qi]]
+                assert np.allclose([h.score for h in many[bi][qi]],
+                                   [h.score for h in solo[qi]], rtol=1e-5)

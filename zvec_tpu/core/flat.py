@@ -222,11 +222,22 @@ class FlatEngine(VectorIndexEngine):
         mask: Optional[np.ndarray],
         param: Optional[QueryParam],
     ) -> Tuple[np.ndarray, np.ndarray]:
+        return self._search_finalize(self._search_dispatch(queries, topk, mask, param))
+
+    def _search_dispatch(
+        self,
+        queries: np.ndarray,
+        topk: int,
+        mask: Optional[np.ndarray],
+        param: Optional[QueryParam],
+    ):
+        """Enqueue the device scan; host post-processing happens in
+        `_search_finalize` so callers can pipeline query batches."""
         st = self._st  # one consistent snapshot for this query
         nq = queries.shape[0]
         if st.n == 0:
             sims = np.full((nq, topk), -np.inf, dtype=np.float32)
-            return sims, np.full((nq, topk), -1, dtype=np.int64)
+            return ("empty", sims, np.full((nq, topk), -1, dtype=np.int64))
 
         orig_queries = queries
         scan_metric = self.metric
@@ -314,6 +325,21 @@ class FlatEngine(VectorIndexEngine):
                 dequant=st.dequant,
                 int4_packed=st.int4_packed,
             )
+        return (
+            "scan",
+            st,
+            sims,
+            idx,
+            nq,
+            topk,
+            use_refiner,
+            orig_queries,
+        )
+
+    def _search_finalize(self, handle) -> Tuple[np.ndarray, np.ndarray]:
+        if handle[0] == "empty":
+            return handle[1], handle[2]
+        _, st, sims, idx, nq, topk, use_refiner, orig_queries = handle
         sims = np.asarray(sims[:nq])
         idx = np.asarray(idx[:nq]).astype(np.int64)
         oob = idx >= st.n

@@ -162,17 +162,25 @@ class VectorIndexEngine:
     ) -> Tuple[np.ndarray, np.ndarray]:
         raise NotImplementedError
 
-    # ---- public ----
-    def search(
+    def _search_dispatch(
         self,
         queries: np.ndarray,
         topk: int,
-        mask: Optional[np.ndarray] = None,
-        param: Optional[QueryParam] = None,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Batched top-k: returns (similarity (Q,k) desc, local indices (Q,k);
-        invalid slots have index -1)."""
-        self._ensure_fresh()
+        mask: Optional[np.ndarray],
+        param: Optional[QueryParam],
+    ):
+        """Optional two-phase search: enqueue the device program and return an
+        opaque handle for `_search_finalize`, or None if this engine only
+        supports blocking search. Engines that override this let callers
+        pipeline several query batches — upload/dispatch of batch i+1 overlaps
+        device compute of batch i (through the dev tunnel that hides ~40% of
+        the per-batch wall time)."""
+        return None
+
+    def _search_finalize(self, handle) -> Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    def _normalize_query_args(self, queries, mask):
         if getattr(self, "_hamming", False):
             # packed binary queries: keep the uint words intact (a float32
             # cast would corrupt words past 2^24)
@@ -189,12 +197,66 @@ class VectorIndexEngine:
                 mask = np.concatenate([mask, np.zeros(n - len(mask), dtype=bool)])
             else:
                 mask = mask[:n]
+        return queries, mask
+
+    # ---- public ----
+    def search(
+        self,
+        queries: np.ndarray,
+        topk: int,
+        mask: Optional[np.ndarray] = None,
+        param: Optional[QueryParam] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched top-k: returns (similarity (Q,k) desc, local indices (Q,k);
+        invalid slots have index -1)."""
+        self._ensure_fresh()
+        queries, mask = self._normalize_query_args(queries, mask)
         t0 = time.perf_counter()
         out = self._search_impl(queries, topk, mask, param)
         self.stats.search_count += 1
         self.stats.queries_served += queries.shape[0]
         self.stats.total_search_secs += time.perf_counter() - t0
         return out
+
+    def search_async(
+        self,
+        queries: np.ndarray,
+        topk: int,
+        mask: Optional[np.ndarray] = None,
+        param: Optional[QueryParam] = None,
+    ) -> Callable[[], Tuple[np.ndarray, np.ndarray]]:
+        """Dispatch a search and return finalize() -> (sims, idx).
+
+        Engines without a dispatch/finalize split run the search eagerly and
+        return its (already computed) result from finalize — callers get
+        pipelining where the engine supports it and identical semantics
+        everywhere. Engines that override `search` wholesale (sparse: dict
+        queries that must not be float32-cast) take the eager path before any
+        normalization."""
+        if type(self).search is not VectorIndexEngine.search or (
+            type(self)._search_dispatch is VectorIndexEngine._search_dispatch
+        ):
+            out = self.search(queries, topk, mask, param)
+            return lambda: out
+        self._ensure_fresh()
+        queries, mask = self._normalize_query_args(queries, mask)
+        t0 = time.perf_counter()
+        handle = self._search_dispatch(queries, topk, mask, param)
+        if handle is None:
+            out = self._search_impl(queries, topk, mask, param)
+            self.stats.search_count += 1
+            self.stats.queries_served += queries.shape[0]
+            self.stats.total_search_secs += time.perf_counter() - t0
+            return lambda: out
+
+        def finalize():
+            out = self._search_finalize(handle)
+            self.stats.search_count += 1
+            self.stats.queries_served += queries.shape[0]
+            self.stats.total_search_secs += time.perf_counter() - t0
+            return out
+
+        return finalize
 
     # ---- persistence hooks (index-specific auxiliary state, e.g. HNSW graph) ----
     def dump_aux(self, directory: str, prefix: str) -> Dict[str, Any]:

@@ -206,6 +206,31 @@ class Segment:
         doc_ids = np.where(idx >= 0, idx + self.doc_id_start, -1)
         return sims, doc_ids
 
+    def search_async(
+        self,
+        field: str,
+        queries: np.ndarray,
+        topk: int,
+        alive_mask: Optional[np.ndarray] = None,
+        param: Optional[QueryParam] = None,
+    ):
+        """Two-phase search: dispatch now, returns finalize() -> (sims,
+        global doc_ids). Lets callers pipeline several query batches so
+        upload/dispatch overlaps device compute (see
+        VectorIndexEngine.search_async)."""
+        if self.doc_count == 0:
+            out = self.search(field, queries, topk, alive_mask, param)
+            return lambda: out
+        engine = self.engine_for(field)
+        fin = engine.search_async(queries, topk, alive_mask, param)
+
+        def finalize():
+            sims, idx = fin()
+            doc_ids = np.where(idx >= 0, idx + self.doc_id_start, -1)
+            return sims, doc_ids
+
+        return finalize
+
     # ------------- fetch -------------
     def row_by_doc_id(self, doc_id: int) -> Tuple[str, Dict[str, Any], Dict[str, Any]]:
         return self.store.row(doc_id - self.doc_id_start)

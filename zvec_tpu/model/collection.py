@@ -206,6 +206,32 @@ class Collection:
             param=param,
         )
 
+    def batch_query_many(
+        self,
+        field_name: str,
+        blocks,
+        *,
+        topk: int = 10,
+        filter: Optional[str] = None,
+        include_vector: bool = False,
+        output_fields: Optional[List[str]] = None,
+        param=None,
+    ) -> List[List[List[Doc]]]:
+        """Pipelined batched search over several (B, D) query blocks: all
+        blocks' device programs are dispatched before the first result is
+        collected, overlapping upload/dispatch with device compute
+        (sustained-throughput shape). Equivalent to
+        [batch_query(field_name, b, ...) for b in blocks]."""
+        return self._impl.batch_query_many(
+            field_name,
+            blocks,
+            topk=topk,
+            filter_str=filter,
+            include_vector=include_vector,
+            output_fields=output_fields,
+            param=param,
+        )
+
     def group_by_query(
         self,
         vectors: Optional[Union[VectorQuery, List[VectorQuery]]] = None,
