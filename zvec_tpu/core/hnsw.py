@@ -1407,12 +1407,24 @@ class HnswEngine(VectorIndexEngine):
 
     # ------------- search -------------
     def _search_impl(self, queries, topk, mask, param):
+        return self._search_finalize(self._search_dispatch(queries, topk, mask, param))
+
+    def _search_finalize(self, handle):
+        return handle()
+
+    def _search_dispatch(self, queries, topk, mask, param):
+        """Two-phase search (see VectorIndexEngine.search_async): the device
+        program (beam / exact scan) is dispatched here; the returned closure
+        fetches the result and runs host post-processing (rescan safety net,
+        refine/bf16 rescore, score conversions), letting callers overlap the
+        upload+dispatch of the next query batch with device compute."""
         nq = queries.shape[0]
         if self._n == 0:
-            return (
+            out = (
                 np.full((nq, topk), -np.inf, np.float32),
                 np.full((nq, topk), -1, np.int64),
             )
+            return lambda: out
         q_norm2 = None
         if self._mips:
             q_norm2 = (queries.astype(np.float32) ** 2).sum(1)
@@ -1450,9 +1462,9 @@ class HnswEngine(VectorIndexEngine):
             full_mask[: self._n] = True if mask is None else mask
             k = min(topk, self._n)
             if sharded:
-                sims, idx = self._sharded_flat(qpad, full_mask, k)
+                dev_out = self._sharded_flat(qpad, full_mask, k)
             else:
-                sims, idx = blockwise_topk_search(
+                dev_out = blockwise_topk_search(
                     qpad,
                     self._codes,
                     self._search_metric,
@@ -1462,20 +1474,28 @@ class HnswEngine(VectorIndexEngine):
                     dequant=self._dequant,
                     int4_packed=getattr(self, "_int4_packed", False),
                 )
-            sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
+
+            def collect():
+                return (
+                    np.asarray(dev_out[0]),
+                    np.asarray(dev_out[1]).astype(np.int64),
+                )
         elif sharded:
             k = min(topk, self._n)
-            sims, idx = self._search_sharded(qpad, k, mask, ef)
-            sims = np.asarray(sims)[:nq]
-            idx = np.asarray(idx)[:nq].astype(np.int64)
-            if mask is not None:
-                # same filtered-beam safety net as the single-device path
-                fm = np.zeros(self._codes.shape[0], dtype=bool)
-                fm[: self._n] = mask
-                sims, idx = rescan_deficient(
-                    sims, idx, k, mask,
-                    lambda: self._sharded_flat(qpad, fm, k),
-                )
+            dev_out = self._search_sharded(qpad, k, mask, ef)
+
+            def collect():
+                sims = np.asarray(dev_out[0])[:nq]
+                idx = np.asarray(dev_out[1])[:nq].astype(np.int64)
+                if mask is not None:
+                    # same filtered-beam safety net as the single-device path
+                    fm = np.zeros(self._codes.shape[0], dtype=bool)
+                    fm[: self._n] = mask
+                    sims, idx = rescan_deficient(
+                        sims, idx, k, mask,
+                        lambda: self._sharded_flat(qpad, fm, k),
+                    )
+                return sims, idx
         else:
             budget = jnp.int32(
                 min(
@@ -1489,7 +1509,7 @@ class HnswEngine(VectorIndexEngine):
                 fm[: self._n] = mask
                 dmask = jnp.asarray(fm)
             k = min(topk, self._n)
-            sims, idx = hnsw_search(
+            dev_out = hnsw_search(
                 jnp.asarray(qpad),
                 self._codes,
                 self._norms,
@@ -1514,71 +1534,80 @@ class HnswEngine(VectorIndexEngine):
                 # likewise switches bitmap->bloom, `visit_filter.h:39`)
                 visited_bits=0 if self._codes.shape[0] <= (1 << 21) else 21,
             )
-            sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
-            sims, idx = sims[:nq], idx[:nq]  # padding rows must not trigger
-            if mask is not None:  # the rescan below
-                # Filtered-beam safety net: the working candidate set is
-                # ef-capped, so on clustered data a filter excluding the
-                # query's cluster can strand the beam with ZERO filtered
-                # hits (the reference's candidate heap is unbounded and
-                # keeps walking under its scan budget,
-                # `hnsw_algorithm.cc:180-278`). The rescan runs the FULL
-                # padded batch (stable compile shape); the helper scatters
-                # only the deficient real rows.
-                sims, idx = rescan_deficient(
-                    sims, idx, k, mask,
-                    lambda: blockwise_topk_search(
-                        qpad,
-                        self._codes,
-                        self._search_metric,
-                        k,
-                        mask=dmask,
-                        x_sq_norms=self._norms,
-                        dequant=self._dequant,
-                        int4_packed=getattr(self, "_int4_packed", False),
-                    ),
-                )
-        sims, idx = sims[:nq], idx[:nq]  # drop bucket padding (brute branch)
-        if use_refiner:
-            raw_q = queries[:, :-1] if self._mips else queries
-            sims, idx = refine(self._data_fn, raw_q, idx, self.metric, out_topk)
-            idx = idx.astype(np.int64)
-            topk = out_topk
-        elif getattr(self, "_bf16_search", False) and not self._hamming:
-            # bf16 traversal scores -> exact fp32 scores for the returned
-            # hits (cheap: topk rows/query); MIPS converts via IP directly
-            raw_q = queries[:, :-1] if self._mips else queries
-            sims, idx = refine(self._data_fn, raw_q, idx, self.metric, topk)
-            idx = idx.astype(np.int64)
-        elif self._mips:
-            # augmented-L2 similarity -> true inner product:
-            # -l2 = -(||q||^2 + M^2 - 2 ip)  =>  ip = (sim + ||q||^2 + M^2) / 2
-            sims = np.where(
-                idx >= 0,
-                (sims + q_norm2[:, None] + self._mips_max_norm2) / 2.0,
-                sims,
-            )
-        elif self._hamming:
-            sims = sims * 0.25  # ±1 L2 similarity -> -hamming
-        if sims.shape[1] < topk:
-            pad = topk - sims.shape[1]
-            sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
-            idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
-        sims = np.where(idx >= 0, sims, -np.inf)
-        radius = float(getattr(param, "radius", 0.0) or 0.0)
-        if radius > 0.0:
-            # range search: keep results within `radius` of the query
-            # (distance metrics: score <= radius; IP: score >= radius)
-            from ..ops.distance import similarity_to_score
 
-            scores = np.asarray(similarity_to_score(sims, self.metric))
-            if self.metric == MetricType.IP:
-                ok = scores >= radius
-            else:
-                ok = scores <= radius
-            sims = np.where(ok, sims, -np.inf)
-            idx = np.where(ok, idx, -1)
-        return sims, idx
+            def collect():
+                sims = np.asarray(dev_out[0])[:nq]  # padding rows must not
+                idx = np.asarray(dev_out[1])[:nq].astype(np.int64)  # rescan
+                if mask is not None:
+                    # Filtered-beam safety net: the working candidate set is
+                    # ef-capped, so on clustered data a filter excluding the
+                    # query's cluster can strand the beam with ZERO filtered
+                    # hits (the reference's candidate heap is unbounded and
+                    # keeps walking under its scan budget,
+                    # `hnsw_algorithm.cc:180-278`). The rescan runs the FULL
+                    # padded batch (stable compile shape); the helper scatters
+                    # only the deficient real rows.
+                    sims, idx = rescan_deficient(
+                        sims, idx, k, mask,
+                        lambda: blockwise_topk_search(
+                            qpad,
+                            self._codes,
+                            self._search_metric,
+                            k,
+                            mask=dmask,
+                            x_sq_norms=self._norms,
+                            dequant=self._dequant,
+                            int4_packed=getattr(self, "_int4_packed", False),
+                        ),
+                    )
+                return sims, idx
+
+        def finish():
+            sims, idx = collect()
+            sims, idx = sims[:nq], idx[:nq]  # drop bucket padding (brute)
+            out_k = topk
+            if use_refiner:
+                raw_q = queries[:, :-1] if self._mips else queries
+                sims, idx = refine(self._data_fn, raw_q, idx, self.metric, out_topk)
+                idx = idx.astype(np.int64)
+                out_k = out_topk
+            elif getattr(self, "_bf16_search", False) and not self._hamming:
+                # bf16 traversal scores -> exact fp32 scores for the returned
+                # hits (cheap: topk rows/query); MIPS converts via IP directly
+                raw_q = queries[:, :-1] if self._mips else queries
+                sims, idx = refine(self._data_fn, raw_q, idx, self.metric, out_k)
+                idx = idx.astype(np.int64)
+            elif self._mips:
+                # augmented-L2 similarity -> true inner product:
+                # -l2 = -(||q||^2 + M^2 - 2 ip)  =>  ip = (sim + ||q||^2 + M^2) / 2
+                sims = np.where(
+                    idx >= 0,
+                    (sims + q_norm2[:, None] + self._mips_max_norm2) / 2.0,
+                    sims,
+                )
+            elif self._hamming:
+                sims = sims * 0.25  # ±1 L2 similarity -> -hamming
+            if sims.shape[1] < out_k:
+                pad = out_k - sims.shape[1]
+                sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
+                idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+            sims = np.where(idx >= 0, sims, -np.inf)
+            radius = float(getattr(param, "radius", 0.0) or 0.0)
+            if radius > 0.0:
+                # range search: keep results within `radius` of the query
+                # (distance metrics: score <= radius; IP: score >= radius)
+                from ..ops.distance import similarity_to_score
+
+                scores = np.asarray(similarity_to_score(sims, self.metric))
+                if self.metric == MetricType.IP:
+                    ok = scores >= radius
+                else:
+                    ok = scores <= radius
+                sims = np.where(ok, sims, -np.inf)
+                idx = np.where(ok, idx, -1)
+            return sims, idx
+
+        return finish
 
     # ------------- mesh-sharded search -------------
     def _sharded_flat(self, qpad, full_mask: np.ndarray, k: int):
