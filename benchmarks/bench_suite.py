@@ -364,6 +364,18 @@ def stage_fusion():
     total = time.perf_counter() - t_all
     lat_ms = np.array(lats) * 1e3
 
+    # batched fusion: all queries per field in one device dispatch, rerank
+    # on host (the throughput shape — Collection.batch_fused_query)
+    groups = [
+        [VectorQuery("dense", vector=qd[i]), VectorQuery("sparse", vector=qs[i])]
+        for i in range(nq)
+    ]
+    col.batch_fused_query(groups, topk=k, reranker=rr, output_fields=[])  # warm
+    t0 = time.perf_counter()
+    batched = col.batch_fused_query(groups, topk=k, reranker=rr, output_fields=[])
+    batched_total = time.perf_counter() - t0
+    assert all(len(b) == k for b in batched)
+
     # sanity: fused top-k must overlap the dense-only and sparse-only top-k
     dense_only = {h.id for h in col.query(VectorQuery("dense", vector=qd[0]), topk=k)}
     fused_ids = {h.id for h in fused(0)}
@@ -371,6 +383,7 @@ def stage_fusion():
         "n": n, "dim_dense": d, "vocab": vocab, "nnz": nnz,
         "insert_secs": round(insert_s, 1), "build_secs": round(build_s, 1),
         "fused_qps": round(nq / total, 1),
+        "batched_fused_qps": round(nq / batched_total, 1),
         "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
         "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
         "dense_overlap_at_10": len(dense_only & fused_ids),

@@ -283,3 +283,101 @@ def test_fusion_output_count_is_reranker_topn(tmp_path, rng):
         reranker=RrfReRanker(topn=50),
     )
     assert 3 <= len(docs) <= 6  # at most 2*topk uniques
+
+
+def test_batch_fused_query_matches_per_query(tmp_path, rng):
+    """Differential: batch_fused_query == [query(g) for g in groups] on a
+    dense+dense multi-vector collection with both rerankers."""
+    col = zvec_tpu.create_and_open(str(tmp_path / "c"), _schema(2, "bf"))
+    _fill(col, rng, n=60, n_fields=2)
+    groups = [
+        [
+            VectorQuery("v0", vector=rng.standard_normal(D).astype(np.float32)),
+            VectorQuery("v1", vector=rng.standard_normal(D).astype(np.float32)),
+        ]
+        for _ in range(5)
+    ]
+    for rr in (RrfReRanker(topn=7), WeightedReRanker(topn=7, weights={"v0": 2.0})):
+        batched = col.batch_fused_query(groups, topk=8, reranker=rr)
+        serial = [col.query(g, topk=8, reranker=rr) for g in groups]
+        assert len(batched) == len(serial)
+        for b, s in zip(batched, serial):
+            assert [d.id for d in b] == [d.id for d in s]
+            assert [d.score for d in b] == pytest.approx([d.score for d in s])
+
+
+def test_batch_fused_query_dense_sparse(tmp_path, rng):
+    """Differential on the hybrid dense+sparse shape (the fusion bench
+    config): batched fusion must return the per-query results exactly."""
+    schema = CollectionSchema(
+        "fuse",
+        vectors=[
+            VectorSchema("dense", DataType.VECTOR_FP32, D, FlatIndexParam(MetricType.COSINE)),
+            VectorSchema("sparse", DataType.SPARSE_VECTOR_FP32, 0, FlatIndexParam(MetricType.IP)),
+        ],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "c"), schema)
+
+    def rand_sparse():
+        dims = rng.choice(200, 6, replace=False)
+        return {int(a): float(rng.random() + 0.1) for a in dims}
+
+    col.insert(
+        [
+            Doc(
+                id=f"d{i}",
+                vectors={
+                    "dense": rng.standard_normal(D).astype(np.float32),
+                    "sparse": rand_sparse(),
+                },
+            )
+            for i in range(80)
+        ]
+    )
+    col.flush()
+    groups = [
+        [
+            VectorQuery("dense", vector=rng.standard_normal(D).astype(np.float32)),
+            VectorQuery("sparse", vector=rand_sparse()),
+        ]
+        for _ in range(4)
+    ]
+    rr = RrfReRanker(topn=10)
+    batched = col.batch_fused_query(groups, topk=10, reranker=rr, output_fields=[])
+    serial = [col.query(g, topk=10, reranker=rr, output_fields=[]) for g in groups]
+    for b, s in zip(batched, serial):
+        assert [d.id for d in b] == [d.id for d in s]
+        assert [d.score for d in b] == pytest.approx([d.score for d in s])
+
+
+def test_batch_fused_query_single_vector_collection(tmp_path, rng):
+    """Single-vector collections batch too (each group is one VectorQuery)."""
+    col = zvec_tpu.create_and_open(str(tmp_path / "c"), _schema(1, "sv"))
+    _fill(col, rng, n=50, n_fields=1)
+    groups = [
+        [VectorQuery("v0", vector=rng.standard_normal(D).astype(np.float32))]
+        for _ in range(6)
+    ]
+    batched = col.batch_fused_query(groups, topk=5)
+    serial = [col.query(g, topk=5) for g in groups]
+    for b, s in zip(batched, serial):
+        assert [d.id for d in b] == [d.id for d in s]
+
+
+def test_batch_fused_query_with_filter(tmp_path, rng):
+    col = zvec_tpu.create_and_open(str(tmp_path / "c"), _schema(2, "ff"))
+    _fill(col, rng, n=60, n_fields=2)
+    groups = [
+        [
+            VectorQuery("v0", vector=rng.standard_normal(D).astype(np.float32)),
+            VectorQuery("v1", vector=rng.standard_normal(D).astype(np.float32)),
+        ]
+        for _ in range(3)
+    ]
+    rr = RrfReRanker(topn=6)
+    batched = col.batch_fused_query(groups, topk=6, filter="tag = 't1'", reranker=rr)
+    serial = [col.query(g, topk=6, filter="tag = 't1'", reranker=rr) for g in groups]
+    for b, s in zip(batched, serial):
+        assert [d.id for d in b] == [d.id for d in s]
+        for d in b:
+            assert int(d.id[1:]) % 4 == 1

@@ -180,6 +180,74 @@ class QueryExecutor(ABC):
         docs = self._do_execute(ctx, built, impl)
         return self._do_merge_rerank_results(ctx, docs)
 
+    def execute_batch(
+        self, ctxs: List[QueryContext], impl: CollectionImpl
+    ) -> List[List[Doc]]:
+        """Batched fused search: run many (multi-vector) queries in ONE device
+        dispatch per (field, segment), then rerank each query on host.
+
+        The TPU-idiomatic fix for fusion latency: a single fused query costs
+        one device round trip per vector field; batching B queries amortizes
+        that to B rows in the same MXU program. All fields are dispatched
+        before any is finalized, so dense and sparse programs pipeline
+        through the tunnel. Semantically identical to
+        [self.execute(ctx, impl) for ctx in ctxs] (shared topk/filter/output
+        options required — they parameterize the shared device programs).
+        """
+        if not ctxs:
+            return []
+        head = ctxs[0]
+        knobs = (head.topk, head.filter, head.include_vector,
+                 tuple(head.output_fields) if head.output_fields is not None else None)
+        built_groups: List[List[_BuiltQuery]] = []
+        for ctx in ctxs:
+            k = (ctx.topk, ctx.filter, ctx.include_vector,
+                 tuple(ctx.output_fields) if ctx.output_fields is not None else None)
+            if k != knobs:
+                raise ValueError(
+                    "batched fused queries must share topk/filter/"
+                    "include_vector/output_fields"
+                )
+            self._do_validate(ctx)
+            built = self._do_build(ctx, impl)
+            if not built:
+                raise ValueError("No query to execute")
+            built_groups.append(built)
+        # bucket rows per field, remembering which query each row belongs to
+        field_rows: Dict[str, list] = {}
+        field_param: Dict[str, object] = {}
+        for gi, built in enumerate(built_groups):
+            for bq in built:
+                field_rows.setdefault(bq.field_name, []).append((gi, bq.vector))
+                field_param.setdefault(bq.field_name, bq.param)
+        segs = impl._segments_snapshot()
+        dispatches = {}
+        for field, rows in field_rows.items():
+            vs = self._schema.vector(field)
+            if vs.data_type.is_sparse_vector:
+                vecs = [v for _, v in rows]
+            else:
+                vecs = np.stack([v for _, v in rows], axis=0)
+            dispatches[field] = impl._query_field_dispatch(
+                field, vecs, head.topk, head.filter, field_param[field],
+                None, segs,
+            )
+        per_field_docs: Dict[str, List[List[Doc]]] = {}
+        for field, finalize in dispatches.items():
+            sims, ids = finalize()
+            per_field_docs[field] = impl._docs_from_results(
+                sims, ids, self._schema.vector(field), segs,
+                head.include_vector, head.output_fields,
+            )
+        maps: List[Dict[str, List[Doc]]] = [dict() for _ in ctxs]
+        for field, rows in field_rows.items():
+            for row_idx, (gi, _) in enumerate(rows):
+                maps[gi][field] = per_field_docs[field][row_idx]
+        return [
+            self._do_merge_rerank_results(ctx, docs_map)
+            for ctx, docs_map in zip(ctxs, maps)
+        ]
+
 
 class NoVectorQueryExecutor(QueryExecutor):
     """Filter-only scan for schemas without vector fields."""
@@ -190,6 +258,10 @@ class NoVectorQueryExecutor(QueryExecutor):
 
     def _do_build(self, ctx, impl):
         return []
+
+    def execute_batch(self, ctxs, impl):
+        # no device program to batch: filter-only scans run sequentially
+        return [self.execute(ctx, impl) for ctx in ctxs]
 
     def _execute_scan(self, ctx: QueryContext, impl: CollectionImpl) -> List[Doc]:
         if ctx.filter:

@@ -206,6 +206,37 @@ class Collection:
             param=param,
         )
 
+    def batch_fused_query(
+        self,
+        groups: List[List[VectorQuery]],
+        *,
+        topk: int = 10,
+        filter: Optional[str] = None,
+        include_vector: bool = False,
+        output_fields: Optional[List[str]] = None,
+        reranker: Optional[RerankFunction] = None,
+    ) -> List[List[Doc]]:
+        """Batched multi-vector (fusion) search: each element of `groups` is
+        the `vectors` list of one fused query; all queries' rows for a given
+        field ride ONE device dispatch per segment, and per-query reranking
+        (RRF/weighted) happens on host afterwards. Equivalent to
+        [self.query(g, topk=..., reranker=...) for g in groups] but
+        latency-amortized — the TPU-idiomatic face of running many hybrid
+        dense+sparse queries concurrently (no reference analog; its Python
+        surface is one query per call, `query_executor.py:119-307`)."""
+        ctxs = [
+            QueryContext(
+                topk=topk,
+                filter=filter,
+                queries=[g] if isinstance(g, VectorQuery) else g,
+                include_vector=include_vector,
+                output_fields=output_fields,
+                reranker=reranker,
+            )
+            for g in groups
+        ]
+        return self._querier.execute_batch(ctxs, self._impl)
+
     def batch_query_many(
         self,
         field_name: str,
