@@ -288,3 +288,25 @@ def test_hnsw_filtered_cross_cluster(rng):
         got = idx[i][idx[i] >= 0]
         assert len(got) == k, f"query {i}: only {len(got)} filtered hits"
         assert set(got) == set(exp[i]), (got, exp[i])
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
+def test_hnsw_bf16_build_codes(rng, metric, monkeypatch):
+    """ZVEC_BUILD_BF16=1 (the >2M default on TPU): the whole kNN-graph build
+    runs on bf16 device codes via the one-pass exact bf16 matmul path
+    (_exact_dots). Graph quality must hold vs the brute-force oracle."""
+    monkeypatch.setenv("ZVEC_BUILD_BF16", "1")
+    monkeypatch.setenv("ZVEC_HNSW_CLUSTERED", "1")  # exercise the 10M path
+    n, d, k = 9000, 24, 10
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((12, d)).astype(np.float32)
+
+    engine = HnswEngine(metric, d, HnswIndexParam(metric, m=12, ef_construction=80))
+    engine.bind_data(lambda: xs, lambda: 1)
+    sims, idx = engine.search(qs, k, param=HnswQueryParam(ef=128))
+    expect = brute_topk(qs, xs, metric, k)
+    hits = sum(
+        len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(len(qs))
+    )
+    recall = hits / (len(qs) * k)
+    assert recall >= 0.8, f"recall@10 = {recall}"
