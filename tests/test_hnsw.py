@@ -310,3 +310,24 @@ def test_hnsw_bf16_build_codes(rng, metric, monkeypatch):
     )
     recall = hits / (len(qs) * k)
     assert recall >= 0.8, f"recall@10 = {recall}"
+
+
+def test_reverse_candidates_scipy_matches_argsort(rng):
+    """The compiled CSR->CSC reverse-edge grouping must produce exactly the
+    argsort twin's output (same srcs, same order, same cap truncation)."""
+    from zvec_tpu.core.hnsw import (
+        _reverse_candidates,
+        _reverse_candidates_argsort,
+    )
+
+    for n, m, cap in ((500, 12, 8), (200, 6, 16), (64, 4, 4)):
+        adj = rng.integers(0, n, (n, m)).astype(np.int32)
+        adj[rng.random((n, m)) < 0.15] = -1  # padding holes
+        a = _reverse_candidates(adj, cap)
+        b = _reverse_candidates_argsort(adj, cap)
+        np.testing.assert_array_equal(a, b)
+    # empty graph
+    empty = np.full((32, 5), -1, np.int32)
+    np.testing.assert_array_equal(
+        _reverse_candidates(empty, 4), np.full((32, 4), -1, np.int32)
+    )

@@ -53,14 +53,20 @@ def _exact_dots(subscripts, a, b):
     bf16 halves — two passes, exact to the bf16 operand's precision.
     f32 x f32: Precision.HIGHEST (fp32 parity with host oracles, CLAUDE.md).
     """
+    if a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16:
+        return jnp.einsum(subscripts, a, b, preferred_element_type=jnp.float32)
     if b.dtype == jnp.bfloat16:
-        if a.dtype == jnp.bfloat16:
-            return jnp.einsum(subscripts, a, b, preferred_element_type=jnp.float32)
         a_hi = a.astype(jnp.bfloat16)
         a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return jnp.einsum(
             subscripts, a_hi, b, preferred_element_type=jnp.float32
         ) + jnp.einsum(subscripts, a_lo, b, preferred_element_type=jnp.float32)
+    if a.dtype == jnp.bfloat16:
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.einsum(
+            subscripts, a, b_hi, preferred_element_type=jnp.float32
+        ) + jnp.einsum(subscripts, a, b_lo, preferred_element_type=jnp.float32)
     return jnp.einsum(
         subscripts, a, b.astype(jnp.float32) if b.dtype != jnp.float32 else b,
         precision=jax.lax.Precision.HIGHEST,
@@ -371,26 +377,56 @@ def hnsw_search(
     )
 
 
-def _prune_keep(pair, cand_sims, cand_valid, max_out: int):
+def _prune_keep(pair, cand_sims, cand_valid, max_out: int, chunk: int = 16):
     """Shared pairwise-prune loop: keep candidate i (desc-sim order) iff no
     already-kept j dominates it (sim(i, j) >= sim(i, base)); stop at max_out
-    (reference `update_neighbors`, `hnsw_algorithm.cc:394-430`)."""
+    (reference `update_neighbors`, `hnsw_algorithm.cc:394-430`).
+
+    Block-sequential form: candidates are processed `chunk` at a time —
+    conflicts against previously-kept blocks collapse into one (B, G, C)
+    matrix test per block, and the G intra-block decisions unroll inline
+    (no per-candidate loop iteration). Bit-identical keeps to the naive
+    per-candidate fori_loop, which paid ~C loop-latency stalls and measured
+    60% of the whole merge program (31 of 52 ms/step at B=2048, C=200)."""
     b, c = cand_sims.shape
+    c_pad = ((c + chunk - 1) // chunk) * chunk
+    if c_pad != c:
+        pad = c_pad - c
+        pair = jnp.pad(pair, ((0, 0), (0, pad), (0, pad)), constant_values=NEG_INF)
+        cand_sims = jnp.pad(cand_sims, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        cand_valid = jnp.pad(cand_valid, ((0, 0), (0, pad)), constant_values=False)
 
-    def step(i, state):
+    def block_step(t, state):
         keep, count = state
-        conflict = jnp.any(
-            keep & (pair[:, i, :] >= cand_sims[:, i][:, None]) &
-            (jnp.arange(c)[None, :] != i),
-            axis=1,
+        lo = t * chunk
+        pair_blk = jax.lax.dynamic_slice_in_dim(pair, lo, chunk, axis=1)
+        pair_intra = jax.lax.dynamic_slice_in_dim(pair_blk, lo, chunk, axis=2)
+        sims_blk = jax.lax.dynamic_slice_in_dim(cand_sims, lo, chunk, axis=1)
+        valid_blk = jax.lax.dynamic_slice_in_dim(cand_valid, lo, chunk, axis=1)
+        # conflicts vs every candidate kept in EARLIER blocks (keep is still
+        # all-False at this block's own positions, so no self/forward hits)
+        conf = jnp.any(
+            keep[:, None, :] & (pair_blk >= sims_blk[:, :, None]), axis=2
         )
-        good = cand_valid[:, i] & (~conflict) & (count < max_out)
-        keep = keep.at[:, i].set(good)
-        return keep, count + good.astype(jnp.int32)
+        decisions = []
+        for g in range(chunk):
+            good = valid_blk[:, g] & (~conf[:, g]) & (count < max_out)
+            decisions.append(good)
+            count = count + good.astype(jnp.int32)
+            # a kept g dominates any later i in this block with
+            # sim(i, g) >= sim(i, base); marking already-decided slots
+            # (including g itself) is harmless — they are never re-read
+            conf = conf | (good[:, None] & (pair_intra[:, :, g] >= sims_blk))
+        keep = jax.lax.dynamic_update_slice_in_dim(
+            keep, jnp.stack(decisions, axis=1), lo, axis=1
+        )
+        return keep, count
 
-    keep0 = jnp.zeros((b, c), bool)
-    keep, _ = jax.lax.fori_loop(0, c, step, (keep0, jnp.zeros((b,), jnp.int32)))
-    return keep
+    keep0 = jnp.zeros((b, c_pad), bool)
+    keep, _ = jax.lax.fori_loop(
+        0, c_pad // chunk, block_step, (keep0, jnp.zeros((b,), jnp.int32))
+    )
+    return keep[:, :c]
 
 
 def _pairwise_sims(vecs, norms2, metric):
@@ -667,21 +703,8 @@ def select_neighbors_batch(
     else:
         raise ValueError(f"unsupported metric {metric}")
 
-    def step(i, state):
-        keep, count = state
-        # candidate i is good iff for every kept j: sim(i, j) < sim_to_base(i)
-        conflict = jnp.any(
-            keep & (pair[:, i, :] >= cand_sims[:, i][:, None]) &
-            (jnp.arange(c)[None, :] != i),
-            axis=1,
-        )
-        good = cand_valid[:, i] & (~conflict) & (count < max_out)
-        keep = keep.at[:, i].set(good)
-        return keep, count + good.astype(jnp.int32)
-
-    keep0 = jnp.zeros((b, c), bool)
-    keep, _ = jax.lax.fori_loop(0, c, step, (keep0, jnp.zeros((b,), jnp.int32)))
-    return keep
+    # keep candidate i iff no already-kept j has sim(i, j) >= sim_to_base(i)
+    return _prune_keep(pair, cand_sims, cand_valid, max_out)
 
 
 # ---------------------------------------------------------------------------
@@ -950,15 +973,27 @@ def merge_prune_all(
 
 @partial(jax.jit, static_argnames=("block",))
 def _assign_top2_scan(data: jax.Array, cents: jax.Array, *, block: int):
-    from .distance import squared_l2_matrix
-
     nb = data.shape[0] // block
     data_b = data.reshape(nb, block, -1)
+    cnorm2 = jnp.sum(
+        cents.astype(jnp.float32) * cents.astype(jnp.float32), axis=-1
+    )
 
     def body(_, x):
-        d2 = squared_l2_matrix(x, cents)
-        _, idx = jax.lax.top_k(-d2, 2)
-        return None, idx.astype(jnp.int32)
+        # rank-equivalent distance: ||x||^2 is constant per row, so assign by
+        # ||c||^2 - 2 x.c. Pass-minimal dots (bf16 codes: 2 passes) — the
+        # 6-pass HIGHEST f32 matmul was 90% of the assign phase at 2.5M
+        score = cnorm2[None, :] - 2.0 * _exact_dots("nd,kd->nk", x, cents)
+        # double argmin instead of lax.top_k(k=2): top_k lowers to a full
+        # lane sort (measured 0.52s/step at 16384x2000 — far above the
+        # matmul); two VPU min-reductions assign in ~1/10 the time
+        i1 = jnp.argmin(score, axis=1).astype(jnp.int32)
+        s2 = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, score.shape, 1) == i1[:, None],
+            jnp.inf, score,
+        )
+        i2 = jnp.argmin(s2, axis=1).astype(jnp.int32)
+        return None, jnp.stack([i1, i2], axis=1)
 
     _, out = jax.lax.scan(body, None, data_b)
     return out.reshape(nb * block, 2)
