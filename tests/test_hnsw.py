@@ -331,3 +331,38 @@ def test_reverse_candidates_scipy_matches_argsort(rng):
     np.testing.assert_array_equal(
         _reverse_candidates(empty, 4), np.full((32, 4), -1, np.int32)
     )
+
+
+@pytest.mark.parametrize("c,max_out,chunk", [(37, 8, 16), (16, 4, 16), (5, 3, 16), (200, 50, 16), (48, 8, 7)])
+def test_prune_keep_matches_naive(rng, c, max_out, chunk):
+    """The block-sequential dominance prune must keep exactly the same
+    candidates as the naive best-first walk it replaced (reference
+    `update_neighbors`, `hnsw_algorithm.cc:394-430`)."""
+    import jax.numpy as jnp
+
+    from zvec_tpu.ops.hnsw import NEG_INF, _prune_keep
+
+    b = 9
+    pair = rng.normal(size=(b, c, c)).astype(np.float32)
+    pair = (pair + pair.transpose(0, 2, 1)) / 2  # symmetric like real sims
+    sims = -np.sort(-rng.normal(size=(b, c)).astype(np.float32), axis=1)
+    valid = rng.random((b, c)) > 0.2
+    sims[~valid] = NEG_INF
+    # inject exact ties pair[i,j] == sims[i] to pin the >= reject rule
+    pair[0, 3, 1] = pair[0, 1, 3] = sims[0, 3]
+
+    got = np.asarray(
+        _prune_keep(jnp.asarray(pair), jnp.asarray(sims), jnp.asarray(valid),
+                    max_out, chunk=chunk)
+    )
+
+    want = np.zeros((b, c), bool)
+    for bi in range(b):
+        kept = []
+        for i in range(c):
+            if not valid[bi, i] or len(kept) >= max_out:
+                continue
+            if all(pair[bi, i, j] < sims[bi, i] for j in kept):
+                want[bi, i] = True
+                kept.append(i)
+    np.testing.assert_array_equal(got, want)
