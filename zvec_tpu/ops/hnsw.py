@@ -377,7 +377,7 @@ def hnsw_search(
     )
 
 
-def _prune_keep(pair, cand_sims, cand_valid, max_out: int, chunk: int = 16):
+def _prune_keep(pair, cand_sims, cand_valid, max_out: int, chunk: int = 8):
     """Shared pairwise-prune loop: keep candidate i (desc-sim order) iff no
     already-kept j dominates it (sim(i, j) >= sim(i, base)); stop at max_out
     (reference `update_neighbors`, `hnsw_algorithm.cc:394-430`).
@@ -386,8 +386,13 @@ def _prune_keep(pair, cand_sims, cand_valid, max_out: int, chunk: int = 16):
     conflicts against previously-kept blocks collapse into one (B, G, C)
     matrix test per block, and the G intra-block decisions unroll inline
     (no per-candidate loop iteration). Bit-identical keeps to the naive
-    per-candidate fori_loop, which paid ~C loop-latency stalls and measured
-    60% of the whole merge program (31 of 52 ms/step at B=2048, C=200)."""
+    per-candidate fori_loop. Measured on the tunneled v5e inside
+    merge_prune_chunk_out (B=2048, C=200, cosine, 200k codes):
+    naive 85.8 ms/batch at 3.5s compile; chunk=16 77.1 ms at 26.6s compile
+    (the 16-wide unroll inflates REMOTE compile ~8x — a net loss for any
+    build that compiles more programs than it runs merge steps); chunk=8
+    83.1 ms at 6.5s compile; chunk<=4 slower than naive. Default 8 = the
+    balance point."""
     b, c = cand_sims.shape
     c_pad = ((c + chunk - 1) // chunk) * chunk
     if c_pad != c:
