@@ -198,7 +198,10 @@ def stage_measure(col=None):
         "build_secs": read_mark("build").get("secs"),
         "ef": {},
     }
-    for ef in (32, 64, 128, 256):
+    # ef=96 targets the north-star threshold directly: recall@10 crosses
+    # 0.95 between ef=64 (0.924) and ef=128 (0.9605) — the interpolated
+    # point reports the QPS the metric actually asks for
+    for ef in (32, 64, 96, 128, 256):
         p = HnswQueryParam(ef=ef)
         # warm with the SAME query-batch shape we time (compile outside timing)
         col.batch_query("vec", Q, topk=K, output_fields=[], param=p)

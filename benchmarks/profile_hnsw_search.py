@@ -211,6 +211,13 @@ def main():
     results = {}
 
     def run(name, **kw):
+        try:
+            _run(name, **kw)
+        except Exception as e:  # HBM OOM on a fat variant: record and move on
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            log(f"{name}: FAILED {type(e).__name__}")
+
+    def _run(name, **kw):
         fn = jax.jit(partial(
             beam_variant, metric=eng._search_metric, ef=EF, topk=TOPK,
             **kw,
