@@ -23,6 +23,11 @@ from functools import partial
 
 import numpy as np
 
+if os.environ.get("PROF_CPU") == "1":  # small-N smoke runs off-TPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
