@@ -1554,10 +1554,11 @@ class HnswEngine(VectorIndexEngine):
                 metric=self._search_metric,
                 ef=ef,
                 topk=k,
-                max_steps=ef + 64,
+                max_steps=ef + int(os.environ.get("ZVEC_HNSW_STEPS_SLACK", "64")),
                 num_levels=self._dev["num_levels"],
                 int4_packed=getattr(self, "_int4_packed", False),
-                frontier=4,  # 4-way beam: ~4x fewer sequential steps
+                # 4-way beam: ~4x fewer sequential steps (A/B via env)
+                frontier=int(os.environ.get("ZVEC_HNSW_FRONTIER", "4")),
                 # exact visited bitset is n_pad/8 bytes PER QUERY — 1.28GB
                 # for a 1024-query batch at 10M rows (the r2 measure OOM);
                 # hash at scale like the build path (reference VisitFilter
@@ -1692,9 +1693,9 @@ class HnswEngine(VectorIndexEngine):
             metric=self._search_metric,
             ef=ef,
             topk=k,
-            max_steps=ef + 64,
+            max_steps=ef + int(os.environ.get("ZVEC_HNSW_STEPS_SLACK", "64")),
             num_levels=dev["num_levels"],
-            frontier=4,
+            frontier=int(os.environ.get("ZVEC_HNSW_FRONTIER", "4")),
             int4_packed=getattr(self, "_int4_packed", False),
             visited_bits=0 if R <= (1 << 21) else 21,  # per-shard row space
         )

@@ -218,15 +218,24 @@ def _beam_core(
     )[:, 0]
 
     # Working result set is ef-wide (classic HNSW W); final answer slices topk.
+    # When unfiltered and ef >= topk the result set is PROVABLY identical to
+    # the candidate set (both are the running top-ef of every scored node), so
+    # the per-step result merge (a second top_k over ef + F*M0 plus gathers)
+    # is elided entirely and candidates stand in for results.
     kw = max(ef, topk)
-    res_s = jnp.full((nq, kw), NEG_INF, jnp.float32)
-    res_i = jnp.full((nq, kw), -1, jnp.int32)
-    if mask is not None:
-        entry_ok = mask[entry_ids]
+    track_res = mask is not None or topk > ef
+    if track_res:
+        res_s = jnp.full((nq, kw), NEG_INF, jnp.float32)
+        res_i = jnp.full((nq, kw), -1, jnp.int32)
+        if mask is not None:
+            entry_ok = mask[entry_ids]
+        else:
+            entry_ok = jnp.ones((nq,), bool)
+        res_s = res_s.at[:, 0].set(jnp.where(entry_ok, entry_sim, NEG_INF))
+        res_i = res_i.at[:, 0].set(jnp.where(entry_ok, entry_ids, -1))
     else:
-        entry_ok = jnp.ones((nq,), bool)
-    res_s = res_s.at[:, 0].set(jnp.where(entry_ok, entry_sim, NEG_INF))
-    res_i = res_i.at[:, 0].set(jnp.where(entry_ok, entry_ids, -1))
+        res_s = jnp.zeros((nq, 0), jnp.float32)
+        res_i = jnp.zeros((nq, 0), jnp.int32)
 
     cand_s = jnp.full((nq, ef), NEG_INF, jnp.float32).at[:, 0].set(entry_sim)
     cand_i = jnp.full((nq, ef), -1, jnp.int32).at[:, 0].set(entry_ids)
@@ -262,8 +271,12 @@ def _beam_core(
         # 2. termination: candidates exhausted, or best candidate cannot beat
         #    the worst result when full (`main_dist > topk[0].second`), or
         #    scan budget hit (`reach_scan_limit`)
-        res_min = res_s[:, -1]
-        res_full = res_i[:, -1] >= 0
+        if track_res:
+            res_min = res_s[:, -1]
+            res_full = res_i[:, -1] >= 0
+        else:  # candidates ARE the results (see kw comment above)
+            res_min = cand_s[:, -1]
+            res_full = cand_i[:, -1] >= 0
         newly_done = (
             (~has_avail)
             | (res_full & (best_sim < res_min))
@@ -287,21 +300,26 @@ def _beam_core(
 
         # 4b. intra-step dedup (two frontier nodes may share a neighbor; the
         #     bitset scatter-add below requires unique bit positions per row
-        #     — dedup on the visit index so hashed collisions also collapse)
+        #     — dedup on the visit index so hashed collisions also collapse).
+        #     One 2-operand sort and STAY in sorted order: everything
+        #     downstream is elementwise over the step axis or an order-free
+        #     top_k merge, so no inverse permutation is ever needed.
         vix = _visit_index(nbrs_safe, visited_bits)
         if frontier > 1 or visited_bits > 0:
-            order = jnp.argsort(jnp.where(valid, vix, 2**30), axis=1)
-            sorted_ids = jnp.take_along_axis(vix, order, 1)
+            key = jnp.where(valid, vix, jnp.int32(2**30))
+            key_sorted, nbrs_sorted = jax.lax.sort(
+                (key, nbrs_safe), dimension=1, num_keys=1
+            )
             dup_sorted = jnp.concatenate(
                 [
                     jnp.zeros((nbrs.shape[0], 1), bool),
-                    sorted_ids[:, 1:] == sorted_ids[:, :-1],
+                    key_sorted[:, 1:] == key_sorted[:, :-1],
                 ],
                 axis=1,
             )
-            inv = jnp.argsort(order, axis=1)
-            dup = jnp.take_along_axis(dup_sorted, inv, 1)
-            valid = valid & ~dup
+            valid = (key_sorted < 2**30) & ~dup_sorted
+            nbrs_safe = nbrs_sorted
+            vix = jnp.where(valid, key_sorted, _visit_index(nbrs_sorted, visited_bits))
 
         # 5. visited test + set (bitset; disjoint bits of unique fresh ids
         #    let scatter-add act as scatter-or)
@@ -332,23 +350,27 @@ def _beam_core(
         cand_i = jnp.where(active[:, None], new_i, cand_i)
         cand_x = jnp.where(active[:, None], new_x, cand_x)
 
-        # 8. merge into results (filter applied at insert)
-        if mask is not None:
-            rsims = jnp.where(mask[nbrs_safe] & fresh, sims, NEG_INF)
-        else:
-            rsims = sims
-        rids = jnp.where(rsims > NEG_INF / 2, nbrs_safe, -1)
-        r_all_s = jnp.concatenate([res_s, rsims], axis=1)
-        r_all_i = jnp.concatenate([res_i, rids], axis=1)
-        nr_s, rsel = jax.lax.top_k(r_all_s, res_s.shape[1])
-        nr_i = jnp.take_along_axis(r_all_i, rsel, 1)
-        res_s = jnp.where(active[:, None], nr_s, res_s)
-        res_i = jnp.where(active[:, None], nr_i, res_i)
+        # 8. merge into results (filter applied at insert); elided when
+        #    unfiltered with ef >= topk — candidates already hold the answer
+        if track_res:
+            if mask is not None:
+                rsims = jnp.where(mask[nbrs_safe] & fresh, sims, NEG_INF)
+            else:
+                rsims = sims
+            rids = jnp.where(rsims > NEG_INF / 2, nbrs_safe, -1)
+            r_all_s = jnp.concatenate([res_s, rsims], axis=1)
+            r_all_i = jnp.concatenate([res_i, rids], axis=1)
+            nr_s, rsel = jax.lax.top_k(r_all_s, res_s.shape[1])
+            nr_i = jnp.take_along_axis(r_all_i, rsel, 1)
+            res_s = jnp.where(active[:, None], nr_s, res_s)
+            res_i = jnp.where(active[:, None], nr_i, res_i)
 
         return (res_s, res_i, cand_s, cand_i, cand_x, visited, scanned, done, step + 1)
 
     state = (res_s, res_i, cand_s, cand_i, cand_x, visited, scanned, done, jnp.int32(0))
-    res_s, res_i, *_ = jax.lax.while_loop(cond, body, state)
+    res_s, res_i, cand_s, cand_i, *_ = jax.lax.while_loop(cond, body, state)
+    if not track_res:
+        res_s, res_i = cand_s, cand_i
     res_s, res_i = res_s[:, :topk], res_i[:, :topk]
     res_i = jnp.where(res_s > NEG_INF / 2, res_i, -1)
     return res_s, res_i
