@@ -261,12 +261,20 @@ def main():
     # 10M HNSW end-to-end (benchmarks/bench_10m_hnsw.py) — measured through
     # the public Collection API on this chip; surfaced so the driver records
     # the north-star figure (BASELINE.json: qps at recall@10 >= 0.95 on 10M)
-    hnsw10m = os.environ.get("H2H10M_DIR", "/tmp/h2h10m") + "/results.json"
-    if not os.path.exists(hnsw10m):  # committed copy survives /tmp wipes
-        hnsw10m = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "benchmarks", "h2h10m_results.json",
-        )
+    committed_10m = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "h2h10m_results.json",
+    )
+    if "H2H10M_DIR" in os.environ:
+        hnsw10m = os.environ["H2H10M_DIR"] + "/results.json"
+    else:
+        # newest wins: a stale /tmp workdir must not shadow a fresher
+        # committed measurement (or vice versa)
+        cands = [
+            p for p in ("/tmp/h2h10m/results.json", committed_10m)
+            if os.path.exists(p)
+        ]
+        hnsw10m = max(cands, key=os.path.getmtime) if cands else committed_10m
     if os.path.exists(hnsw10m):
         try:
             detail["hnsw_10M_collection_api"] = json.load(open(hnsw10m))
