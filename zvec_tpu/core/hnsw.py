@@ -479,7 +479,10 @@ class HnswEngine(VectorIndexEngine):
         n, d = data.shape
         _kk = __import__("os").environ.get("ZVEC_HNSW_KNN_K")
         if _kk:
-            knn_k = min(knn_k, int(_kk))
+            # authoritative override (may RAISE the large-n 127 default:
+            # k>127 routes off the Pallas kernel onto the blockwise scan,
+            # so the Pallas lane cap no longer binds)
+            knn_k = min(int(_kk), self.ef_construction, n - 1)
         _forced = __import__("os").environ.get("ZVEC_HNSW_CLUSTERED") == "1"
         # (forced-clustered keeps layers >= 4096 on the device clustered
         # path — its test coverage — but the clustered branch itself
@@ -491,12 +494,22 @@ class HnswEngine(VectorIndexEngine):
             # under pressure — observed twice at the 150k upper levels). A
             # few thousand rows are seconds of host BLAS.
             return self._knn_layer_host(data, norms2, max_out, knn_k=knn_k)
-        # Pallas kernel caps topk at 128 lanes. ZVEC_HNSW_NO_PALLAS=1 falls
-        # back to the blockwise approx_max_k scan — a much smaller program
-        # for the remote compile helper (the k=127 unrolled-extraction kernel
-        # got the helper OOM-SIGKILLed twice at 1M on 2026-08-18)
+        # Past a few million rows the full exact scan is HBM-infeasible
+        # (corpus re-read per query batch); switch to cluster-local exact
+        # candidates. ZVEC_HNSW_CLUSTERED=1 forces it (tests).
+        _forced = __import__("os").environ.get("ZVEC_HNSW_CLUSTERED") == "1"
+        clustered = n >= 4096 and ((is_tpu() and n > 2_000_000) or _forced)
+        # Pallas kernel caps topk at 128 lanes, and on the EXACT path its
+        # k=127 unrolled-extraction program over the full corpus
+        # OOM-SIGKILLs the axon remote-compile helper at >=1M-row shapes
+        # (reproduced 2026-08-18) — so past 512k rows the exact scan
+        # defaults to the blockwise approx_max_k fallback (a much smaller
+        # program; measured 400s for the full 1M exact build). The clustered
+        # path's scans are bucket-local and keep the fused kernel.
+        # ZVEC_HNSW_NO_PALLAS=1 forces the fallback at any size.
         use_pallas = (
             knn_k <= 127
+            and not (is_tpu() and n > 524_288 and not clustered)
             and __import__("os").environ.get("ZVEC_HNSW_NO_PALLAS") != "1"
         )
         if not is_tpu():
@@ -533,14 +546,6 @@ class HnswEngine(VectorIndexEngine):
 
         B = 2048 if knn_k <= 255 else 1024  # bound the (B, C, C) prune buffer
         metric = self._search_metric
-
-        # Past a few million rows the full exact scan is HBM-infeasible
-        # (corpus re-read per query batch); switch to cluster-local exact
-        # candidates. ZVEC_HNSW_CLUSTERED=1 forces it (tests).
-        _forced = __import__("os").environ.get("ZVEC_HNSW_CLUSTERED") == "1"
-        clustered = n >= 4096 and (
-            (is_tpu() and n > 2_000_000) or _forced
-        )
 
         nb = (n + B - 1) // B
         rows_mat = np.empty((nb, B), np.int32)
