@@ -497,7 +497,6 @@ class HnswEngine(VectorIndexEngine):
         # Past a few million rows the full exact scan is HBM-infeasible
         # (corpus re-read per query batch); switch to cluster-local exact
         # candidates. ZVEC_HNSW_CLUSTERED=1 forces it (tests).
-        _forced = __import__("os").environ.get("ZVEC_HNSW_CLUSTERED") == "1"
         clustered = n >= 4096 and ((is_tpu() and n > 2_000_000) or _forced)
         # Pallas kernel caps topk at 128 lanes, and on the EXACT path its
         # k=127 unrolled-extraction program over the full corpus
