@@ -1829,10 +1829,21 @@ def _host_prune_compact(
         else:
             pair = pd
         b = hi - lo
+        # alpha-relaxed dominance threshold (host twin of ops.hnsw
+        # _prune_thresh — keep the two in lockstep)
+        alpha = float(os.environ.get("ZVEC_HNSW_PRUNE_ALPHA", "1.0"))
+        if alpha == 1.0:
+            th = base_s
+        elif metric == MetricType.L2:
+            th = base_s * np.float32(1.0 / (alpha * alpha))
+        elif metric == MetricType.COSINE:
+            th = (1.0 - (1.0 - base_s) / alpha).astype(np.float32)
+        else:
+            th = base_s
         keep = np.zeros((b, C), bool)
         count = np.zeros(b, np.int32)
         for i in range(C):
-            conflict = (keep & (pair[:, i, :] >= base_s[:, i, None])).any(axis=1)
+            conflict = (keep & (pair[:, i, :] >= th[:, i, None])).any(axis=1)
             good = valid[:, i] & ~conflict & (count < max_out)
             keep[:, i] = good
             count += good

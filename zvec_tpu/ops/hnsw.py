@@ -399,9 +399,37 @@ def hnsw_search(
     )
 
 
-def _prune_keep(pair, cand_sims, cand_valid, max_out: int, chunk: int = 8):
+def _prune_thresh(cand_sims, metric):
+    """Dominance threshold per candidate, with optional Vamana-style alpha
+    relaxation (DiskANN robust prune): candidate i conflicts with kept j iff
+    d(i, j) <= d(i, base) / alpha. alpha > 1 keeps longer/more diverse edges
+    — the known fix for recall plateaus on hubness-heavy (gaussian-like)
+    data. ZVEC_HNSW_PRUNE_ALPHA (default 1.0 = the reference's exact rule,
+    `hnsw_algorithm.cc:394-430`) is read at TRACE time: set it before the
+    build process compiles (stale jit caches keep the old alpha within a
+    process). L2 sims are -d^2 so the rule scales by 1/alpha^2; COSINE sims
+    are cos so the 1-cos distance transforms affinely; IP has no distance
+    form (dense IP builds run in MIPS-augmented L2 space anyway) — alpha is
+    ignored there."""
+    import os as _os
+
+    alpha = float(_os.environ.get("ZVEC_HNSW_PRUNE_ALPHA", "1.0"))
+    if alpha == 1.0:
+        return cand_sims
+    if metric == MetricType.L2:
+        return cand_sims * (1.0 / (alpha * alpha))
+    if metric == MetricType.COSINE:
+        return 1.0 - (1.0 - cand_sims) / alpha
+    return cand_sims
+
+
+def _prune_keep(
+    pair, cand_sims, cand_valid, max_out: int, chunk: int = 8, metric=None
+):
     """Shared pairwise-prune loop: keep candidate i (desc-sim order) iff no
-    already-kept j dominates it (sim(i, j) >= sim(i, base)); stop at max_out
+    already-kept j dominates it (sim(i, j) >= thresh(i), where thresh
+    defaults to sim(i, base) — see _prune_thresh for the alpha-relaxed
+    form); stop at max_out
     (reference `update_neighbors`, `hnsw_algorithm.cc:394-430`).
 
     Block-sequential form: candidates are processed `chunk` at a time —
@@ -415,12 +443,14 @@ def _prune_keep(pair, cand_sims, cand_valid, max_out: int, chunk: int = 8):
     build that compiles more programs than it runs merge steps); chunk=8
     83.1 ms at 6.5s compile; chunk<=4 slower than naive. Default 8 = the
     balance point."""
+    thresh = _prune_thresh(cand_sims, metric) if metric is not None else cand_sims
     b, c = cand_sims.shape
     c_pad = ((c + chunk - 1) // chunk) * chunk
     if c_pad != c:
         pad = c_pad - c
         pair = jnp.pad(pair, ((0, 0), (0, pad), (0, pad)), constant_values=NEG_INF)
         cand_sims = jnp.pad(cand_sims, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        thresh = jnp.pad(thresh, ((0, 0), (0, pad)), constant_values=NEG_INF)
         cand_valid = jnp.pad(cand_valid, ((0, 0), (0, pad)), constant_values=False)
 
     def block_step(t, state):
@@ -428,12 +458,12 @@ def _prune_keep(pair, cand_sims, cand_valid, max_out: int, chunk: int = 8):
         lo = t * chunk
         pair_blk = jax.lax.dynamic_slice_in_dim(pair, lo, chunk, axis=1)
         pair_intra = jax.lax.dynamic_slice_in_dim(pair_blk, lo, chunk, axis=2)
-        sims_blk = jax.lax.dynamic_slice_in_dim(cand_sims, lo, chunk, axis=1)
+        th_blk = jax.lax.dynamic_slice_in_dim(thresh, lo, chunk, axis=1)
         valid_blk = jax.lax.dynamic_slice_in_dim(cand_valid, lo, chunk, axis=1)
         # conflicts vs every candidate kept in EARLIER blocks (keep is still
         # all-False at this block's own positions, so no self/forward hits)
         conf = jnp.any(
-            keep[:, None, :] & (pair_blk >= sims_blk[:, :, None]), axis=2
+            keep[:, None, :] & (pair_blk >= th_blk[:, :, None]), axis=2
         )
         decisions = []
         for g in range(chunk):
@@ -441,9 +471,9 @@ def _prune_keep(pair, cand_sims, cand_valid, max_out: int, chunk: int = 8):
             decisions.append(good)
             count = count + good.astype(jnp.int32)
             # a kept g dominates any later i in this block with
-            # sim(i, g) >= sim(i, base); marking already-decided slots
+            # sim(i, g) >= thresh(i); marking already-decided slots
             # (including g itself) is harmless — they are never re-read
-            conf = conf | (good[:, None] & (pair_intra[:, :, g] >= sims_blk))
+            conf = conf | (good[:, None] & (pair_intra[:, :, g] >= th_blk))
         keep = jax.lax.dynamic_update_slice_in_dim(
             keep, jnp.stack(decisions, axis=1), lo, axis=1
         )
@@ -590,7 +620,7 @@ def hnsw_build_select(
     vecs = codes[safe]
     nrm2 = norms[safe]
     pair = _pairwise_sims(vecs, nrm2, metric)
-    keep = _prune_keep(pair, m_s, valid, max_out)
+    keep = _prune_keep(pair, m_s, valid, max_out, metric=metric)
     sel_ids, sel_sims = _compact_keep(keep, m_i, m_s, max_out)
     return sel_ids, sel_sims, l0_nbrs, upper_nbrs
 
@@ -633,7 +663,7 @@ def upper_forward_select(
     vecs = mcodes[r]
     nrm2 = mn2[r]
     pair = _pairwise_sims(vecs, nrm2, metric)
-    keep = _prune_keep(pair, s, valid, max_out)
+    keep = _prune_keep(pair, s, valid, max_out, metric=metric)
     sel_rows, sel_sims = _compact_keep(keep, r, s, max_out)
     return sel_rows, sel_sims
 
@@ -674,7 +704,7 @@ def prune_rows(
     vecs = codes[jnp.clip(ids_s, 0)]
     nrm2 = norms[jnp.clip(ids_s, 0)]
     pair = _pairwise_sims(vecs, nrm2, metric)
-    keep = _prune_keep(pair, sims_s, valid_s, max_out)
+    keep = _prune_keep(pair, sims_s, valid_s, max_out, metric=metric)
     sel_ids, _ = _compact_keep(keep, ids_s, sims_s, max_out)
     return sel_ids
 
@@ -731,7 +761,7 @@ def select_neighbors_batch(
         raise ValueError(f"unsupported metric {metric}")
 
     # keep candidate i iff no already-kept j has sim(i, j) >= sim_to_base(i)
-    return _prune_keep(pair, cand_sims, cand_valid, max_out)
+    return _prune_keep(pair, cand_sims, cand_valid, max_out, metric=metric)
 
 
 # ---------------------------------------------------------------------------
@@ -788,7 +818,7 @@ def prune_scored(
     nrm2 = norms2[safe]
     pair = _pairwise_sims(vecs, nrm2, metric)
     sims = jnp.where(valid, cand_sims, NEG_INF)
-    keep = _prune_keep(pair, sims, valid, max_out)
+    keep = _prune_keep(pair, sims, valid, max_out, metric=metric)
     ids_c, _ = _compact_keep_backfill(keep, valid, cand_ids, sims, max_out)
     if ids_c.shape[1] < max_out:  # fewer candidates than out-degree
         ids_c = jnp.pad(
@@ -880,7 +910,7 @@ def merge_prune_step(
     nrm_o = jnp.take_along_axis(nrm2, order, 1)
     pair = _pairwise_sims(vecs_o, nrm_o, metric)
     sims_o = jnp.where(valid_o, sims_o, NEG_INF)
-    keep = _prune_keep(pair, sims_o, valid_o, max_out)
+    keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric)
     ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
     if ids_c.shape[1] < max_out:
         ids_c = jnp.pad(
@@ -975,7 +1005,7 @@ def merge_prune_all(
         valid_o = valid_o & ~_dup_mask(ids_o)
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
-        keep = _prune_keep(pair, sims_o, valid_o, max_out)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric)
         ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
@@ -1077,7 +1107,7 @@ def merge_prune_chunk_out(
         valid_o = valid_o & ~_dup_mask(ids_o)
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
-        keep = _prune_keep(pair, sims_o, valid_o, max_out)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric)
         ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
@@ -1141,7 +1171,7 @@ def nn_descent_round(
         valid_o = valid_o & ~_dup_mask(ids_o)
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
-        keep = _prune_keep(pair, sims_o, valid_o, max_out)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric)
         ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
@@ -1188,7 +1218,7 @@ def merge_prune_batch_out(
         valid_o = valid_o & ~_dup_mask(ids_o)
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
-        keep = _prune_keep(pair, sims_o, valid_o, max_out)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric)
         ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
