@@ -390,3 +390,46 @@ def test_batch_query_many_matches_batch_query(tmp_path, rng):
                 assert [h.id for h in many[bi][qi]] == [h.id for h in solo[qi]]
                 assert np.allclose([h.score for h in many[bi][qi]],
                                    [h.score for h in solo[qi]], rtol=1e-5)
+
+
+def test_insert_batch_statuses_order_and_intrabatch_dup(coll, rng):
+    """The bulk-insert fast path must keep per-doc semantics: statuses in
+    input order, duplicate pks INSIDE one batch rejected, invalid docs
+    rejected without blocking the rest of the batch."""
+    docs, vecs = make_docs(rng, 6)
+    bad = Doc(id="badvec", vectors={"emb": vecs[0][:5]})  # wrong dimension
+    dup = Doc(id="doc2", vectors={"emb": vecs[2]})  # duplicates docs[2]
+    batch = docs[:3] + [bad, dup] + docs[3:]
+    statuses = coll.insert(batch)
+    assert [s.is_ok() for s in statuses] == [True, True, True, False, False, True, True, True]
+    assert statuses[3].code == StatusCode.INVALID_ARGUMENT
+    assert statuses[4].code == StatusCode.ALREADY_EXISTS
+    assert coll.stats.doc_count == 6
+    # accepted docs are all searchable with exact self-match
+    for i in range(6):
+        r = coll.query(VectorQuery("emb", vector=vecs[i]), topk=1)
+        assert r[0].id == f"doc{i}"
+
+
+def test_insert_batch_rotation_boundary_and_recovery(tmp_path, rng):
+    """One insert batch larger than max_doc_count_per_segment must rotate
+    mid-batch, keep consecutive doc ids, and recover losslessly from the WAL
+    (no flush) across close/reopen."""
+    schema = CollectionSchema(
+        "rot",
+        vectors=[VectorSchema("emb", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.L2))],
+        max_doc_count_per_segment=5,
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "rot"), schema)
+    vecs = rng.standard_normal((13, 8)).astype(np.float32)
+    statuses = c.insert([Doc(id=f"r{i}", vectors={"emb": vecs[i]}) for i in range(13)])
+    assert all(s.is_ok() for s in statuses)
+    assert c.stats.doc_count == 13
+    c._impl.close()
+    c2 = zvec_tpu.open(str(tmp_path / "rot"))
+    assert c2.stats.doc_count == 13
+    for i in (0, 4, 5, 9, 12):  # spans all three segments
+        r = c2.query(VectorQuery("emb", vector=vecs[i]), topk=1)
+        assert r[0].id == f"r{i}"
+        assert r[0].score == pytest.approx(0.0, abs=1e-4)
+    c2._impl.close()

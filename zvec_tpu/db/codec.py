@@ -81,6 +81,10 @@ _VEC_DTYPES = {
 }
 _DTYPE_TO_ARR = {np.dtype(v): k for k, v in _ARR_DTYPES.items()}
 _DTYPE_TO_VEC = {np.dtype(v): k for k, v in _VEC_DTYPES.items()}
+# dtypes that default to the ARRAY tag unless the caller marks them a vector
+_AMBIGUOUS_VEC_DTYPES = frozenset(
+    {np.dtype(np.float64), np.dtype(np.uint32), np.dtype(np.uint64)}
+)
 
 
 def _write_varint(buf: bytearray, value: int) -> None:
@@ -118,8 +122,12 @@ def _unzigzag(v: int) -> int:
 
 def _write_str(buf: bytearray, s: str) -> None:
     raw = s.encode("utf-8")
-    _write_varint(buf, len(raw))
-    buf.extend(raw)
+    n = len(raw)
+    if n < 0x80:
+        buf.append(n)
+    else:
+        _write_varint(buf, n)
+    buf += raw
 
 
 def _read_str(data: memoryview, pos: int) -> Tuple[str, int]:
@@ -182,11 +190,7 @@ def _encode_array(buf: bytearray, arr: np.ndarray, is_vector: bool = False) -> N
     if (
         dt in _DTYPE_TO_VEC
         and arr.ndim == 1
-        and (
-            is_vector
-            or dt
-            not in (np.dtype(np.float64), np.dtype(np.uint32), np.dtype(np.uint64))
-        )
+        and (is_vector or dt not in _AMBIGUOUS_VEC_DTYPES)
     ):
         tag = _DTYPE_TO_VEC[dt]
     elif dt in _DTYPE_TO_ARR:
@@ -198,9 +202,12 @@ def _encode_array(buf: bytearray, arr: np.ndarray, is_vector: bool = False) -> N
         arr = arr.astype(np.float64)
         tag = _T_ARR_F64
     buf.append(tag)
-    raw = np.ascontiguousarray(arr).tobytes()
-    _write_varint(buf, arr.shape[0])
-    buf.extend(raw)
+    n = arr.shape[0]
+    if n < 0x80:
+        buf.append(n)
+    else:
+        _write_varint(buf, n)
+    buf += arr.tobytes()  # tobytes() is C-order regardless of layout
 
 
 def _encode_sparse(buf: bytearray, value: Dict[int, float]) -> None:
@@ -270,7 +277,13 @@ def encode_record(
 ) -> bytes:
     buf = bytearray()
     buf.append(op)
-    _write_str(buf, pk)
+    raw_pk = pk.encode("utf-8")
+    if len(raw_pk) < 0x80:  # inlined _write_str fast path (hot insert loop)
+        buf.append(len(raw_pk))
+        buf += raw_pk
+    else:
+        _write_varint(buf, len(raw_pk))
+        buf += raw_pk
     fields = fields or {}
     vectors = vectors or {}
     _write_varint(buf, len(fields))
@@ -282,9 +295,11 @@ def encode_record(
         _write_str(buf, name)
         if isinstance(value, dict):
             _encode_sparse(buf, value)
-        else:
+        elif type(value) is np.ndarray:
             # vectors persist in their schema storage dtype (fp64 stays fp64 —
             # _T_VEC_F64; reference stores VECTOR_FP64 full-width)
+            _encode_array(buf, value, is_vector=True)
+        else:
             _encode_array(buf, np.asarray(value), is_vector=True)
     return bytes(buf)
 

@@ -271,6 +271,8 @@ class CollectionImpl:
             return [mem_err for _ in docs]
         statuses: List[Status] = []
         partial = op == codec.OP_UPDATE
+        if op == codec.OP_INSERT:
+            return self._insert_batch_fast(docs)
         with self._lock:
             to_sync = False
             for doc in docs:
@@ -303,6 +305,57 @@ class CollectionImpl:
                 else:
                     self._apply_upsert(pk, fields, vectors)
                 statuses.append(Status.ok())
+            if to_sync:
+                self.writing.wal_sync()
+        return statuses
+
+    def _insert_batch_fast(self, docs: Sequence[Doc]) -> List[Status]:
+        """OP_INSERT fast path: validate per doc, then WAL-log + apply the
+        accepted docs in rotation-bounded groups (one forward-store slice and
+        one idmap bulk upsert per group instead of per-doc python work).
+        Per-doc semantics match the generic loop exactly: statuses keep input
+        order, intra-batch duplicate pks fail ALREADY_EXISTS, rotation happens
+        only between docs, and a doc's WAL record always lands in the segment
+        that receives it."""
+        statuses: List[Optional[Status]] = [None] * len(docs)
+        with self._lock:
+            accepted = []  # (input slot, pk, fields, vectors)
+            seen = set()
+            for i, doc in enumerate(docs):
+                fields, vectors, st = validate_doc(self.schema, doc)
+                if not st:
+                    statuses[i] = st
+                    continue
+                pk = doc.id
+                if pk in seen or self.idmap.has(pk):
+                    statuses[i] = Status.error(
+                        StatusCode.ALREADY_EXISTS, f"pk '{pk}' already exists"
+                    )
+                    continue
+                seen.add(pk)
+                accepted.append((i, pk, fields, vectors))
+            pos = 0
+            to_sync = False
+            max_per_seg = self.schema.max_doc_count_per_segment
+            encode = codec.encode_record
+            while pos < len(accepted):
+                self._maybe_rotate()
+                cap = max(1, max_per_seg - self.writing.doc_count)
+                group = accepted[pos : pos + cap]
+                pos += len(group)
+                append_wal = self.writing.append_wal
+                for _, pk, fields, vectors in group:
+                    append_wal(encode(codec.OP_INSERT, pk, fields, vectors))
+                to_sync = True
+                pks = [g[1] for g in group]
+                doc_id = self.writing.apply_insert_batch(
+                    pks, [g[2] for g in group], [g[3] for g in group]
+                )
+                assert doc_id == self._next_doc_id, "doc_id allocation out of sync"
+                self._next_doc_id += len(group)
+                self.idmap.bulk_upsert(pks, doc_id)
+                for g in group:
+                    statuses[g[0]] = Status.ok()
             if to_sync:
                 self.writing.wal_sync()
         return statuses

@@ -161,6 +161,45 @@ class ForwardStore:
         self._count += 1
         return idx
 
+    def append_batch(
+        self,
+        pks: List[str],
+        fields_list: List[Dict[str, Any]],
+        vectors_list: List[Dict[str, Any]],
+    ) -> int:
+        """Append a batch of docs (bulk-insert fast path; one capacity check
+        and one buffer slice per dense field instead of per-doc python work).
+        Returns the local index of the first appended doc."""
+        assert self._writable, "forward store is sealed"
+        start = self._count
+        n = len(pks)
+        self._pks.extend(pks)
+        for name, col in self._scalars.items():
+            col.extend([f.get(name) for f in fields_list])
+        for name in self._dense:
+            buf = self._dense[name]
+            need = start + n
+            if need > buf.shape[0]:
+                new_cap = max(1024, buf.shape[0] * 2, need)
+                grown = np.zeros((new_cap, buf.shape[1]), dtype=buf.dtype)
+                grown[: buf.shape[0]] = buf
+                self._dense[name] = grown
+                buf = grown
+            dst = buf[start:need]
+            for i, vecs in enumerate(vectors_list):
+                vec = vecs.get(name)
+                if vec is not None:
+                    dst[i] = vec  # assignment casts to the storage dtype
+        for name in self._sparse:
+            col = self._sparse[name]
+            for vecs in vectors_list:
+                vec = vecs.get(name)
+                col.append(
+                    {int(k): float(v) for k, v in vec.items()} if vec else None
+                )
+        self._count += n
+        return start
+
     # ------------- read path -------------
     @property
     def count(self) -> int:

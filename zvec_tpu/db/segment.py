@@ -143,6 +143,14 @@ class Segment:
         self._write_version += 1
         return self.doc_id_start + local
 
+    def apply_insert_batch(self, pks, fields_list, vectors_list) -> int:
+        """Batch apply_insert (bulk-insert fast path). Returns the doc_id of
+        the first inserted doc; the batch gets consecutive doc_ids."""
+        local = self.store.append_batch(pks, fields_list, vectors_list)
+        self.meta.doc_count = self.store.count
+        self._write_version += 1
+        return self.doc_id_start + local
+
     # ------------- search path -------------
     def engine_for(self, field: str) -> VectorIndexEngine:
         engine = self._engines.get(field)
