@@ -166,16 +166,42 @@ class CollectionImpl:
 
     def _replay_wal(self, seg: Segment) -> None:
         wal = seg.wal
+        # Runs of consecutive OP_INSERTs batch through apply_insert_batch
+        # (same fast path as live bulk inserts); any other op flushes the
+        # pending run first so replay order is preserved exactly.
+        pend_pks: List[str] = []
+        pend_fields: List[Dict[str, Any]] = []
+        pend_vectors: List[Dict[str, Any]] = []
+
+        def flush_inserts() -> None:
+            if not pend_pks:
+                return
+            doc_id = self.writing.apply_insert_batch(
+                pend_pks, pend_fields, pend_vectors
+            )
+            assert doc_id == self._next_doc_id, "doc_id allocation out of sync"
+            self._next_doc_id += len(pend_pks)
+            self.idmap.bulk_upsert(pend_pks, doc_id)
+            pend_pks.clear()
+            pend_fields.clear()
+            pend_vectors.clear()
+
         for payload in wal.replay():
             op, pk, fields, vectors = codec.decode_record(payload)
             if op == codec.OP_INSERT:
-                self._apply_insert(pk, fields, vectors)
+                pend_pks.append(pk)
+                pend_fields.append(fields)
+                pend_vectors.append(vectors)
             elif op == codec.OP_UPDATE:
+                flush_inserts()
                 self._apply_update(pk, fields, vectors)
             elif op == codec.OP_UPSERT:
+                flush_inserts()
                 self._apply_upsert(pk, fields, vectors)
             elif op == codec.OP_DELETE:
+                flush_inserts()
                 self._apply_delete(pk)
+        flush_inserts()
         seg.wal.open_for_append()
 
     # ================= DML =================
