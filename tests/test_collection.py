@@ -433,3 +433,39 @@ def test_insert_batch_rotation_boundary_and_recovery(tmp_path, rng):
         assert r[0].id == f"r{i}"
         assert r[0].score == pytest.approx(0.0, abs=1e-4)
     c2._impl.close()
+
+
+def test_upsert_batch_mixed_new_existing_and_replay(tmp_path, rng):
+    """Bulk upsert fast path: new-pk runs batch, existing pks (including pks
+    earlier in the same batch) replace in order; state survives WAL replay."""
+    schema = CollectionSchema(
+        "ups",
+        vectors=[VectorSchema("emb", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.L2))],
+    )
+    c = zvec_tpu.create_and_open(str(tmp_path / "ups"), schema)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    c.insert([Doc(id=f"u{i}", vectors={"emb": vecs[i]}) for i in range(5)])
+    # batch: new u5..u9, replace u2, re-upsert u7 (pending in this batch),
+    # then more new
+    batch = (
+        [Doc(id=f"u{i}", vectors={"emb": vecs[i]}) for i in range(5, 10)]
+        + [Doc(id="u2", vectors={"emb": vecs[20]})]
+        + [Doc(id="u7", vectors={"emb": vecs[21]})]
+        + [Doc(id=f"u{i}", vectors={"emb": vecs[i]}) for i in range(10, 13)]
+    )
+    statuses = c.upsert(batch)
+    assert all(s.is_ok() for s in statuses)
+    assert c.stats.doc_count == 13
+    assert c.query(VectorQuery("emb", vector=vecs[20]), topk=1)[0].id == "u2"
+    assert c.query(VectorQuery("emb", vector=vecs[21]), topk=1)[0].id == "u7"
+    # old u7 vector must no longer resolve to u7
+    assert c.query(VectorQuery("emb", vector=vecs[7]), topk=1)[0].id != "u7"
+    c._impl.close()
+    c2 = zvec_tpu.open(str(tmp_path / "ups"))  # pure WAL replay
+    assert c2.stats.doc_count == 13
+    assert c2.query(VectorQuery("emb", vector=vecs[20]), topk=1)[0].id == "u2"
+    assert c2.query(VectorQuery("emb", vector=vecs[21]), topk=1)[0].id == "u7"
+    np.testing.assert_allclose(
+        np.asarray(c2.fetch("u12")["u12"].vector("emb")), vecs[12], rtol=1e-6
+    )
+    c2._impl.close()

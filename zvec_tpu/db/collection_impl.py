@@ -299,6 +299,8 @@ class CollectionImpl:
         partial = op == codec.OP_UPDATE
         if op == codec.OP_INSERT:
             return self._insert_batch_fast(docs)
+        if op == codec.OP_UPSERT:
+            return self._upsert_batch_fast(docs)
         with self._lock:
             to_sync = False
             for doc in docs:
@@ -382,6 +384,67 @@ class CollectionImpl:
                 self.idmap.bulk_upsert(pks, doc_id)
                 for g in group:
                     statuses[g[0]] = Status.ok()
+            if to_sync:
+                self.writing.wal_sync()
+        return statuses
+
+    def _upsert_batch_fast(self, docs: Sequence[Doc]) -> List[Status]:
+        """OP_UPSERT fast path: runs of consecutive NEW-pk upserts batch like
+        inserts (they are inserts); an upsert of an existing pk — including a
+        pk pending in the current run — flushes the run first, then applies
+        per-doc (tombstone + reinsert), so WAL record order and visible state
+        match the generic per-doc loop exactly."""
+        statuses: List[Optional[Status]] = [None] * len(docs)
+        with self._lock:
+            run = []  # (input slot, pk, fields, vectors) — new pks only
+            pending = set()
+            to_sync = False
+            max_per_seg = self.schema.max_doc_count_per_segment
+            encode = codec.encode_record
+
+            def flush_run() -> None:
+                nonlocal to_sync
+                pos = 0
+                while pos < len(run):
+                    self._maybe_rotate()
+                    cap = max(1, max_per_seg - self.writing.doc_count)
+                    group = run[pos : pos + cap]
+                    pos += len(group)
+                    append_wal = self.writing.append_wal
+                    for _, pk, fields, vectors in group:
+                        append_wal(encode(codec.OP_UPSERT, pk, fields, vectors))
+                    to_sync = True
+                    pks = [g[1] for g in group]
+                    doc_id = self.writing.apply_insert_batch(
+                        pks, [g[2] for g in group], [g[3] for g in group]
+                    )
+                    assert doc_id == self._next_doc_id, "doc_id allocation out of sync"
+                    self._next_doc_id += len(group)
+                    self.idmap.bulk_upsert(pks, doc_id)
+                    for g in group:
+                        statuses[g[0]] = Status.ok()
+                run.clear()
+                pending.clear()
+
+            for i, doc in enumerate(docs):
+                fields, vectors, st = validate_doc(self.schema, doc)
+                if not st:
+                    statuses[i] = st
+                    continue
+                pk = doc.id
+                if pk not in pending and not self.idmap.has(pk):
+                    pending.add(pk)
+                    run.append((i, pk, fields, vectors))
+                    continue
+                flush_run()
+                self._maybe_rotate()
+                self.writing.append_wal(
+                    encode(codec.OP_UPSERT, pk, fields, vectors)
+                )
+                to_sync = True
+                self._apply_upsert(pk, fields, vectors)
+                statuses[i] = Status.ok()
+            flush_run()
             if to_sync:
                 self.writing.wal_sync()
         return statuses
