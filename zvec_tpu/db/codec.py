@@ -136,6 +136,30 @@ def _read_str(data: memoryview, pos: int) -> Tuple[str, int]:
 
 
 def _encode_value(buf: bytearray, value: Any) -> None:
+    # exact-type fast paths for the common plain-python field values (the
+    # isinstance chain below still handles subclasses and numpy scalars;
+    # bool is dispatched exactly so it can't fall into the int branch)
+    t = type(value)
+    if t is str:
+        buf.append(_T_STR)
+        _write_str(buf, value)
+        return
+    if t is float:
+        buf.append(_T_F64)
+        buf += struct.pack("<d", value)
+        return
+    if t is int:
+        if value > 0x7FFFFFFFFFFFFFFF:  # uint64 range
+            buf.append(_T_U64)
+            buf += struct.pack("<Q", value)
+        else:
+            buf.append(_T_I64)
+            _write_varint(buf, _zigzag(value))
+        return
+    if t is bool:
+        buf.append(_T_BOOL)
+        buf.append(1 if value else 0)
+        return
     if value is None:
         buf.append(_T_NULL)
     elif isinstance(value, (bool, np.bool_)):

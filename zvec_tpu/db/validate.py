@@ -33,52 +33,95 @@ _FLOAT_STORE_DTYPES = {
 }
 
 
-def coerce_scalar(value: Any, dt: DataType) -> Tuple[Any, Optional[str]]:
-    """Coerce `value` to data type `dt`. Returns (value, error_message)."""
-    if value is None:
-        return None, None
-    if dt == DataType.STRING:
-        if not isinstance(value, str):
-            return None, f"expected str, got {type(value).__name__}"
+def _coerce_string(value):
+    if type(value) is str or isinstance(value, str):
         return value, None
-    if dt == DataType.BOOL:
-        if isinstance(value, (bool, np.bool_)):
-            return bool(value), None
-        return None, f"expected bool, got {type(value).__name__}"
-    if dt in _INT_RANGES:
+    return None, f"expected str, got {type(value).__name__}"
+
+
+def _coerce_bool(value):
+    if isinstance(value, (bool, np.bool_)):
+        return bool(value), None
+    return None, f"expected bool, got {type(value).__name__}"
+
+
+def _make_coerce_int(dt):
+    lo, hi = _INT_RANGES[dt]
+    name = dt.name
+
+    def _coerce_int(value):
         if isinstance(value, (bool, np.bool_)):
             return None, "expected integer, got bool"
         if isinstance(value, (int, np.integer)):
-            lo, hi = _INT_RANGES[dt]
             v = int(value)
             if not lo <= v <= hi:
-                return None, f"value {v} out of range for {dt.name}"
+                return None, f"value {v} out of range for {name}"
             return v, None
         return None, f"expected integer, got {type(value).__name__}"
-    if dt in (DataType.FLOAT, DataType.DOUBLE):
-        if isinstance(value, (bool, np.bool_)):
-            return None, "expected number, got bool"
-        if isinstance(value, (int, float, np.integer, np.floating)):
-            return float(value), None
-        return None, f"expected number, got {type(value).__name__}"
-    if dt == DataType.BINARY:
-        if not isinstance(value, bytes):
-            return None, f"expected bytes, got {type(value).__name__}"
+
+    return _coerce_int
+
+
+def _coerce_float(value):
+    if type(value) is float:  # hot path: exact float needs no conversion
         return value, None
-    if dt.is_array:
+    if isinstance(value, (bool, np.bool_)):
+        return None, "expected number, got bool"
+    if isinstance(value, (int, float, np.integer, np.floating)):
+        return float(value), None
+    return None, f"expected number, got {type(value).__name__}"
+
+
+def _coerce_binary(value):
+    if not isinstance(value, bytes):
+        return None, f"expected bytes, got {type(value).__name__}"
+    return value, None
+
+
+def _make_coerce_array(dt):
+    element_fn = _COERCE_DISPATCH[dt.element_type]
+
+    def _coerce_array(value):
         if isinstance(value, np.ndarray):
             value = value.tolist()
         if not isinstance(value, (list, tuple)):
             return None, f"expected list, got {type(value).__name__}"
-        element_dt = dt.element_type
         out = []
         for i, item in enumerate(value):
-            coerced, err = coerce_scalar(item, element_dt)
+            if item is None:
+                out.append(None)
+                continue
+            coerced, err = element_fn(item)
             if err:
                 return None, f"array element {i}: {err}"
             out.append(coerced)
         return out, None
-    return None, f"unsupported data type {dt.name}"
+
+    return _coerce_array
+
+
+_COERCE_DISPATCH = {
+    DataType.STRING: _coerce_string,
+    DataType.BOOL: _coerce_bool,
+    DataType.FLOAT: _coerce_float,
+    DataType.DOUBLE: _coerce_float,
+    DataType.BINARY: _coerce_binary,
+}
+for _dt in _INT_RANGES:
+    _COERCE_DISPATCH[_dt] = _make_coerce_int(_dt)
+for _dt in DataType:
+    if _dt.is_array:
+        _COERCE_DISPATCH[_dt] = _make_coerce_array(_dt)
+
+
+def coerce_scalar(value: Any, dt: DataType) -> Tuple[Any, Optional[str]]:
+    """Coerce `value` to data type `dt`. Returns (value, error_message)."""
+    if value is None:
+        return None, None
+    fn = _COERCE_DISPATCH.get(dt)
+    if fn is None:
+        return None, f"unsupported data type {dt.name}"
+    return fn(value)
 
 
 def coerce_binary_vector(value, vs) -> Tuple[Optional[np.ndarray], Optional[str]]:
