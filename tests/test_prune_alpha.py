@@ -1,11 +1,11 @@
-"""Vamana-style alpha-relaxed dominance prune (ZVEC_HNSW_PRUNE_ALPHA).
+"""Vamana-style alpha-relaxed dominance prune (HnswIndexParam.prune_alpha).
 
 DiskANN's robust prune: keep candidate i unless a kept j has
 d(i, j) <= d(i, base) / alpha. alpha=1.0 must reproduce the reference's
 exact rule (`hnsw_algorithm.cc:394-430`); alpha>1 prunes LESS (keeps
-longer/more diverse edges — the hubness-data recall fix). The op-level
-tests run _prune_keep/_host_prune_compact eagerly so the env knob is read
-live (inside jit it binds at trace time)."""
+longer/more diverse edges — the hubness-data recall fix). Round 3: alpha
+is an explicit static argument everywhere (typed param > deprecated
+ZVEC_HNSW_PRUNE_ALPHA env override, resolved once at engine init)."""
 
 import numpy as np
 import pytest
@@ -28,30 +28,30 @@ def _mk(rng, b=4, c=48, d=16):
     return pair, jnp.asarray(sims), jnp.asarray(np.ones((b, c), bool))
 
 
-def test_alpha_one_is_exact_rule(rng, monkeypatch):
+def test_alpha_one_is_exact_rule(rng):
     pair, sims, valid = _mk(rng)
-    monkeypatch.delenv("ZVEC_HNSW_PRUNE_ALPHA", raising=False)
     base = np.asarray(_prune_keep(pair, sims, valid, 16, metric=MetricType.L2))
-    monkeypatch.setenv("ZVEC_HNSW_PRUNE_ALPHA", "1.0")
-    same = np.asarray(_prune_keep(pair, sims, valid, 16, metric=MetricType.L2))
+    same = np.asarray(
+        _prune_keep(pair, sims, valid, 16, metric=MetricType.L2, alpha=1.0)
+    )
     np.testing.assert_array_equal(base, same)
     # metric=None (callers without the knob) is also the exact rule
     none = np.asarray(_prune_keep(pair, sims, valid, 16))
     np.testing.assert_array_equal(base, none)
 
 
-def test_alpha_keeps_superset(rng, monkeypatch):
+def test_alpha_keeps_superset(rng):
     pair, sims, valid = _mk(rng, b=8, c=64)
-    monkeypatch.setenv("ZVEC_HNSW_PRUNE_ALPHA", "1.0")
     k1 = np.asarray(_prune_keep(pair, sims, valid, 64, metric=MetricType.L2))
-    monkeypatch.setenv("ZVEC_HNSW_PRUNE_ALPHA", "1.4")
-    k14 = np.asarray(_prune_keep(pair, sims, valid, 64, metric=MetricType.L2))
+    k14 = np.asarray(
+        _prune_keep(pair, sims, valid, 64, metric=MetricType.L2, alpha=1.4)
+    )
     # relaxed rule keeps at least as many edges per row (max_out not binding)
     assert (k14.sum(1) >= k1.sum(1)).all()
     assert k14.sum() > k1.sum()  # and strictly more somewhere on random data
 
 
-def test_alpha_cosine_transform(rng, monkeypatch):
+def test_alpha_cosine_transform(rng):
     import jax.numpy as jnp
 
     b, c, d = 4, 32, 12
@@ -66,14 +66,14 @@ def test_alpha_cosine_transform(rng, monkeypatch):
     nrm2 = (vecs**2).sum(-1)
     pair = _pairwise_sims(jnp.asarray(vecs), jnp.asarray(nrm2), MetricType.COSINE)
     valid = jnp.asarray(np.ones((b, c), bool))
-    monkeypatch.setenv("ZVEC_HNSW_PRUNE_ALPHA", "1.0")
     k1 = np.asarray(_prune_keep(pair, sims, valid, c, metric=MetricType.COSINE))
-    monkeypatch.setenv("ZVEC_HNSW_PRUNE_ALPHA", "1.5")
-    k15 = np.asarray(_prune_keep(pair, sims, valid, c, metric=MetricType.COSINE))
+    k15 = np.asarray(
+        _prune_keep(pair, sims, valid, c, metric=MetricType.COSINE, alpha=1.5)
+    )
     assert (k15.sum(1) >= k1.sum(1)).all()
 
 
-def test_host_twin_alpha(rng, monkeypatch):
+def test_host_twin_alpha(rng):
     from zvec_tpu.core.hnsw import _host_prune_compact
 
     n, d, C = 200, 16, 64
@@ -82,10 +82,8 @@ def test_host_twin_alpha(rng, monkeypatch):
     S = -(nrm[:, None] + nrm[None, :] - 2 * (X @ X.T))
     np.fill_diagonal(S, -np.inf)
     cand = np.argsort(-S, axis=1)[:, :C].astype(np.int64)
-    monkeypatch.setenv("ZVEC_HNSW_PRUNE_ALPHA", "1.0")
     out1 = _host_prune_compact(X, S, cand, MetricType.L2, C)
-    monkeypatch.setenv("ZVEC_HNSW_PRUNE_ALPHA", "1.4")
-    out14 = _host_prune_compact(X, S, cand, MetricType.L2, C)
+    out14 = _host_prune_compact(X, S, cand, MetricType.L2, C, alpha=1.4)
     # kept (non-backfilled) prefix is a superset: compare kept counts via
     # how many ids appear in dominance-kept positions — proxy: both compact
     # to C slots with backfill, so assert the relaxed KEEP retains the
@@ -95,16 +93,15 @@ def test_host_twin_alpha(rng, monkeypatch):
         s14 = set(out14[r][out14[r] >= 0].tolist())
         assert s1 == s14  # same candidate pool, max_out=C: same id SET
     # with a binding degree cap the relaxed rule admits farther neighbors
-    t1 = _host_prune_compact(X, S, cand, MetricType.L2, 8)
-    monkeypatch.setenv("ZVEC_HNSW_PRUNE_ALPHA", "1.0")
+    t1 = _host_prune_compact(X, S, cand, MetricType.L2, 8, alpha=1.4)
     t0 = _host_prune_compact(X, S, cand, MetricType.L2, 8)
     assert not np.array_equal(t0, t1)  # alpha changes the chosen edges
 
 
-def test_engine_recall_with_alpha(rng, monkeypatch):
+def test_engine_recall_with_alpha(rng):
     """End-to-end: alpha=1.3 graph answers queries at least as well as the
-    oracle floor on gaussian data (the regime alpha exists for)."""
-    monkeypatch.setenv("ZVEC_HNSW_PRUNE_ALPHA", "1.3")
+    oracle floor on gaussian data (the regime alpha exists for) — alpha now
+    flows through the typed HnswIndexParam.prune_alpha field."""
     from zvec_tpu.core.hnsw import HnswEngine
     from zvec_tpu.model.param.param import HnswIndexParam, HnswQueryParam
 
@@ -112,8 +109,10 @@ def test_engine_recall_with_alpha(rng, monkeypatch):
     X = rng.standard_normal((n, d)).astype(np.float32)
     Q = rng.standard_normal((25, d)).astype(np.float32)
     eng = HnswEngine(
-        MetricType.L2, d, HnswIndexParam(MetricType.L2, m=12, ef_construction=100)
+        MetricType.L2, d,
+        HnswIndexParam(MetricType.L2, m=12, ef_construction=100, prune_alpha=1.3),
     )
+    assert eng.prune_alpha == 1.3
     eng.bind_data(lambda: X, lambda: 1)
     _, idx = eng.search(Q, k, param=HnswQueryParam(ef=120))
     d2 = ((X[None] - Q[:, None]) ** 2).sum(-1)

@@ -89,6 +89,81 @@ def test_codec_roundtrip_exhaustive(rng):
     assert v2["sparse"] == {3: pytest.approx(0.5), 100000: pytest.approx(-1.25)}
 
 
+def test_codec_fast_vs_fallback_branch_parity(rng):
+    """The hand-inlined varint/str fast paths must stay byte-identical to the
+    generic fallback branches (advisor r2: a future edit desyncing them would
+    silently corrupt the WAL). Exercises: pk/str/array lengths straddling the
+    1-byte varint boundary (0x7f/0x80), the int64/uint64 boundary, and plain
+    python scalars vs their numpy equivalents (exact-type fast path vs
+    isinstance fallback)."""
+    # --- lengths straddling 0x80: pk, str field, field name, array len ---
+    for n in (0x7E, 0x7F, 0x80, 0x81, 0x100):
+        pk = "p" * n
+        s = "s" * n
+        name = "n" * n
+        arr = np.arange(n, dtype=np.int64)
+        vec = rng.standard_normal(n).astype(np.float32)
+        raw = codec.encode_record(codec.OP_INSERT, pk, {name: s, "a": arr}, {"v": vec})
+        op, pk2, f2, v2 = codec.decode_record(raw)
+        assert (op, pk2) == (codec.OP_INSERT, pk)
+        assert f2[name] == s
+        np.testing.assert_array_equal(f2["a"], arr)
+        np.testing.assert_array_equal(v2["v"], vec)
+
+    # --- int64/uint64 boundary, via BOTH the exact-type fast path (plain
+    # int) and the isinstance fallback (numpy scalar) ---
+    i64_max = 2**63 - 1
+    cases = {
+        "i64_max": i64_max,          # largest value on the zigzag-varint path
+        "u64_min": i64_max + 1,      # first value on the fixed-u64 path
+        "u64_max": 2**64 - 1,
+        "i64_min": -(2**63),
+        "np_i64_max": np.int64(i64_max),
+        "np_u64": np.uint64(2**64 - 1),
+        "neg": -12345,
+        "np_neg": np.int64(-12345),
+    }
+    raw = codec.encode_record(codec.OP_INSERT, "pk", cases, {})
+    _, _, f2, _ = codec.decode_record(raw)
+    for k, v in cases.items():
+        assert f2[k] == int(v), k
+        assert isinstance(f2[k], int)
+
+    # the plain-int and numpy-int encodings of the SAME value must be
+    # byte-identical (fast path vs fallback write the same frame)
+    for v in (0, 1, -1, 0x7F, 0x80, i64_max, i64_max + 1, 2**64 - 1, -(2**63)):
+        a = codec.encode_record(codec.OP_INSERT, "x", {"v": v}, {})
+        npv = np.uint64(v) if v > i64_max else np.int64(v)
+        b = codec.encode_record(codec.OP_INSERT, "x", {"v": npv}, {})
+        assert a == b, f"int encoding desync at {v}"
+
+    # --- bool vs int: bools (python + numpy) must never take the int branch ---
+    raw = codec.encode_record(
+        codec.OP_INSERT, "pk",
+        {"bt": True, "bf": False, "nbt": np.bool_(True), "one": 1, "zero": 0}, {},
+    )
+    _, _, f2, _ = codec.decode_record(raw)
+    assert f2["bt"] is True and f2["bf"] is False and f2["nbt"] is True
+    assert f2["one"] == 1 and not isinstance(f2["one"], bool)
+    assert f2["zero"] == 0 and not isinstance(f2["zero"], bool)
+    a = codec.encode_record(codec.OP_INSERT, "x", {"v": True}, {})
+    b = codec.encode_record(codec.OP_INSERT, "x", {"v": np.bool_(True)}, {})
+    assert a == b
+
+    # --- float: plain float (fast) vs np.float64 (fallback) ---
+    a = codec.encode_record(codec.OP_INSERT, "x", {"v": 2.5}, {})
+    b = codec.encode_record(codec.OP_INSERT, "x", {"v": np.float64(2.5)}, {})
+    assert a == b
+
+    # --- str: fast exact-type vs a str subclass through the fallback ---
+    class S(str):
+        pass
+
+    a = codec.encode_record(codec.OP_INSERT, "x", {"v": "abc"}, {})
+    b = codec.encode_record(codec.OP_INSERT, "x", {"v": S("abc")}, {})
+    assert a == b
+
+
 def test_executor_concurrency_env(tmp_path, rng, monkeypatch):
     """Multi-vector queries run thread-parallel under ZVEC_QUERY_CONCURRENCY."""
     import zvec_tpu

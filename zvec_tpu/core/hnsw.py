@@ -52,7 +52,6 @@ from .refiner import refine
 
 __all__ = ["HnswEngine"]
 
-_BRUTE_FORCE_THRESHOLD = 1000  # kDefaultBruteForceThreshold
 _MAX_SCAN_RATIO = 0.1  # kDefaultScanRatio
 _MIN_SCAN_LIMIT = 10000  # kDefaultMinScanLimit
 _PRUNE_CAND_CAP = 128  # pairwise-prune candidate cap (device memory bound)
@@ -81,6 +80,34 @@ class HnswEngine(VectorIndexEngine):
         super().__init__(metric, dimension, params)
         self.m = params.m if params is not None else 50
         self.ef_construction = params.ef_construction if params is not None else 500
+        # Typed tuning knobs (reference `hnsw_params.h:22-80` analogs),
+        # promoted from ZVEC_HNSW_* env vars in round 3. The env vars remain
+        # as DEPRECATED overrides, resolved ONCE here — traced code never
+        # reads the environment, so a changed env var can no longer go stale
+        # inside a jit cache (the round-2 footgun).
+        env = os.environ
+
+        def _envv(name):
+            v = env.get(name)
+            return v if v not in (None, "") else None
+
+        self.knn_k_cfg = getattr(params, "knn_k", None)
+        if _envv("ZVEC_HNSW_KNN_K"):
+            self.knn_k_cfg = int(env["ZVEC_HNSW_KNN_K"])
+        self.prune_alpha = float(getattr(params, "prune_alpha", 1.0) or 1.0)
+        if _envv("ZVEC_HNSW_PRUNE_ALPHA"):
+            self.prune_alpha = float(env["ZVEC_HNSW_PRUNE_ALPHA"])
+        self.clustered_build = getattr(params, "clustered_build", None)
+        if _envv("ZVEC_HNSW_CLUSTERED"):
+            self.clustered_build = env["ZVEC_HNSW_CLUSTERED"] == "1"
+        self.brute_force_threshold = int(
+            getattr(params, "brute_force_threshold", 1000) or 1000
+        )
+        if _envv("ZVEC_HNSW_BRUTE_FORCE_THRESHOLD"):
+            self.brute_force_threshold = int(env["ZVEC_HNSW_BRUTE_FORCE_THRESHOLD"])
+        self.max_scan_ratio_cfg = float(getattr(params, "max_scan_ratio", 0.0) or 0.0)
+        if _envv("ZVEC_HNSW_MAX_SCAN_RATIO"):
+            self.max_scan_ratio_cfg = float(env["ZVEC_HNSW_MAX_SCAN_RATIO"])
         self._search_metric = self.metric  # set per-build (MIPS augments IP)
         self._mips = False
         self._mips_max_norm2 = 0.0
@@ -137,7 +164,7 @@ class HnswEngine(VectorIndexEngine):
             data, self._mips_max_norm2 = mips_augment(data)
 
         mesh = self._mesh()
-        if mesh is not None and self._n >= _BRUTE_FORCE_THRESHOLD:
+        if mesh is not None and self._n >= self.brute_force_threshold:
             self._rebuild_sharded(data, mesh)
             return
         self._shard_graphs = None
@@ -477,13 +504,12 @@ class HnswEngine(VectorIndexEngine):
         from ..ops.runtime import is_tpu
 
         n, d = data.shape
-        _kk = __import__("os").environ.get("ZVEC_HNSW_KNN_K")
-        if _kk:
+        if self.knn_k_cfg:
             # authoritative override (may RAISE the large-n 127 default:
             # k>127 routes off the Pallas kernel onto the blockwise scan,
             # so the Pallas lane cap no longer binds)
-            knn_k = min(int(_kk), self.ef_construction, n - 1)
-        _forced = __import__("os").environ.get("ZVEC_HNSW_CLUSTERED") == "1"
+            knn_k = min(int(self.knn_k_cfg), self.ef_construction, n - 1)
+        _forced = self.clustered_build is True
         # (forced-clustered keeps layers >= 4096 on the device clustered
         # path — its test coverage — but the clustered branch itself
         # requires n >= 4096, so tinier layers always take the host twin)
@@ -497,7 +523,11 @@ class HnswEngine(VectorIndexEngine):
         # Past a few million rows the full exact scan is HBM-infeasible
         # (corpus re-read per query batch); switch to cluster-local exact
         # candidates. ZVEC_HNSW_CLUSTERED=1 forces it (tests).
-        clustered = n >= 4096 and ((is_tpu() and n > 2_000_000) or _forced)
+        clustered = (
+            n >= 4096
+            and ((is_tpu() and n > 2_000_000) or _forced)
+            and self.clustered_build is not False  # typed param can force OFF
+        )
         # Pallas kernel caps topk at 128 lanes, and on the EXACT path its
         # k=127 unrolled-extraction program over the full corpus
         # OOM-SIGKILLs the axon remote-compile helper at >=1M-row shapes
@@ -598,7 +628,7 @@ class HnswEngine(VectorIndexEngine):
                     )
                 out = merge_prune_batch_out(
                     jnp.asarray(rm), cand_dev, codes_dev, norms_dev,
-                    metric=metric, max_out=max_out,
+                    metric=metric, max_out=max_out, alpha=self.prune_alpha,
                 )
                 out_np = np.asarray(out).reshape(-1, max_out)
                 fwd[rm.reshape(-1)] = out_np  # padded repeats rewrite a row
@@ -636,6 +666,7 @@ class HnswEngine(VectorIndexEngine):
                     out = nn_descent_round(
                         jnp.asarray(rm), fwd_dev, codes_dev, norms_dev,
                         metric=metric, max_out=max_out, expand=expand,
+                        alpha=self.prune_alpha,
                     )
                     new_fwd[rm.reshape(-1)] = np.asarray(out).reshape(-1, max_out)
                 fwd = new_fwd
@@ -661,6 +692,7 @@ class HnswEngine(VectorIndexEngine):
                         jnp.asarray(rows_mat[lo : lo + 32]), codes_dev,
                         norms_dev, mask_dev, adj, metric=metric, knn_k=knn_k,
                         max_out=max_out, use_pallas=use_pallas,
+                        alpha=self.prune_alpha,
                     )
             else:
                 from ..ops.hnsw import knn_build_step
@@ -670,6 +702,7 @@ class HnswEngine(VectorIndexEngine):
                         jnp.asarray(rows_mat[bi]), codes_dev, norms_dev,
                         mask_dev, adj, metric=metric, knn_k=knn_k,
                         max_out=max_out, use_pallas=use_pallas,
+                        alpha=self.prune_alpha,
                     )
             fwd = np.asarray(adj)
             del adj  # free device HBM before the merge-phase adjacency
@@ -695,7 +728,7 @@ class HnswEngine(VectorIndexEngine):
                     sims = jnp.pad(sims, ((0, 0), (0, pad)), constant_values=NEG_INF)
                 out = prune_scored(
                     rows_dev, ids.astype(jnp.int32), sims, codes_dev, norms_dev,
-                    metric=metric, max_out=max_out,
+                    metric=metric, max_out=max_out, alpha=self.prune_alpha,
                 )
                 fwd[rows] = np.asarray(out)
 
@@ -741,6 +774,7 @@ class HnswEngine(VectorIndexEngine):
                 got = merge_prune_chunk_out(
                     jnp.asarray(rm), jnp.asarray(cand_rm), codes_dev,
                     norms_dev, metric=metric, max_out=max_out,
+                    alpha=self.prune_alpha,
                 )
                 _tf = _time.perf_counter()
                 # padded repeats rewrite the same rows with identical output
@@ -764,6 +798,7 @@ class HnswEngine(VectorIndexEngine):
                 adj2 = merge_prune_step(
                     rows_dev, jnp.asarray(cand[rows]), codes_dev, norms_dev,
                     adj2, metric=metric, max_out=max_out,
+                    alpha=self.prune_alpha,
                 )
             out = np.asarray(adj2)
 
@@ -826,7 +861,9 @@ class HnswEngine(VectorIndexEngine):
             part = np.argpartition(-S, k - 1, axis=1)[:, :k]
             s = np.take_along_axis(S, part, 1)
             cand = np.take_along_axis(part, np.argsort(-s, axis=1), 1)
-        fwd = _host_prune_compact(X, S, cand.astype(np.int64), metric, max_out)
+        fwd = _host_prune_compact(
+            X, S, cand.astype(np.int64), metric, max_out, self.prune_alpha
+        )
         rev = _reverse_candidates(fwd, cap=max_out)
         comb = np.concatenate([fwd, rev], axis=1).astype(np.int64)
         # merge phase: re-sort desc by sim-to-base, dedup keep-first
@@ -844,7 +881,7 @@ class HnswEngine(VectorIndexEngine):
         earlier = np.tril(np.ones((comb.shape[1], comb.shape[1]), bool), -1)
         dup = (eq & earlier[None] & (comb[:, None, :] >= 0)).any(axis=2)
         comb = np.where(dup, -1, comb)
-        return _host_prune_compact(X, S, comb, metric, max_out)
+        return _host_prune_compact(X, S, comb, metric, max_out, self.prune_alpha)
 
     def _clustered_candidates(
         self, data: np.ndarray, codes_dev, norms_dev, n: int, kc: int
@@ -965,7 +1002,7 @@ class HnswEngine(VectorIndexEngine):
             efc = self.ef_construction
             jobs: List[Dict[str, Any]] = []  # overflow re-prune jobs (1 RPC)
 
-            if cur <= max(_BRUTE_FORCE_THRESHOLD, efc):
+            if cur <= max(self.brute_force_threshold, efc):
                 # ---- early phase: exact candidates incl. the chunk itself
                 # (sequential-insert parity for the young graph) ----
                 vis = cur + chunk
@@ -1046,6 +1083,7 @@ class HnswEngine(VectorIndexEngine):
                     frontier=4,
                     max_out=self.m0_out(),
                     visited_bits=vb,
+                    alpha=self.prune_alpha,
                 )
                 for li in range(nlv):
                     self._upper_dev[li] = new_upper[li]
@@ -1111,6 +1149,7 @@ class HnswEngine(VectorIndexEngine):
                     metric=self._search_metric,
                     cand_cap=min(_PRUNE_CAND_CAP, mcodes.shape[0]),
                     max_out=self.m,
+                    alpha=self.prune_alpha,
                 )
                 sel_rows = np.asarray(sel_rows)[: len(in_chunk)].astype(np.int64)
                 nbrs_l = g.upper_nbrs[li]
@@ -1289,6 +1328,7 @@ class HnswEngine(VectorIndexEngine):
                     dev_norms,
                     metric=self._search_metric,
                     max_out=max_out,
+                    alpha=self.prune_alpha,
                 )
             )[:w]
         out_ids, out_sims = [], []
@@ -1399,6 +1439,7 @@ class HnswEngine(VectorIndexEngine):
                 *self._build_codes_norms(),
                 metric=self._search_metric,
                 max_out=cap,
+                alpha=self.prune_alpha,
             )
         ).astype(np.int64)
         touched_l0 = []
@@ -1491,7 +1532,7 @@ class HnswEngine(VectorIndexEngine):
             qpad = np.asarray(queries, dtype=np.float32)
 
         sharded = self._dev is not None and self._dev.get("sharded")
-        if is_linear or self._n < _BRUTE_FORCE_THRESHOLD:
+        if is_linear or self._n < self.brute_force_threshold:
             full_mask = np.zeros(self._codes.shape[0], dtype=bool)
             full_mask[: self._n] = True if mask is None else mask
             k = min(topk, self._n)
@@ -1516,7 +1557,7 @@ class HnswEngine(VectorIndexEngine):
                 )
         elif sharded:
             k = min(topk, self._n)
-            dev_out = self._search_sharded(qpad, k, mask, ef)
+            dev_out = self._search_sharded(qpad, k, mask, ef, param)
 
             def collect():
                 sims = np.asarray(dev_out[0])[:nq]
@@ -1531,9 +1572,10 @@ class HnswEngine(VectorIndexEngine):
                     )
                 return sims, idx
         else:
+            knobs = self._query_knobs(param)
             budget = jnp.int32(
                 min(
-                    max(_MIN_SCAN_LIMIT, int(_MAX_SCAN_RATIO * self._n)),
+                    max(_MIN_SCAN_LIMIT, int(knobs["scan_ratio"] * self._n)),
                     self._n,
                 )
             )
@@ -1558,16 +1600,18 @@ class HnswEngine(VectorIndexEngine):
                 metric=self._search_metric,
                 ef=ef,
                 topk=k,
-                max_steps=ef + int(os.environ.get("ZVEC_HNSW_STEPS_SLACK", "64")),
+                max_steps=ef + knobs["steps_slack"],
                 num_levels=self._dev["num_levels"],
                 int4_packed=getattr(self, "_int4_packed", False),
-                # 4-way beam: ~4x fewer sequential steps (A/B via env)
-                frontier=int(os.environ.get("ZVEC_HNSW_FRONTIER", "4")),
+                # 4-way beam default: ~4x fewer sequential steps
+                frontier=knobs["frontier"],
                 # exact visited bitset is n_pad/8 bytes PER QUERY — 1.28GB
                 # for a 1024-query batch at 10M rows (the r2 measure OOM);
                 # hash at scale like the build path (reference VisitFilter
                 # likewise switches bitmap->bloom, `visit_filter.h:39`)
-                visited_bits=0 if self._codes.shape[0] <= (1 << 21) else 21,
+                visited_bits=knobs["visited_bits"]
+                if knobs["visited_bits"]
+                else (0 if self._codes.shape[0] <= (1 << 21) else 21),
             )
 
             def collect():
@@ -1666,7 +1710,40 @@ class HnswEngine(VectorIndexEngine):
             int4_packed=getattr(self, "_int4_packed", False),
         )
 
-    def _search_sharded(self, qpad, k: int, mask, ef: int):
+    def _query_knobs(self, param) -> Dict[str, Any]:
+        """Resolve per-query beam knobs: deprecated ZVEC_HNSW_* env override
+        > typed HnswQueryParam field > index-param default > engine default.
+        Resolved at DISPATCH time (never inside traced code) and passed as
+        static jit args, so they always key the compile cache."""
+        qp = param if isinstance(param, HnswQueryParam) else None
+        env = os.environ
+        frontier = int(
+            env.get("ZVEC_HNSW_FRONTIER")
+            or (qp.frontier if qp is not None and getattr(qp, "frontier", 0) else 0)
+            or 4
+        )
+        steps_slack = int(
+            env.get("ZVEC_HNSW_STEPS_SLACK")
+            or (getattr(qp, "steps_slack", 64) if qp is not None else 64)
+        )
+        visited_bits = int(
+            env.get("ZVEC_HNSW_VISITED_BITS")
+            or (getattr(qp, "visited_bits", 0) if qp is not None else 0)
+        )
+        scan_ratio = (
+            float(env.get("ZVEC_HNSW_MAX_SCAN_RATIO") or 0.0)
+            or (getattr(qp, "max_scan_ratio", 0.0) if qp is not None else 0.0)
+            or self.max_scan_ratio_cfg
+            or _MAX_SCAN_RATIO
+        )
+        return {
+            "frontier": frontier,
+            "steps_slack": steps_slack,
+            "visited_bits": visited_bits,
+            "scan_ratio": scan_ratio,
+        }
+
+    def _search_sharded(self, qpad, k: int, mask, ef: int, param=None):
         """Batched beam over every shard's local subgraph + ICI merge."""
         import jax
 
@@ -1675,7 +1752,10 @@ class HnswEngine(VectorIndexEngine):
         dev = self._dev
         mesh = dev["mesh"]
         R = dev["R"]
-        budget = jnp.int32(min(max(_MIN_SCAN_LIMIT, int(_MAX_SCAN_RATIO * R)), R))
+        knobs = self._query_knobs(param)
+        budget = jnp.int32(
+            min(max(_MIN_SCAN_LIMIT, int(knobs["scan_ratio"] * R)), R)
+        )
         dmask = dev.get("valid")  # excludes empty-shard padding rows
         if mask is not None:
             fm = np.zeros(self._codes.shape[0], dtype=bool)
@@ -1697,11 +1777,14 @@ class HnswEngine(VectorIndexEngine):
             metric=self._search_metric,
             ef=ef,
             topk=k,
-            max_steps=ef + int(os.environ.get("ZVEC_HNSW_STEPS_SLACK", "64")),
+            max_steps=ef + knobs["steps_slack"],
             num_levels=dev["num_levels"],
-            frontier=int(os.environ.get("ZVEC_HNSW_FRONTIER", "4")),
+            frontier=knobs["frontier"],
             int4_packed=getattr(self, "_int4_packed", False),
-            visited_bits=0 if R <= (1 << 21) else 21,  # per-shard row space
+            # per-shard row space
+            visited_bits=knobs["visited_bits"]
+            if knobs["visited_bits"]
+            else (0 if R <= (1 << 21) else 21),
         )
 
     # ------------- persistence -------------
@@ -1800,6 +1883,7 @@ def _host_prune_compact(
     cand: np.ndarray,  # (n, C) DESC-by-sim candidate rows, -1 pad
     metric: MetricType,
     max_out: int,
+    alpha: float = 1.0,
 ) -> np.ndarray:
     """Host twin of `prune_scored`'s dominance prune + backfill compact:
     keep candidate i iff no already-kept j has sim(i, j) >= sim(i, base);
@@ -1831,7 +1915,6 @@ def _host_prune_compact(
         b = hi - lo
         # alpha-relaxed dominance threshold (host twin of ops.hnsw
         # _prune_thresh — keep the two in lockstep)
-        alpha = float(os.environ.get("ZVEC_HNSW_PRUNE_ALPHA", "1.0"))
         if alpha == 1.0:
             th = base_s
         elif metric == MetricType.L2:

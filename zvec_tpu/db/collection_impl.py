@@ -168,7 +168,12 @@ class CollectionImpl:
         wal = seg.wal
         # Runs of consecutive OP_INSERTs batch through apply_insert_batch
         # (same fast path as live bulk inserts); any other op flushes the
-        # pending run first so replay order is preserved exactly.
+        # pending run first so replay order is preserved exactly. The run
+        # is capped at _REPLAY_CHUNK docs so replaying a huge unflushed WAL
+        # never holds the whole decoded load in host memory at once
+        # (apply_insert_batch allocates consecutive doc_ids, so chunking a
+        # run is semantically identical to applying it whole).
+        _REPLAY_CHUNK = 32_768
         pend_pks: List[str] = []
         pend_fields: List[Dict[str, Any]] = []
         pend_vectors: List[Dict[str, Any]] = []
@@ -192,6 +197,8 @@ class CollectionImpl:
                 pend_pks.append(pk)
                 pend_fields.append(fields)
                 pend_vectors.append(vectors)
+                if len(pend_pks) >= _REPLAY_CHUNK:
+                    flush_inserts()
             elif op == codec.OP_UPDATE:
                 flush_inserts()
                 self._apply_update(pk, fields, vectors)

@@ -1,7 +1,11 @@
 """Doc — the user-facing record type.
 
-Parity with reference `python/zvec/model/doc.py:26-173`: id/score/fields/vectors,
-ndarray values normalized to plain lists (dense) or {dim: value} dicts (sparse).
+Parity with reference `python/zvec/model/doc.py:26-173`: id/score/fields/vectors.
+Deliberate divergence: dense vectors are kept as ndarray SNAPSHOT COPIES (the
+reference normalizes to plain python lists) so the write path never pays a
+list->float64->fp32 round trip per doc; `Doc.vector()` on a user-constructed
+Doc therefore returns an ndarray, not a list. Sparse vectors normalize to
+{int dim -> float} dicts as in the reference.
 """
 
 from __future__ import annotations

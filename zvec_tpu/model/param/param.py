@@ -112,6 +112,29 @@ class VectorIndexParam(IndexParam):
 
 
 class HnswIndexParam(VectorIndexParam):
+    """HNSW build parameters.
+
+    Beyond the reference's m/ef_construction (`constants.h:21-24`), the
+    tuning knobs the reference exposes as `proxima.hnsw.*` params
+    (`src/core/algorithm/hnsw/hnsw_params.h:22-80`) are typed fields here
+    (they used to be ZVEC_HNSW_* env vars — kept as deprecated overrides,
+    resolved once at engine construction so they can never go stale inside
+    a jit cache):
+
+    - ``knn_k``: candidate-pool size per node for the batched kNN-graph
+      build (None = auto: min(ef_construction, size-dependent cap)). The
+      analog of how much of efc the reference's insertion beam actually
+      explores.
+    - ``prune_alpha``: Vamana/DiskANN robust-prune relaxation; 1.0 = the
+      reference's exact dominance rule (`hnsw_algorithm.cc:394-430`).
+    - ``clustered_build``: True forces the cluster-local exact-candidate
+      build path, False forces the full exact scan, None = auto by size.
+    - ``brute_force_threshold``: below this doc count searches scan flat
+      (reference `hnsw_params.h` kDefaultBruteForceThreshold = 1000).
+    - ``max_scan_ratio``: default scan-budget cap as a fraction of N for
+      graph traversal (reference `hnsw_params.h:46`); 0 = engine default.
+    """
+
     index_type = IndexType.HNSW
 
     def __init__(
@@ -120,6 +143,12 @@ class HnswIndexParam(VectorIndexParam):
         m: int = DEFAULT_HNSW_M,
         ef_construction: int = DEFAULT_HNSW_EF_CONSTRUCTION,
         quantize_type: QuantizeType = QuantizeType.UNDEFINED,
+        *,
+        knn_k: Optional[int] = None,
+        prune_alpha: float = 1.0,
+        clustered_build: Optional[bool] = None,
+        brute_force_threshold: int = 1000,
+        max_scan_ratio: float = 0.0,
     ):
         super().__init__(metric_type, quantize_type)
         if m <= 0:
@@ -128,8 +157,25 @@ class HnswIndexParam(VectorIndexParam):
             raise ValueError(
                 f"HNSW ef_construction must be positive, got {ef_construction}"
             )
+        if knn_k is not None and knn_k <= 0:
+            raise ValueError(f"HNSW knn_k must be positive, got {knn_k}")
+        if prune_alpha < 1.0:
+            raise ValueError(f"HNSW prune_alpha must be >= 1.0, got {prune_alpha}")
+        if brute_force_threshold < 0:
+            raise ValueError(
+                f"HNSW brute_force_threshold must be >= 0, got {brute_force_threshold}"
+            )
+        if not (0.0 <= max_scan_ratio <= 1.0):
+            raise ValueError(
+                f"HNSW max_scan_ratio must be in [0, 1], got {max_scan_ratio}"
+            )
         self.m = int(m)
         self.ef_construction = int(ef_construction)
+        self.knn_k = None if knn_k is None else int(knn_k)
+        self.prune_alpha = float(prune_alpha)
+        self.clustered_build = None if clustered_build is None else bool(clustered_build)
+        self.brute_force_threshold = int(brute_force_threshold)
+        self.max_scan_ratio = float(max_scan_ratio)
 
 
 class FlatIndexParam(VectorIndexParam):
@@ -172,18 +218,53 @@ class QueryParam(_ReprMixin):
 
 
 class HnswQueryParam(QueryParam):
+    """Per-query HNSW knobs. Beyond the reference's ef/radius
+    (`hnsw_params.h:22-80`), the TPU beam exposes its own shape knobs
+    (formerly ZVEC_HNSW_* env vars — kept as deprecated overrides):
+
+    - ``frontier``: beam width F (nodes expanded per step); 0 = engine
+      default (4, the measured optimum at 10M — BASELINE.md).
+    - ``steps_slack``: extra lax.while_loop iterations past ef before the
+      traversal force-stops (bounded-loop analog of the reference's
+      unbounded candidate walk).
+    - ``visited_bits``: hashed visited-bitset size as log2(bits); 0 = auto
+      (exact id-indexed bitset below 2^21 rows, 21-bit hash above — the
+      reference's VisitFilter bitmap->bloom switch, `visit_filter.h:39`).
+    - ``max_scan_ratio``: per-query override of the scan-budget fraction;
+      0 = index/engine default.
+    """
+
     def __init__(
         self,
         ef: int = DEFAULT_HNSW_EF_SEARCH,
         radius: float = 0.0,
         is_linear: bool = False,
         is_using_refiner: bool = False,
+        *,
+        frontier: int = 0,
+        steps_slack: int = 64,
+        visited_bits: int = 0,
+        max_scan_ratio: float = 0.0,
     ):
         super().__init__(is_linear, is_using_refiner)
         if ef <= 0:
             raise ValueError(f"HNSW ef must be positive, got {ef}")
+        if frontier < 0:
+            raise ValueError(f"HNSW frontier must be >= 0, got {frontier}")
+        if steps_slack < 0:
+            raise ValueError(f"HNSW steps_slack must be >= 0, got {steps_slack}")
+        if visited_bits < 0 or visited_bits > 26:
+            raise ValueError(f"HNSW visited_bits must be in [0, 26], got {visited_bits}")
+        if not (0.0 <= max_scan_ratio <= 1.0):
+            raise ValueError(
+                f"HNSW max_scan_ratio must be in [0, 1], got {max_scan_ratio}"
+            )
         self.ef = int(ef)
         self.radius = float(radius)
+        self.frontier = int(frontier)
+        self.steps_slack = int(steps_slack)
+        self.visited_bits = int(visited_bits)
+        self.max_scan_ratio = float(max_scan_ratio)
 
 
 class IVFQueryParam(QueryParam):

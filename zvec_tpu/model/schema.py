@@ -453,7 +453,17 @@ def _index_param_from_dict(d: Optional[Dict[str, Any]]) -> Optional[IndexParam]:
     metric = MetricType[d["metric_type"]] if isinstance(d.get("metric_type"), str) else MetricType(d.get("metric_type", MetricType.IP))
     quant = QuantizeType[d["quantize_type"]] if isinstance(d.get("quantize_type"), str) else QuantizeType(d.get("quantize_type", QuantizeType.UNDEFINED))
     if t == IndexType.HNSW:
-        return HnswIndexParam(metric, d.get("m", 50), d.get("ef_construction", 500), quant)
+        return HnswIndexParam(
+            metric,
+            d.get("m", 50),
+            d.get("ef_construction", 500),
+            quant,
+            knn_k=d.get("knn_k"),
+            prune_alpha=d.get("prune_alpha", 1.0),
+            clustered_build=d.get("clustered_build"),
+            brute_force_threshold=d.get("brute_force_threshold", 1000),
+            max_scan_ratio=d.get("max_scan_ratio", 0.0),
+        )
     if t == IndexType.IVF:
         return IVFIndexParam(
             metric,

@@ -399,21 +399,19 @@ def hnsw_search(
     )
 
 
-def _prune_thresh(cand_sims, metric):
+def _prune_thresh(cand_sims, metric, alpha: float = 1.0):
     """Dominance threshold per candidate, with optional Vamana-style alpha
     relaxation (DiskANN robust prune): candidate i conflicts with kept j iff
     d(i, j) <= d(i, base) / alpha. alpha > 1 keeps longer/more diverse edges
     — the known fix for recall plateaus on hubness-heavy (gaussian-like)
-    data. ZVEC_HNSW_PRUNE_ALPHA (default 1.0 = the reference's exact rule,
-    `hnsw_algorithm.cc:394-430`) is read at TRACE time: set it before the
-    build process compiles (stale jit caches keep the old alpha within a
-    process). L2 sims are -d^2 so the rule scales by 1/alpha^2; COSINE sims
-    are cos so the 1-cos distance transforms affinely; IP has no distance
-    form (dense IP builds run in MIPS-augmented L2 space anyway) — alpha is
-    ignored there."""
-    import os as _os
-
-    alpha = float(_os.environ.get("ZVEC_HNSW_PRUNE_ALPHA", "1.0"))
+    data. alpha (default 1.0 = the reference's exact rule,
+    `hnsw_algorithm.cc:394-430`) is an explicit STATIC argument threaded
+    from HnswIndexParam.prune_alpha — it keys every caller's jit cache, so
+    changing it can never go stale (the round-2 env-var footgun). L2 sims
+    are -d^2 so the rule scales by 1/alpha^2; COSINE sims are cos so the
+    1-cos distance transforms affinely; IP has no distance form (dense IP
+    builds run in MIPS-augmented L2 space anyway) — alpha is ignored
+    there."""
     if alpha == 1.0:
         return cand_sims
     if metric == MetricType.L2:
@@ -424,7 +422,8 @@ def _prune_thresh(cand_sims, metric):
 
 
 def _prune_keep(
-    pair, cand_sims, cand_valid, max_out: int, chunk: int = 8, metric=None
+    pair, cand_sims, cand_valid, max_out: int, chunk: int = 8, metric=None,
+    alpha: float = 1.0,
 ):
     """Shared pairwise-prune loop: keep candidate i (desc-sim order) iff no
     already-kept j dominates it (sim(i, j) >= thresh(i), where thresh
@@ -443,7 +442,7 @@ def _prune_keep(
     build that compiles more programs than it runs merge steps); chunk=8
     83.1 ms at 6.5s compile; chunk<=4 slower than naive. Default 8 = the
     balance point."""
-    thresh = _prune_thresh(cand_sims, metric) if metric is not None else cand_sims
+    thresh = _prune_thresh(cand_sims, metric, alpha) if metric is not None else cand_sims
     b, c = cand_sims.shape
     c_pad = ((c + chunk - 1) // chunk) * chunk
     if c_pad != c:
@@ -530,7 +529,7 @@ def _compact_keep_backfill(keep, valid, ids, sims, max_out: int):
 @partial(
     jax.jit,
     donate_argnames=("l0_nbrs", "upper_nbrs"),
-    static_argnames=(
+    static_argnames=("alpha", 
         "metric", "ef", "cand_cap", "max_steps", "num_levels", "frontier",
         "max_out", "visited_bits",
     ),
@@ -561,6 +560,7 @@ def hnsw_build_select(
     frontier: int,
     max_out: int,  # M0
     visited_bits: int = 0,
+    alpha: float = 1.0,
 ):
     """ONE device program per build chunk: apply pending L0 + upper-level
     adjacency updates, beam-search candidates over the current graph, merge
@@ -620,14 +620,14 @@ def hnsw_build_select(
     vecs = codes[safe]
     nrm2 = norms[safe]
     pair = _pairwise_sims(vecs, nrm2, metric)
-    keep = _prune_keep(pair, m_s, valid, max_out, metric=metric)
+    keep = _prune_keep(pair, m_s, valid, max_out, metric=metric, alpha=alpha)
     sel_ids, sel_sims = _compact_keep(keep, m_i, m_s, max_out)
     return sel_ids, sel_sims, l0_nbrs, upper_nbrs
 
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "cand_cap", "max_out"),
+    static_argnames=("alpha", "metric", "cand_cap", "max_out"),
 )
 def upper_forward_select(
     qc: jax.Array,  # (Qb, D) chunk queries at this level (zero-padded)
@@ -639,6 +639,7 @@ def upper_forward_select(
     metric: MetricType,
     cand_cap: int,
     max_out: int,
+    alpha: float = 1.0,
 ):
     """Fused upper-level insertion step: exact scan over level members
     (incl. in-chunk members), self-masked, pairwise-pruned, compacted to
@@ -663,12 +664,12 @@ def upper_forward_select(
     vecs = mcodes[r]
     nrm2 = mn2[r]
     pair = _pairwise_sims(vecs, nrm2, metric)
-    keep = _prune_keep(pair, s, valid, max_out, metric=metric)
+    keep = _prune_keep(pair, s, valid, max_out, metric=metric, alpha=alpha)
     sel_rows, sel_sims = _compact_keep(keep, r, s, max_out)
     return sel_rows, sel_sims
 
 
-@partial(jax.jit, static_argnames=("metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
 def prune_rows(
     base_ids: jax.Array,  # (B,) node ids being re-pruned (overflow targets)
     cand_ids: jax.Array,  # (B, C) candidate node ids, -1 padded (any order)
@@ -677,6 +678,7 @@ def prune_rows(
     *,
     metric: MetricType,
     max_out: int,
+    alpha: float = 1.0,
 ):
     """Overflow re-prune entirely on device: computes base-candidate sims,
     sorts desc, pairwise-prunes, returns compacted kept ids (B, max_out).
@@ -704,12 +706,12 @@ def prune_rows(
     vecs = codes[jnp.clip(ids_s, 0)]
     nrm2 = norms[jnp.clip(ids_s, 0)]
     pair = _pairwise_sims(vecs, nrm2, metric)
-    keep = _prune_keep(pair, sims_s, valid_s, max_out, metric=metric)
+    keep = _prune_keep(pair, sims_s, valid_s, max_out, metric=metric, alpha=alpha)
     sel_ids, _ = _compact_keep(keep, ids_s, sims_s, max_out)
     return sel_ids
 
 
-@partial(jax.jit, static_argnames=("metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
 def select_neighbors_ids(
     cand_sims: jax.Array,  # (B, C) similarity to base, desc-sorted
     cand_ids: jax.Array,  # (B, C) row ids into codes (clipped safe)
@@ -719,6 +721,7 @@ def select_neighbors_ids(
     *,
     metric: MetricType,
     max_out: int,
+    alpha: float = 1.0,
 ):
     """`select_neighbors_batch` with the candidate gather ON DEVICE — callers
     ship (B, C) int32 ids instead of (B, C, D) vectors (the vector upload
@@ -726,11 +729,12 @@ def select_neighbors_ids(
     vecs = codes[cand_ids]
     nrm = norms[cand_ids]
     return select_neighbors_batch(
-        cand_sims, vecs, cand_valid, nrm, metric=metric, max_out=max_out
+        cand_sims, vecs, cand_valid, nrm, metric=metric, max_out=max_out,
+        alpha=alpha,
     )
 
 
-@partial(jax.jit, static_argnames=("metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
 def select_neighbors_batch(
     cand_sims: jax.Array,  # (B, C) similarity to the base point, desc-sorted
     cand_vecs: jax.Array,  # (B, C, D) candidate vectors
@@ -739,6 +743,7 @@ def select_neighbors_batch(
     *,
     metric: MetricType,
     max_out: int,
+    alpha: float = 1.0,
 ):
     """Reference neighbor pruning (`update_neighbors`, `hnsw_algorithm.cc:394-430`),
     vectorized over a batch of base points: walk candidates best-first; keep
@@ -761,7 +766,7 @@ def select_neighbors_batch(
         raise ValueError(f"unsupported metric {metric}")
 
     # keep candidate i iff no already-kept j has sim(i, j) >= sim_to_base(i)
-    return _prune_keep(pair, cand_sims, cand_valid, max_out, metric=metric)
+    return _prune_keep(pair, cand_sims, cand_valid, max_out, metric=metric, alpha=alpha)
 
 
 # ---------------------------------------------------------------------------
@@ -799,7 +804,7 @@ def _sim_to_base(base, bnorm2, vecs, nrm2, metric):
     raise ValueError(f"unsupported metric {metric}")
 
 
-@partial(jax.jit, static_argnames=("metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
 def prune_scored(
     rows: jax.Array,  # (B,) base node rows
     cand_ids: jax.Array,  # (B, C) candidate rows, DESC by sim, -1 pad
@@ -809,6 +814,7 @@ def prune_scored(
     *,
     metric: MetricType,
     max_out: int,
+    alpha: float = 1.0,
 ):
     """Heuristic prune of pre-scored DESC-sorted candidates -> (B, max_out)
     ids (-1 pad). Self/dup candidates are rejected by the dominance rule."""
@@ -818,7 +824,7 @@ def prune_scored(
     nrm2 = norms2[safe]
     pair = _pairwise_sims(vecs, nrm2, metric)
     sims = jnp.where(valid, cand_sims, NEG_INF)
-    keep = _prune_keep(pair, sims, valid, max_out, metric=metric)
+    keep = _prune_keep(pair, sims, valid, max_out, metric=metric, alpha=alpha)
     ids_c, _ = _compact_keep_backfill(keep, valid, cand_ids, sims, max_out)
     if ids_c.shape[1] < max_out:  # fewer candidates than out-degree
         ids_c = jnp.pad(
@@ -829,7 +835,7 @@ def prune_scored(
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "knn_k", "max_out", "use_pallas"),
+    static_argnames=("alpha", "metric", "knn_k", "max_out", "use_pallas"),
     donate_argnums=(4,),
 )
 def knn_build_step(
@@ -843,6 +849,7 @@ def knn_build_step(
     knn_k: int,
     max_out: int,
     use_pallas: bool = True,
+    alpha: float = 1.0,
 ):
     """ONE device program per build batch: exact top-(knn_k+1) scan for the
     batch's nodes, heuristic prune to max_out forward neighbors, scatter into
@@ -869,14 +876,15 @@ def knn_build_step(
         )
         ids = ids.astype(jnp.int32)
     out_ids = prune_scored(
-        rows, ids, sims, codes, norms2, metric=metric, max_out=max_out
+        rows, ids, sims, codes, norms2, metric=metric, max_out=max_out,
+        alpha=alpha,
     )
     return adj.at[rows].set(out_ids)
 
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "max_out"),
+    static_argnames=("alpha", "metric", "max_out"),
     donate_argnums=(4,),
 )
 def merge_prune_step(
@@ -888,6 +896,7 @@ def merge_prune_step(
     *,
     metric: MetricType,
     max_out: int,
+    alpha: float = 1.0,
 ):
     """Final per-node prune over forward ∪ reverse candidates: score against
     the base on device, sort desc, heuristic-prune, scatter."""
@@ -910,7 +919,7 @@ def merge_prune_step(
     nrm_o = jnp.take_along_axis(nrm2, order, 1)
     pair = _pairwise_sims(vecs_o, nrm_o, metric)
     sims_o = jnp.where(valid_o, sims_o, NEG_INF)
-    keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric)
+    keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric, alpha=alpha)
     ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
     if ids_c.shape[1] < max_out:
         ids_c = jnp.pad(
@@ -921,7 +930,7 @@ def merge_prune_step(
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "knn_k", "max_out", "use_pallas"),
+    static_argnames=("alpha", "metric", "knn_k", "max_out", "use_pallas"),
     donate_argnums=(4,),
 )
 def knn_build_all(
@@ -935,6 +944,7 @@ def knn_build_all(
     knn_k: int,
     max_out: int,
     use_pallas: bool,
+    alpha: float = 1.0,
 ):
     """Whole forward layer as ONE device program: lax.scan over the batch
     rows — zero per-batch dispatch overhead through the remote tunnel
@@ -961,7 +971,8 @@ def knn_build_all(
             )
             ids = ids.astype(jnp.int32)
         out_ids = prune_scored(
-            rows, ids, sims, codes, norms2, metric=metric, max_out=max_out
+            rows, ids, sims, codes, norms2, metric=metric, max_out=max_out,
+            alpha=alpha,
         )
         return adj_c.at[rows].set(out_ids), None
 
@@ -971,7 +982,7 @@ def knn_build_all(
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "max_out"),
+    static_argnames=("alpha", "metric", "max_out"),
     donate_argnums=(4,),
 )
 def merge_prune_all(
@@ -983,6 +994,7 @@ def merge_prune_all(
     *,
     metric: MetricType,
     max_out: int,
+    alpha: float = 1.0,
 ):
     """Whole merge layer as ONE device program (scan over batches)."""
 
@@ -1005,7 +1017,7 @@ def merge_prune_all(
         valid_o = valid_o & ~_dup_mask(ids_o)
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
-        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric, alpha=alpha)
         ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
@@ -1072,7 +1084,7 @@ def assign_top2_blocked(data: jax.Array, cents: jax.Array, block: int = 16384):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
-@partial(jax.jit, static_argnames=("metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
 def merge_prune_chunk_out(
     rows_mat: jax.Array,  # (NB, B)
     cand_mat: jax.Array,  # (NB, B, C) staged forward + reverse candidates
@@ -1081,6 +1093,7 @@ def merge_prune_chunk_out(
     *,
     metric: MetricType,
     max_out: int,
+    alpha: float = 1.0,
 ):
     """merge_prune_all without the device-resident adjacency: emits pruned
     ids (NB, B, max_out) for host-side assembly. At 10M the (N, max_out)
@@ -1107,7 +1120,7 @@ def merge_prune_chunk_out(
         valid_o = valid_o & ~_dup_mask(ids_o)
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
-        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric, alpha=alpha)
         ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
@@ -1119,7 +1132,7 @@ def merge_prune_chunk_out(
     return out
 
 
-@partial(jax.jit, static_argnames=("metric", "max_out", "expand"))
+@partial(jax.jit, static_argnames=("alpha", "metric", "max_out", "expand"))
 def nn_descent_round(
     rows_mat: jax.Array,  # (NB, B)
     fwd_full: jax.Array,  # (n + 1, m0) int32 adjacency, -1 pad; row n all -1
@@ -1129,6 +1142,7 @@ def nn_descent_round(
     metric: MetricType,
     max_out: int,
     expand: int,
+    alpha: float = 1.0,
 ):
     """One asynchronous NN-descent round (Dong et al., WWW'11), batched on
     device: each node's candidates = own neighbors U the neighbors of its
@@ -1171,7 +1185,7 @@ def nn_descent_round(
         valid_o = valid_o & ~_dup_mask(ids_o)
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
-        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric, alpha=alpha)
         ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
@@ -1183,7 +1197,7 @@ def nn_descent_round(
     return out
 
 
-@partial(jax.jit, static_argnames=("metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
 def merge_prune_batch_out(
     rows_mat: jax.Array,  # (NB, B)
     cand_full: jax.Array,  # (n + 1, S*kc) device-RESIDENT candidate lanes
@@ -1192,6 +1206,7 @@ def merge_prune_batch_out(
     *,
     metric: MetricType,
     max_out: int,
+    alpha: float = 1.0,
 ):
     """Forward merge-prune straight from device-resident candidates: each
     scan step gathers its rows' candidate lanes in-program (no host staging
@@ -1218,7 +1233,7 @@ def merge_prune_batch_out(
         valid_o = valid_o & ~_dup_mask(ids_o)
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
-        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric)
+        keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric, alpha=alpha)
         ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
