@@ -367,3 +367,136 @@ def test_sharded_hnsw_int8(tmp_path, rng, mesh8):
         hits += len(got & set(gt[i].tolist()))
     # int8 codes: allow quantization slack
     assert hits / (len(Q) * 10) >= 0.8, hits / (len(Q) * 10)
+
+
+def test_sharded_ivf_collection_recall(tmp_path, rng, mesh8):
+    """IVF virtual lists shard over the mesh; per-shard top-nprobe union ⊇
+    the global top-nprobe, merged over ICI (`sharded_ivf_probe`)."""
+    from zvec_tpu.model.param.param import IVFIndexParam, IVFQueryParam
+
+    n, d = 6000, 24
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    schema = CollectionSchema(
+        name="meshivf",
+        vectors=[
+            VectorSchema(
+                "emb", DataType.VECTOR_FP32, d,
+                IVFIndexParam(MetricType.L2, n_list=64, n_iters=5),
+            )
+        ],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "meshivf"), schema)
+    for lo in range(0, n, 1000):
+        col.insert(
+            [Doc(id=f"v{i}", vectors={"emb": X[i]}) for i in range(lo, min(lo + 1000, n))]
+        )
+    col.flush()
+    col.optimize()
+    eng = col._impl.segments[0].engine_for("emb")
+    eng._ensure_fresh()
+    assert eng._smesh is not None, "IVF engine must bind the collection mesh"
+    assert eng._lists_codes.shape[0] % 8 == 0  # KV padded to the shard count
+
+    Q = rng.standard_normal((4, d)).astype(np.float32)
+    d2 = ((Q[:, None, :] - X[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :10]
+    docs = col.batch_query(
+        "emb", Q, topk=10, output_fields=[], param=IVFQueryParam(nprobe=16)
+    )
+    hits = 0
+    for i in range(len(Q)):
+        got = {int(doc.id[1:]) for doc in docs[i]}
+        hits += len(got & set(gt[i].tolist()))
+    assert hits / (len(Q) * 10) >= 0.9, hits / (len(Q) * 10)
+
+
+def test_sharded_sparse_flat_matches_oracle(tmp_path, rng, mesh8):
+    """Sparse rows corpus-shard across the mesh (`sharded_sparse_topk`)."""
+    n, vocab, nnz = 2000, 500, 12
+    rows = []
+    for i in range(n):
+        dims = rng.choice(vocab, nnz, replace=False)
+        rows.append({int(t): float(rng.random() + 0.1) for t in dims})
+    schema = CollectionSchema(
+        name="meshsp",
+        vectors=[VectorSchema("sv", DataType.SPARSE_VECTOR_FP32, 0, FlatIndexParam(MetricType.IP))],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "meshsp"), schema)
+    for lo in range(0, n, 1000):
+        col.insert(
+            [Doc(id=f"s{i}", vectors={"sv": rows[i]}) for i in range(lo, min(lo + 1000, n))]
+        )
+    col.flush()
+    col.optimize()
+    eng = col._impl.segments[0].engine_for("sv")
+    eng._ensure_fresh()
+    assert eng._smesh is not None, "sparse flat engine must bind the mesh"
+
+    q = {int(t): float(rng.random() + 0.1) for t in rng.choice(vocab, nnz, replace=False)}
+    res = col.query(VectorQuery("sv", vector=q), topk=10)
+    # numpy oracle: IP descending
+    def dot(r):
+        return sum(v * q.get(k, 0.0) for k, v in r.items())
+
+    oracle = sorted(range(n), key=lambda i: -dot(rows[i]))[:10]
+    got = [int(doc.id[1:]) for doc in res]
+    assert set(got) == set(oracle), (got, oracle)
+    scores = [doc.score for doc in res]
+    assert scores == sorted(scores, reverse=True)  # IP: dot descending
+
+
+def test_sharded_sparse_hnsw_recall(tmp_path, rng, mesh8):
+    """Per-shard sparse NSW subgraphs + ICI merge (`sharded_sparse_beam`)."""
+    from zvec_tpu.model.param.param import HnswIndexParam, HnswQueryParam
+
+    n, vocab, nnz = 4096, 400, 10
+    rows = []
+    for i in range(n):
+        dims = rng.choice(vocab, nnz, replace=False)
+        rows.append({int(t): float(rng.random() + 0.1) for t in dims})
+    schema = CollectionSchema(
+        name="meshsh",
+        vectors=[
+            VectorSchema(
+                "sv", DataType.SPARSE_VECTOR_FP32, 0,
+                HnswIndexParam(MetricType.IP, m=16, ef_construction=100),
+            )
+        ],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "meshsh"), schema)
+    for lo in range(0, n, 1024):
+        col.insert(
+            [Doc(id=f"h{i}", vectors={"sv": rows[i]}) for i in range(lo, min(lo + 1024, n))]
+        )
+    col.flush()
+    col.optimize()
+    eng = col._impl.segments[0].engine_for("sv")
+    eng._ensure_fresh()
+    assert eng._smesh is not None and eng._l0 is not None
+
+    def dot(r, q):
+        return sum(v * q.get(k, 0.0) for k, v in r.items())
+
+    hits = 0
+    queries = []
+    for _ in range(4):
+        queries.append(
+            {int(t): float(rng.random() + 0.1) for t in rng.choice(vocab, nnz, replace=False)}
+        )
+    for q in queries:
+        res = col.query(
+            VectorQuery("sv", vector=q, param=HnswQueryParam(ef=96)), topk=10
+        )
+        got = {int(doc.id[1:]) for doc in res}
+        oracle = set(sorted(range(n), key=lambda i: -dot(rows[i], q))[:10])
+        hits += len(got & oracle)
+    assert hits / 40 >= 0.85, hits / 40
+
+    # reopen: sharded aux (local-id layout + per-shard entries) round-trips
+    path = col._impl.path
+    del col
+    col2 = zvec_tpu.open(path)
+    res = col2.query(
+        VectorQuery("sv", vector=queries[0], param=HnswQueryParam(ef=96)), topk=10
+    )
+    assert len(res) == 10

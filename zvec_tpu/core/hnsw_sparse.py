@@ -36,6 +36,35 @@ _ENTRY_PROBES = 32
 _QUERY_NNZ_PAD = 64
 
 
+def _reverse_merge_l0(
+    fwd_i: np.ndarray, fwd_s: np.ndarray, n: int, m0: int
+) -> np.ndarray:
+    """Reverse edges + merge (host, vectorized): every forward edge
+    (u, v, s) also proposes (v, u, s); keep each node's top-m0."""
+    k = fwd_i.shape[1]
+    src = np.repeat(np.arange(n, dtype=np.int32), k)
+    dst = fwd_i.ravel()
+    sim = fwd_s.ravel()
+    valid = (dst >= 0) & (dst != src)
+    nodes = np.concatenate([src[valid], dst[valid]])
+    cands = np.concatenate([dst[valid], src[valid]])
+    sims = np.concatenate([sim[valid], sim[valid]])
+    # sort by (node, cand) to drop duplicate pairs, then by (node, -sim)
+    order = np.lexsort((cands, nodes))
+    nodes, cands, sims = nodes[order], cands[order], sims[order]
+    first = np.ones(nodes.shape[0], dtype=bool)
+    first[1:] = (nodes[1:] != nodes[:-1]) | (cands[1:] != cands[:-1])
+    nodes, cands, sims = nodes[first], cands[first], sims[first]
+    order = np.lexsort((-sims, nodes))
+    nodes, cands = nodes[order], cands[order]
+    start = np.searchsorted(nodes, np.arange(n, dtype=np.int32))
+    rank = np.arange(nodes.shape[0], dtype=np.int64) - start[nodes]
+    keep = rank < m0
+    l0 = np.full((n, m0), -1, dtype=np.int32)
+    l0[nodes[keep], rank[keep]] = cands[keep]
+    return l0
+
+
 class SparseHnswEngine(SparseFlatEngine):
     """Sparse graph engine; falls back to the exact scan below the brute-force
     threshold (inherited from SparseFlatEngine)."""
@@ -56,9 +85,13 @@ class SparseHnswEngine(SparseFlatEngine):
         if self._n < _BRUTE_FORCE_THRESHOLD:
             self._l0 = None
             return
+        if self._smesh is not None:
+            self._rebuild_sharded_graph()
+            return
         if (
             self._loaded_aux is not None
             and int(self._loaded_aux["n"]) == self._n
+            and "shards" not in self._loaded_aux
         ):
             l0 = self._loaded_aux["l0"]
         else:
@@ -75,6 +108,83 @@ class SparseHnswEngine(SparseFlatEngine):
             )
         )
         self._aux_l0 = l0
+
+    def _rebuild_sharded_graph(self) -> None:
+        """Mesh scale-out: every shard owns an independent NSW subgraph over
+        its contiguous global row range (the dense engine's recipe,
+        `core/hnsw.py::_rebuild_sharded`); per-shard beams merge over ICI
+        (`parallel/mesh.py::sharded_sparse_beam`). Neighbor ids are LOCAL to
+        the shard; entry probes are per-shard local rows."""
+        import jax as _jax
+
+        from ..parallel.mesh import corpus_sharding
+
+        mesh = self._smesh
+        s_count = mesh.shape["corpus"]
+        n_pad = self._doc_idx.shape[0]
+        R = n_pad // s_count
+        m0 = 2 * self.m
+        aux = self._loaded_aux
+        if (
+            aux is not None
+            and int(aux["n"]) == self._n
+            and int(aux.get("shards", np.int64(0))) == s_count
+        ):
+            pl0 = aux["l0"]
+            entries = aux["entries"]
+        else:
+            pl0 = np.full((n_pad, m0), -1, dtype=np.int32)
+            entries = np.zeros(s_count * _ENTRY_PROBES, dtype=np.int32)
+            rng = np.random.default_rng(0xBEEF + self._n)
+            for s in range(s_count):
+                lo, hi = s * R, min((s + 1) * R, self._n)
+                if hi - lo <= 0:
+                    continue  # empty shard: pad rows only (mask keeps it out)
+                sub = self._build_graph_range(lo, hi, m0)
+                pl0[lo:hi] = sub  # local ids within [0, hi-lo)
+                cnt = hi - lo
+                pick = rng.choice(
+                    cnt, min(_ENTRY_PROBES, cnt), replace=False
+                ).astype(np.int32)
+                ent = np.resize(pick, _ENTRY_PROBES)
+                entries[s * _ENTRY_PROBES : (s + 1) * _ENTRY_PROBES] = ent
+        self._l0 = _jax.device_put(pl0, corpus_sharding(mesh, 2))
+        self._entries = _jax.device_put(
+            entries, corpus_sharding(mesh, 1)
+        )
+        self._aux_l0 = pl0
+        self._aux_entries = entries
+
+    def _build_graph_range(self, lo: int, hi: int, m0: int) -> np.ndarray:
+        """kNN-graph over global rows [lo, hi): forward exact top-k restricted
+        by a range mask, reverse edges host-vectorized; returns (hi-lo, m0)
+        LOCAL adjacency."""
+        n = hi - lo
+        k = min(m0 + 1, n)
+        B = 512
+        n_pad = self._doc_idx.shape[0]
+        range_mask = np.zeros(n_pad, dtype=bool)
+        range_mask[lo:hi] = True
+        mask_dev = jnp.asarray(range_mask)
+        fwd_i = np.full((n, k), -1, np.int32)
+        fwd_s = np.full((n, k), NEG_INF, np.float32)
+        for blo in range(0, n, B):
+            ids = np.minimum(np.arange(lo + blo, lo + blo + B), hi - 1)
+            ids_dev = jnp.asarray(ids)
+            sims, cand = sparse_ip_topk(
+                jnp.take(self._doc_idx, ids_dev, axis=0),
+                jnp.take(self._doc_val, ids_dev, axis=0),
+                self._doc_idx,
+                self._doc_val,
+                mask_dev,
+                topk=k,
+                vocab=self._vocab,
+            )
+            bhi = min(blo + B, n)
+            fwd_i[blo:bhi] = np.asarray(cand)[: bhi - blo]
+            fwd_s[blo:bhi] = np.asarray(sims)[: bhi - blo]
+        fwd_i = np.where(fwd_i >= 0, fwd_i - lo, -1).astype(np.int32)  # localize
+        return _reverse_merge_l0(fwd_i, fwd_s, n, m0)
 
     def _build_graph(self, rows) -> np.ndarray:
         """Batched kNN-graph build: forward exact top-(m0+1) per node (one
@@ -108,29 +218,7 @@ class SparseHnswEngine(SparseFlatEngine):
             fwd_i[lo:hi] = np.asarray(cand)[: hi - lo]
             fwd_s[lo:hi] = np.asarray(sims)[: hi - lo]
 
-        # ---- reverse edges + merge (host, vectorized): every forward edge
-        # (u, v, s) also proposes (v, u, s); keep each node's top-m0 ----
-        src = np.repeat(np.arange(n, dtype=np.int32), k)
-        dst = fwd_i.ravel()
-        sim = fwd_s.ravel()
-        valid = (dst >= 0) & (dst != src)
-        nodes = np.concatenate([src[valid], dst[valid]])
-        cands = np.concatenate([dst[valid], src[valid]])
-        sims = np.concatenate([sim[valid], sim[valid]])
-        # sort by (node, cand) to drop duplicate pairs, then by (node, -sim)
-        order = np.lexsort((cands, nodes))
-        nodes, cands, sims = nodes[order], cands[order], sims[order]
-        first = np.ones(nodes.shape[0], dtype=bool)
-        first[1:] = (nodes[1:] != nodes[:-1]) | (cands[1:] != cands[:-1])
-        nodes, cands, sims = nodes[first], cands[first], sims[first]
-        order = np.lexsort((-sims, nodes))
-        nodes, cands = nodes[order], cands[order]
-        start = np.searchsorted(nodes, np.arange(n, dtype=np.int32))
-        rank = np.arange(nodes.shape[0], dtype=np.int64) - start[nodes]
-        keep = rank < m0
-        l0 = np.full((n, m0), -1, dtype=np.int32)
-        l0[nodes[keep], rank[keep]] = cands[keep]
-        return l0
+        return _reverse_merge_l0(fwd_i, fwd_s, n, m0)
 
     def _queries_from_rows(self, rows):
         from ..ops.runtime import bucket_queries
@@ -166,23 +254,72 @@ class SparseHnswEngine(SparseFlatEngine):
         n_pad = self._doc_idx.shape[0]
         full_mask = np.zeros(n_pad, dtype=bool)
         full_mask[: self._n] = True if mask is None else mask
-        budget = jnp.int32(min(max(10000, int(0.1 * self._n)), self._n))
         k = min(topk, self._n)
-        sims, idx = hnsw_sparse_search(
-            jnp.asarray(q_idx),
-            jnp.asarray(q_val),
-            self._doc_idx,
-            self._doc_val,
-            self._l0,
-            self._entries,
-            jnp.asarray(full_mask),
-            budget,
-            ef=ef,
-            topk=k,
-            max_steps=ef + 64,
-            vocab=self._vocab,
-            frontier=4,
-        )
+        if self._smesh is not None:
+            import jax as _jax
+
+            from ..parallel.mesh import (
+                corpus_sharding,
+                sharded_sparse_beam,
+                sharded_sparse_topk,
+            )
+
+            s_count = self._smesh.shape["corpus"]
+            R = n_pad // s_count
+            budget = jnp.int32(min(max(10000, int(0.1 * R)), R))
+            dmask = _jax.device_put(full_mask, corpus_sharding(self._smesh, 1))
+            sims, idx = sharded_sparse_beam(
+                self._smesh,
+                jnp.asarray(q_idx),
+                jnp.asarray(q_val),
+                self._doc_idx,
+                self._doc_val,
+                self._l0,
+                self._entries,
+                dmask,
+                budget,
+                ef=ef,
+                topk=k,
+                max_steps=ef + 64,
+                vocab=self._vocab,
+                frontier=4,
+            )
+            exact_fallback = lambda: sharded_sparse_topk(  # noqa: E731
+                self._smesh,
+                jnp.asarray(q_idx),
+                jnp.asarray(q_val),
+                self._doc_idx,
+                self._doc_val,
+                dmask,
+                topk=k,
+                vocab=self._vocab,
+            )
+        else:
+            budget = jnp.int32(min(max(10000, int(0.1 * self._n)), self._n))
+            sims, idx = hnsw_sparse_search(
+                jnp.asarray(q_idx),
+                jnp.asarray(q_val),
+                self._doc_idx,
+                self._doc_val,
+                self._l0,
+                self._entries,
+                jnp.asarray(full_mask),
+                budget,
+                ef=ef,
+                topk=k,
+                max_steps=ef + 64,
+                vocab=self._vocab,
+                frontier=4,
+            )
+            exact_fallback = lambda: sparse_ip_topk(  # noqa: E731
+                jnp.asarray(q_idx),
+                jnp.asarray(q_val),
+                self._doc_idx,
+                self._doc_val,
+                jnp.asarray(full_mask),
+                topk=k,
+                vocab=self._vocab,
+            )
         sims = np.asarray(sims)[:nq]
         idx = np.asarray(idx).astype(np.int64)[:nq]
         if mask is not None:
@@ -193,16 +330,7 @@ class SparseHnswEngine(SparseFlatEngine):
             from .interface import rescan_deficient
 
             sims, idx = rescan_deficient(
-                sims, idx, k, full_mask[: self._n],
-                lambda: sparse_ip_topk(
-                    jnp.asarray(q_idx),
-                    jnp.asarray(q_val),
-                    self._doc_idx,
-                    self._doc_val,
-                    jnp.asarray(full_mask),
-                    topk=k,
-                    vocab=self._vocab,
-                ),
+                sims, idx, k, full_mask[: self._n], exact_fallback
             )
         if k < topk:
             pad = topk - k
@@ -219,11 +347,13 @@ class SparseHnswEngine(SparseFlatEngine):
         if getattr(self, "_aux_l0", None) is None:
             return {}
         fname = f"hnsw_sparse_{prefix}.npz"
-        np.savez_compressed(
-            os.path.join(directory, fname),
-            n=np.int64(self._n),
-            l0=self._aux_l0,
-        )
+        payload = {"n": np.int64(self._n), "l0": self._aux_l0}
+        if self._smesh is not None:
+            # sharded layout: l0 holds per-shard LOCAL ids over the padded
+            # row space; a reopen with a different mesh rebuilds instead
+            payload["shards"] = np.int64(self._smesh.shape["corpus"])
+            payload["entries"] = self._aux_entries
+        np.savez_compressed(os.path.join(directory, fname), **payload)
         return {"file": fname, "type": "hnsw_sparse", "m": self.m}
 
     def load_aux(self, directory, descriptor):

@@ -36,8 +36,7 @@ _BRUTE_FORCE_THRESHOLD = 1000
 _DEFAULT_NPROBE = 10
 
 
-@partial(jax.jit, static_argnames=("metric", "nprobe", "topk", "int4_packed"))
-def _ivf_probe(
+def ivf_probe_core(
     q: jax.Array,  # (Q, D)
     centroids: jax.Array,  # (K, D)
     lists_codes: jax.Array,  # (K, L, D) storage dtype
@@ -50,11 +49,18 @@ def _ivf_probe(
     nprobe: int,
     topk: int,
     int4_packed: bool = False,
+    cent_valid: Optional[jax.Array] = None,  # (K,) bool: dummy-list mask
 ):
+    """Unjitted probe core, reused by the single-device jit wrapper below
+    and by the mesh-sharded path (`parallel/mesh.py::sharded_ivf_probe`,
+    where K is the per-shard virtual-list count and `cent_valid` masks the
+    shard-padding dummy lists out of the centroid top-k)."""
     q = q.astype(jnp.float32)
     nq = q.shape[0]
     lmax = lists_codes.shape[1]
     cent_sims = similarity_matrix(q, centroids, metric)  # (Q, K)
+    if cent_valid is not None:
+        cent_sims = jnp.where(cent_valid[None, :], cent_sims, NEG_INF)
     _, sel = jax.lax.top_k(cent_sims, nprobe)  # (Q, nprobe)
 
     q_sq = jnp.sum(q * q, axis=-1)[:, None]  # (Q, 1)
@@ -121,6 +127,12 @@ def _ivf_probe(
     return out_s, out_i
 
 
+# jitted single-device entry point
+_ivf_probe = partial(
+    jax.jit, static_argnames=("metric", "nprobe", "topk", "int4_packed")
+)(ivf_probe_core)
+
+
 def _dedupe_topk(sims: np.ndarray, idx: np.ndarray, topk: int):
     """Keep-first dedupe of (desc-sorted) candidate rows, then truncate."""
     nq = sims.shape[0]
@@ -162,6 +174,13 @@ class IvfEngine(VectorIndexEngine):
         self._lists_ids = None
         self._loaded_aux = None
         self._trained = None  # host copies for persistence
+        self._smesh = None  # collection mesh when list buffers are sharded
+        self._cent_valid = None
+
+    def _mesh(self):
+        from ..parallel.mesh import collection_mesh
+
+        return collection_mesh()
 
     # ------------- build -------------
     def _effective_n_list(self, n: int) -> int:
@@ -300,7 +319,48 @@ class IvfEngine(VectorIndexEngine):
         # "nprobe lists" keeps the reference's full-list-scan semantics.
         self._extra_probes = int(n_chunks.max(initial=1)) - 1
 
-        self._centroids = jnp.asarray(v_centroids.astype(np.float32))
+        v_centroids = v_centroids.astype(np.float32)
+        mesh = self._mesh()
+        self._smesh = mesh if (mesh is not None and self._n >= _BRUTE_FORCE_THRESHOLD) else None
+        if self._smesh is not None:
+            # mesh scale-out: virtual lists shard over the 'corpus' axis;
+            # every shard probes its local top-nprobe (union ⊇ the global
+            # top-nprobe) and merges over ICI (`parallel/mesh.py::
+            # sharded_ivf_probe`; the reference's analog is per-segment plan
+            # fan-out, `query_planner.cc:344-448`)
+            import jax as _jax
+
+            from ..parallel.mesh import corpus_sharding
+
+            s_count = self._smesh.shape["corpus"]
+            kv_pad = -(-kv // s_count) * s_count
+            if kv_pad != kv:
+                padn = kv_pad - kv
+                v_centroids = np.pad(v_centroids, ((0, padn), (0, 0)))
+                lists_codes = np.pad(lists_codes, ((0, padn), (0, 0), (0, 0)))
+                lists_norms = np.pad(lists_norms, ((0, padn), (0, 0)))
+                lists_ids = np.pad(lists_ids, ((0, padn), (0, 0)), constant_values=-1)
+            cent_valid = np.zeros(kv_pad, dtype=bool)
+            cent_valid[:kv] = True
+            # re-derive the flat slot->row map over the PADDED list buffer
+            # (the linear-scan path reshapes the padded (KV, L) arrays)
+            self._flat_ids = lists_ids.reshape(-1).copy()
+            sh1 = corpus_sharding(self._smesh, 1)
+            sh2 = corpus_sharding(self._smesh, 2)
+            sh3 = corpus_sharding(self._smesh, 3)
+            self._centroids = _jax.device_put(v_centroids, sh2)
+            self._lists_codes = _jax.device_put(lists_codes, sh3)
+            self._lists_norms = _jax.device_put(lists_norms, sh2)
+            self._lists_ids = _jax.device_put(lists_ids, sh2)
+            self._cent_valid = _jax.device_put(cent_valid, sh1)
+            if self._qparams is not None:
+                self._dequant = (
+                    jnp.float32(self._qparams.scale),
+                    jnp.float32(self._qparams.bias),
+                )
+            return
+
+        self._centroids = jnp.asarray(v_centroids)
         self._lists_codes = jnp.asarray(lists_codes)
         self._lists_norms = jnp.asarray(lists_norms)
         self._lists_ids = jnp.asarray(lists_ids)
@@ -383,6 +443,24 @@ class IvfEngine(VectorIndexEngine):
         scan_k = 2 * topk if self.use_soar else topk
         if linear:
             sims, idx = self._linear_scan(qpad, mask, scan_k)
+        elif self._smesh is not None:
+            from ..parallel.mesh import sharded_ivf_probe
+
+            sims, idx = sharded_ivf_probe(
+                self._smesh,
+                jnp.asarray(qpad),
+                self._centroids,
+                self._lists_codes,
+                self._lists_norms,
+                self._lists_ids,
+                self._cent_valid,
+                dmask,
+                self._dequant,
+                metric=self.metric,
+                nprobe=nprobe,
+                topk=scan_k,
+                int4_packed=getattr(self, "_int4_packed", False),
+            )
         else:
             sims, idx = _ivf_probe(
                 jnp.asarray(qpad),

@@ -35,6 +35,12 @@ class SparseFlatEngine(VectorIndexEngine):
         self._doc_idx = None
         self._doc_val = None
         self._vocab = 1
+        self._smesh = None  # collection mesh when rows are corpus-sharded
+
+    def _mesh(self):
+        from ..parallel.mesh import collection_mesh
+
+        return collection_mesh()
 
     def _rebuild(self, rows: List[Optional[Dict[int, float]]]) -> None:
         self._n = len(rows)
@@ -42,13 +48,28 @@ class SparseFlatEngine(VectorIndexEngine):
             self._doc_idx = None
             return
         idx, val, vocab = pad_sparse_rows(list(rows))
-        n_pad = round_up(self._n, _ROW_ALIGN)
+        mesh = self._mesh()
+        self._smesh = mesh if (mesh is not None and self._n >= _ROW_ALIGN) else None
+        s_count = self._smesh.shape["corpus"] if self._smesh is not None else 1
+        n_pad = round_up(self._n, _ROW_ALIGN * s_count)
         pidx = np.full((n_pad, idx.shape[1]), -1, dtype=np.int32)
         pval = np.zeros((n_pad, val.shape[1]), dtype=np.float32)
         pidx[: self._n] = idx
         pval[: self._n] = val
-        self._doc_idx = jnp.asarray(pidx)
-        self._doc_val = jnp.asarray(pval)
+        if self._smesh is not None:
+            # corpus-shard the padded CSR rows across the mesh; queries
+            # replicate and per-shard top-k merges over ICI
+            # (`parallel/mesh.py::sharded_sparse_topk`)
+            import jax as _jax
+
+            from ..parallel.mesh import corpus_sharding
+
+            sh2 = corpus_sharding(self._smesh, 2)
+            self._doc_idx = _jax.device_put(pidx, sh2)
+            self._doc_val = _jax.device_put(pval, sh2)
+        else:
+            self._doc_idx = jnp.asarray(pidx)
+            self._doc_val = jnp.asarray(pval)
         self._vocab = int(round_up(max(vocab, 1), 128))
 
     def search(
@@ -89,15 +110,31 @@ class SparseFlatEngine(VectorIndexEngine):
         full_mask = np.zeros(n_pad, dtype=bool)
         full_mask[: self._n] = True if mask is None else mask
         k = min(topk, self._n)
-        sims, idx = sparse_ip_topk(
-            jnp.asarray(q_idx),
-            jnp.asarray(q_val),
-            self._doc_idx,
-            self._doc_val,
-            jnp.asarray(full_mask),
-            topk=k,
-            vocab=self._vocab,
-        )
+        if self._smesh is not None:
+            import jax as _jax
+
+            from ..parallel.mesh import corpus_sharding, sharded_sparse_topk
+
+            sims, idx = sharded_sparse_topk(
+                self._smesh,
+                jnp.asarray(q_idx),
+                jnp.asarray(q_val),
+                self._doc_idx,
+                self._doc_val,
+                _jax.device_put(full_mask, corpus_sharding(self._smesh, 1)),
+                topk=k,
+                vocab=self._vocab,
+            )
+        else:
+            sims, idx = sparse_ip_topk(
+                jnp.asarray(q_idx),
+                jnp.asarray(q_val),
+                self._doc_idx,
+                self._doc_val,
+                jnp.asarray(full_mask),
+                topk=k,
+                vocab=self._vocab,
+            )
         sims = np.asarray(sims)[:nq]
         idx = np.asarray(idx).astype(np.int64)[:nq]
         if k < topk:

@@ -239,6 +239,16 @@ class ForwardStore:
         value = self._table.column(name)[idx].as_py()
         return value
 
+    def scalar_take(self, name: str, idx: np.ndarray) -> list:
+        """Many scalar values at once — ONE Arrow take (sealed) or one fancy
+        index (writing) instead of a per-row python loop (the group-by hot
+        path; reference group decode is likewise columnar,
+        `vector_recall_node.cc:168-194`)."""
+        if self._writable:
+            vals = self._scalars[name]
+            return [vals[int(i)] for i in idx]
+        return self._table.column(name).take(pa.array(idx, type=pa.int64())).to_pylist()
+
     def scalar_column(self, name: str) -> np.ndarray:
         """Whole column as numpy (object dtype for strings/arrays); used by
         filter evaluation. Nulls come back as None (object) or NaN (floats)."""
@@ -327,6 +337,17 @@ class ForwardStore:
             if vec is not None:
                 vectors[v.name] = vec
         return self.pk(idx), fields, vectors
+
+    def arrow_snapshot(self, columns: Optional[List[str]] = None) -> pa.Table:
+        """Columnar snapshot of this store as an Arrow table, optionally
+        projected to `columns` (reference `BaseForwardStore::fetch/scan`,
+        `base_forward_store.h:39-57`). Sealed stores return (a projection
+        of) the mmap'd table zero-copy; writing stores build it from the
+        live buffers."""
+        tbl = self.to_arrow() if self._writable else self._table
+        if columns is not None:
+            tbl = tbl.select(columns)
+        return tbl
 
     # ------------- persistence -------------
     def to_arrow(self) -> pa.Table:

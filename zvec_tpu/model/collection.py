@@ -160,6 +160,21 @@ class Collection:
         ids = [ids] if isinstance(ids, str) else ids
         return self._impl.fetch(ids)
 
+    def scan(
+        self,
+        columns: Optional[List[str]] = None,
+        *,
+        filter: Optional[str] = None,
+        batch_size: int = 65536,
+    ):
+        """Stream the collection as Arrow RecordBatches (bulk export /
+        reindex / analytics path; reference `Segment::scan`,
+        `segment.cc:2627`). Deleted docs are skipped; `filter` restricts to
+        matching rows; `columns` projects scalar/vector columns (the "id"
+        pk column always leads). Collect with
+        `pyarrow.Table.from_batches(col.scan(...))`."""
+        return self._impl.scan(columns, filter, batch_size)
+
     def query(
         self,
         vectors: Optional[Union[VectorQuery, List[VectorQuery]]] = None,

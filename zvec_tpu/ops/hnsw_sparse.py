@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from .runtime import NEG_INF
 from .sparse import _densify_queries
 
-__all__ = ["hnsw_sparse_search"]
+__all__ = ["hnsw_sparse_search", "sparse_beam_core"]
 
 
 def _sparse_rows_sims(q_dense, doc_idx_rows, doc_val_rows, vocab):
@@ -37,8 +37,7 @@ def _sparse_rows_sims(q_dense, doc_idx_rows, doc_val_rows, vocab):
     return contrib.sum(-1)
 
 
-@partial(jax.jit, static_argnames=("ef", "topk", "max_steps", "vocab", "frontier"))
-def hnsw_sparse_search(
+def sparse_beam_core(
     q_idx: jax.Array,  # (Q, Pq)
     q_val: jax.Array,  # (Q, Pq)
     doc_idx: jax.Array,  # (N_pad, P)
@@ -191,3 +190,10 @@ def hnsw_sparse_search(
     res_s, res_i = res_s[:, :topk], res_i[:, :topk]
     res_i = jnp.where(res_s > NEG_INF / 2, res_i, -1)
     return res_s, res_i
+
+
+# jitted entry point; `sparse_beam_core` stays callable unjitted so the
+# mesh-sharded path can run it inside shard_map (parallel/mesh.py)
+hnsw_sparse_search = partial(
+    jax.jit, static_argnames=("ef", "topk", "max_steps", "vocab", "frontier")
+)(sparse_beam_core)

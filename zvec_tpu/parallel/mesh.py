@@ -27,6 +27,9 @@ __all__ = [
     "corpus_sharding",
     "sharded_flat_search",
     "sharded_hnsw_search",
+    "sharded_ivf_probe",
+    "sharded_sparse_topk",
+    "sharded_sparse_beam",
     "sharded_kmeans_step",
 ]
 
@@ -223,6 +226,175 @@ def sharded_hnsw_search(
         return m_s, m_i
 
     return search(*args)
+
+
+def sharded_ivf_probe(
+    mesh: Mesh,
+    queries: jax.Array,  # (Q, D) f32, replicated over 'corpus'
+    centroids: jax.Array,  # (KV, D) corpus-sharded virtual-list centroids
+    lists_codes: jax.Array,  # (KV, L, D) corpus-sharded
+    lists_norms: jax.Array,  # (KV, L) corpus-sharded
+    lists_ids: jax.Array,  # (KV, L) GLOBAL row ids (-1 pad), corpus-sharded
+    cent_valid: jax.Array,  # (KV,) bool, corpus-sharded (shard-pad dummies)
+    mask: Optional[jax.Array],  # (N,) bool, REPLICATED (ids are global)
+    dequant,
+    *,
+    metric: MetricType,
+    nprobe: int,
+    topk: int,
+    int4_packed: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Corpus-sharded IVF probe: virtual lists shard over the 'corpus' axis;
+    every shard probes its local top-nprobe lists (union over shards ⊇ the
+    global top-nprobe, so recall >= the single-device probe), then one
+    all_gather top-k merge over ICI — the same merge shape as
+    `sharded_flat_search`. List ids are global rows, so no offset math."""
+    from ..core.ivf import ivf_probe_core
+
+    has_mask = mask is not None
+    in_specs = [
+        P("batch", None),
+        P("corpus", None),
+        P("corpus", None, None),
+        P("corpus", None),
+        P("corpus", None),
+        P("corpus"),
+    ]
+    args = [queries, centroids, lists_codes, lists_norms, lists_ids, cent_valid]
+    if has_mask:
+        in_specs.append(P(None))
+        args.append(mask)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P("batch", None), P("batch", None)),
+        check_vma=False,
+    )
+    def probe(q_blk, cents_blk, codes_blk, norms_blk, ids_blk, valid_blk, *rest):
+        mask_blk = rest[0] if has_mask else None
+        np_local = min(nprobe, cents_blk.shape[0])
+        loc_s, loc_i = ivf_probe_core(
+            q_blk, cents_blk, codes_blk, norms_blk, ids_blk, mask_blk, dequant,
+            metric=metric, nprobe=np_local, topk=topk,
+            int4_packed=int4_packed, cent_valid=valid_blk,
+        )
+        all_s = jax.lax.all_gather(loc_s, "corpus", axis=1, tiled=True)
+        all_i = jax.lax.all_gather(loc_i, "corpus", axis=1, tiled=True)
+        m_s, sel = jax.lax.top_k(all_s, topk)
+        m_i = jnp.take_along_axis(all_i, sel, axis=1)
+        m_i = jnp.where(m_s > NEG_INF / 2, m_i, -1)
+        return m_s, m_i
+
+    return probe(*args)
+
+
+def sharded_sparse_topk(
+    mesh: Mesh,
+    q_idx: jax.Array,  # (Q, Pq) int32, replicated
+    q_val: jax.Array,  # (Q, Pq) f32
+    doc_idx: jax.Array,  # (N, P) int32, corpus-sharded
+    doc_val: jax.Array,  # (N, P) f32, corpus-sharded
+    mask: jax.Array,  # (N,) bool, corpus-sharded
+    *,
+    topk: int,
+    vocab: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact sharded sparse-IP top-k: each shard scans its padded-CSR rows
+    against the densified queries, per-shard top-k merges with one
+    all_gather over ICI (sparse analog of `sharded_flat_search`)."""
+    from ..ops.sparse import sparse_ip_topk
+
+    n = doc_idx.shape[0]
+    n_corpus = mesh.shape["corpus"]
+    shard_rows = n // n_corpus
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("batch", None), P("batch", None),
+            P("corpus", None), P("corpus", None), P("corpus"),
+        ),
+        out_specs=(P("batch", None), P("batch", None)),
+        check_vma=False,
+    )
+    def scan(qi_blk, qv_blk, di_blk, dv_blk, m_blk):
+        k = min(topk, shard_rows)
+        loc_s, loc_i = sparse_ip_topk(
+            qi_blk, qv_blk, di_blk, dv_blk, m_blk, topk=k, vocab=vocab
+        )
+        my_shard = jax.lax.axis_index("corpus")
+        loc_i = jnp.where(loc_i >= 0, loc_i + my_shard * shard_rows, -1)
+        all_s = jax.lax.all_gather(loc_s, "corpus", axis=1, tiled=True)
+        all_i = jax.lax.all_gather(loc_i, "corpus", axis=1, tiled=True)
+        out_k = min(topk, all_s.shape[1])
+        m_s, sel = jax.lax.top_k(all_s, out_k)
+        m_i = jnp.take_along_axis(all_i, sel, axis=1)
+        if out_k < topk:
+            m_s = jnp.pad(m_s, ((0, 0), (0, topk - out_k)), constant_values=NEG_INF)
+            m_i = jnp.pad(m_i, ((0, 0), (0, topk - out_k)), constant_values=-1)
+        m_i = jnp.where(m_s > NEG_INF / 2, m_i, -1)
+        return m_s, m_i
+
+    return scan(q_idx, q_val, doc_idx, doc_val, mask)
+
+
+def sharded_sparse_beam(
+    mesh: Mesh,
+    q_idx: jax.Array,  # (Q, Pq) replicated
+    q_val: jax.Array,
+    doc_idx: jax.Array,  # (N, P) corpus-sharded
+    doc_val: jax.Array,
+    l0_nbrs: jax.Array,  # (N, M0) per-shard LOCAL rows, corpus-sharded
+    entry_ids: jax.Array,  # (S*E,) per-shard LOCAL entry rows, corpus-sharded
+    mask: jax.Array,  # (N,) bool, corpus-sharded
+    scan_budget: jax.Array,  # () int32 per-shard budget
+    *,
+    ef: int,
+    topk: int,
+    max_steps: int,
+    vocab: int,
+    frontier: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Corpus-sharded sparse NSW beam: every shard owns an independent
+    subgraph over its contiguous global row range (same recipe as
+    `sharded_hnsw_search` — the union of per-shard beams dominates one
+    monolithic graph at equal ef), merged with one all_gather."""
+    from ..ops.hnsw_sparse import sparse_beam_core
+
+    n = doc_idx.shape[0]
+    n_corpus = mesh.shape["corpus"]
+    shard_rows = n // n_corpus
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("batch", None), P("batch", None),
+            P("corpus", None), P("corpus", None), P("corpus", None),
+            P("corpus"), P("corpus"),
+        ),
+        out_specs=(P("batch", None), P("batch", None)),
+        check_vma=False,
+    )
+    def search(qi_blk, qv_blk, di_blk, dv_blk, l0_blk, entries_blk, m_blk):
+        loc_s, loc_i = sparse_beam_core(
+            qi_blk, qv_blk, di_blk, dv_blk, l0_blk, entries_blk, m_blk,
+            scan_budget, ef=ef, topk=topk, max_steps=max_steps,
+            vocab=vocab, frontier=frontier,
+        )
+        my_shard = jax.lax.axis_index("corpus")
+        loc_i = jnp.where(loc_i >= 0, loc_i + my_shard * shard_rows, -1)
+        all_s = jax.lax.all_gather(loc_s, "corpus", axis=1, tiled=True)
+        all_i = jax.lax.all_gather(loc_i, "corpus", axis=1, tiled=True)
+        m_s, sel = jax.lax.top_k(all_s, topk)
+        m_i = jnp.take_along_axis(all_i, sel, axis=1)
+        m_i = jnp.where(m_s > NEG_INF / 2, m_i, -1)
+        return m_s, m_i
+
+    return search(q_idx, q_val, doc_idx, doc_val, l0_nbrs, entry_ids, mask)
 
 
 def sharded_kmeans_step(
