@@ -146,21 +146,30 @@ def stage_int8_hnsw():
            "insert_secs": round(insert_s, 1), "build_secs": round(build_s, 1),
            "ef": {}}
     for ef in (32, 64, 128):
-        p = HnswQueryParam(ef=ef)
-        col.batch_query("vec", Q, topk=k, output_fields=[], param=p)
-        col.batch_query("vec", Q, topk=k, output_fields=[], param=p)
-        t0 = time.perf_counter()
-        docs = col.batch_query("vec", Q, topk=k, output_fields=[], param=p)
-        dt = time.perf_counter() - t0
-        hits = sum(
-            len({int(h.id) for h in docs[i]} & set(gt[i].tolist()))
-            for i in range(gt_q)
-        )
-        row["ef"][ef] = {
-            "recall_at_10": round(hits / (gt_q * k), 4),
-            "qps": round(nq / dt, 1),
-        }
-        log(f"  ef={ef}: {row['ef'][ef]}")
+        # raw int8 scores vs refined (r3: refine-by-default on quantized
+        # indexes — None param refines; is_using_refiner=False opts out)
+        for label, p in (
+            ("raw", HnswQueryParam(ef=ef, is_using_refiner=False)),
+            ("refined", HnswQueryParam(ef=ef)),
+        ):
+            col.batch_query("vec", Q, topk=k, output_fields=[], param=p)
+            col.batch_query("vec", Q, topk=k, output_fields=[], param=p)
+            t0 = time.perf_counter()
+            docs = col.batch_query("vec", Q, topk=k, output_fields=[], param=p)
+            dt = time.perf_counter() - t0
+            hits = sum(
+                len({int(h.id) for h in docs[i]} & set(gt[i].tolist()))
+                for i in range(gt_q)
+            )
+            cell = {
+                "recall_at_10": round(hits / (gt_q * k), 4),
+                "qps": round(nq / dt, 1),
+            }
+            if label == "raw":
+                row["ef"][ef] = dict(cell)
+            else:
+                row["ef"][ef]["refined"] = cell
+            log(f"  ef={ef} {label}: {cell}")
     col._impl.close()
     merge_results("int8_hnsw_cosine", row)
 

@@ -1,0 +1,319 @@
+"""DDL + lifecycle behavior matrix: schema validation, create_and_open /
+open option combinations, index DDL, column DDL, optimize, destroy
+(reference analogs: `test_collection_ddl.py` 1,557 LoC,
+`test_collection_create_and_open.py` 792, `test_collection_open.py` 960)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import zvec_tpu
+from zvec_tpu import (
+    CollectionOption,
+    CollectionSchema,
+    DataType,
+    Doc,
+    FieldSchema,
+    FlatIndexParam,
+    HnswIndexParam,
+    InvertIndexParam,
+    IVFIndexParam,
+    MetricType,
+    VectorQuery,
+    VectorSchema,
+    ZvecError,
+)
+
+from .conftest import DIM, FIELD_NAME, full_width_schema, make_doc
+
+
+# ------------------------------------------------------------- schema ----
+class TestSchemaValidation:
+    def test_duplicate_names_across_fields_and_vectors(self):
+        with pytest.raises(ValueError):
+            CollectionSchema(
+                "dup",
+                fields=[FieldSchema("x", DataType.INT64)],
+                vectors=[VectorSchema("x", DataType.VECTOR_FP32, 4, FlatIndexParam())],
+            )
+        with pytest.raises(ValueError):
+            CollectionSchema(
+                "dup2",
+                fields=[
+                    FieldSchema("x", DataType.INT64),
+                    FieldSchema("x", DataType.STRING),
+                ],
+                vectors=[VectorSchema("v", DataType.VECTOR_FP32, 4, FlatIndexParam())],
+            )
+
+    @pytest.mark.parametrize("dim", [0, -1])
+    def test_dense_vector_needs_positive_dim(self, dim):
+        with pytest.raises(ValueError):
+            VectorSchema("v", DataType.VECTOR_FP32, dim, FlatIndexParam())
+
+    def test_scalar_index_param_type_enforced(self):
+        with pytest.raises(ValueError):
+            FieldSchema("x", DataType.INT64, index_param=HnswIndexParam())
+
+    def test_vector_field_defaults_to_hnsw(self):
+        """`VectorSchema` defaults index_param=HnswIndexParam()
+        (`field_schema.py:191-193`)."""
+        vs = VectorSchema("v", DataType.VECTOR_FP32, 8)
+        assert isinstance(vs.index_param, HnswIndexParam)
+
+    def test_schema_roundtrip_with_r3_params(self):
+        s = full_width_schema("rt")
+        s2 = CollectionSchema.from_dict(s.to_dict())
+        assert s2 == s
+        # new typed knobs survive the dict round trip
+        p = HnswIndexParam(MetricType.L2, knn_k=33, prune_alpha=1.1)
+        s3 = CollectionSchema(
+            "rt2", vectors=[VectorSchema("v", DataType.VECTOR_FP32, 8, p)]
+        )
+        s4 = CollectionSchema.from_dict(s3.to_dict())
+        got = s4.vector("v").index_param
+        assert got.knn_k == 33 and got.prune_alpha == 1.1
+
+    @pytest.mark.parametrize("bad_name", ["", None, 7])
+    def test_bad_collection_names(self, bad_name):
+        with pytest.raises((ValueError, TypeError)):
+            CollectionSchema(
+                bad_name,
+                vectors=[VectorSchema("v", DataType.VECTOR_FP32, 4, FlatIndexParam())],
+            )
+
+
+# ----------------------------------------------------- create_and_open ----
+class TestCreateAndOpen:
+    def test_create_open_cycle_all_options(self, tmp_path):
+        for mmap_on in (True, False):
+            p = str(tmp_path / f"c_{mmap_on}")
+            col = zvec_tpu.create_and_open(
+                p, full_width_schema(f"c{mmap_on}"),
+                CollectionOption(enable_mmap=mmap_on),
+            )
+            col.insert([make_doc(i) for i in range(20)])
+            col.optimize()
+            col.flush()
+            del col
+            col2 = zvec_tpu.open(p, CollectionOption(enable_mmap=mmap_on))
+            assert col2.stats.doc_count == 20
+            got = col2.fetch("pk3")["pk3"]
+            assert got.fields[FIELD_NAME[DataType.STRING]] == "str_3"
+            del col2
+
+    def test_enable_mmap_false_reads_into_heap(self, tmp_path):
+        """The sealed forward table must not be backed by the file mapping
+        when mmap is off (reference MmapFileReadStorage vs FileReadStorage,
+        `options.h:24`)."""
+        p = str(tmp_path / "heap")
+        col = zvec_tpu.create_and_open(
+            p, full_width_schema("heap"), CollectionOption(enable_mmap=False)
+        )
+        col.insert([make_doc(i) for i in range(10)])
+        col.optimize()
+        col.flush()
+        del col
+        col2 = zvec_tpu.open(p, CollectionOption(enable_mmap=False))
+        seg = col2._impl.segments[0]
+        # heap-read tables answer even after the file is replaced on disk
+        assert seg.store._table.num_rows == 10
+
+    def test_create_on_existing_collection_fails(self, tmp_path):
+        p = str(tmp_path / "dup")
+        zvec_tpu.create_and_open(p, full_width_schema("dup"))._impl.close()
+        with pytest.raises(ZvecError):
+            zvec_tpu.create_and_open(p, full_width_schema("dup"))
+
+    def test_open_missing_fails(self, tmp_path):
+        with pytest.raises(ZvecError):
+            zvec_tpu.open(str(tmp_path / "nothing"))
+
+    def test_double_open_locked_then_released(self, tmp_path):
+        p = str(tmp_path / "lock")
+        col = zvec_tpu.create_and_open(p, full_width_schema("lock"))
+        with pytest.raises(ZvecError):
+            zvec_tpu.open(p)
+        col._impl.close()
+        col2 = zvec_tpu.open(p)  # lock released on close
+        assert col2.stats.doc_count == 0
+
+    def test_read_only_allows_concurrent_readers(self, tmp_path):
+        p = str(tmp_path / "ro2")
+        col = zvec_tpu.create_and_open(p, full_width_schema("ro2"))
+        col.insert([make_doc(i) for i in range(5)])
+        col.flush()
+        col._impl.close()
+        r1 = zvec_tpu.open(p, CollectionOption(read_only=True))
+        r2 = zvec_tpu.open(p, CollectionOption(read_only=True))  # shared lock
+        assert r1.stats.doc_count == r2.stats.doc_count == 5
+
+    def test_schema_persisted_matches(self, tmp_path):
+        p = str(tmp_path / "sp")
+        schema = full_width_schema("sp")
+        zvec_tpu.create_and_open(p, schema)._impl.close()
+        col = zvec_tpu.open(p)
+        assert col.schema == schema
+
+
+# ---------------------------------------------------------------- index ----
+class TestIndexDDL:
+    @pytest.mark.parametrize(
+        "param",
+        [
+            HnswIndexParam(MetricType.L2, m=8, ef_construction=40),
+            IVFIndexParam(MetricType.L2, n_list=8, n_iters=2),
+            FlatIndexParam(MetricType.L2),
+        ],
+        ids=["hnsw", "ivf", "flat"],
+    )
+    def test_create_index_each_type_then_query(self, tmp_path, rng, param):
+        col = zvec_tpu.create_and_open(
+            str(tmp_path / "ci"), full_width_schema("ci")
+        )
+        docs = [make_doc(i) for i in range(300)]
+        col.insert(docs)
+        col.create_index("dense", param)
+        col.optimize()
+        q = np.asarray(docs[12].vectors["dense"], np.float32)
+        res = col.query(VectorQuery("dense", vector=q), topk=3)
+        assert res[0].id == "pk12"
+
+    def test_create_index_unknown_field(self, full_col):
+        with pytest.raises((ZvecError, ValueError)):
+            full_col.create_index("ghost", FlatIndexParam())
+
+    def test_drop_then_recreate_index(self, tmp_path, rng):
+        col = zvec_tpu.create_and_open(str(tmp_path / "dr"), full_width_schema("dr"))
+        docs = [make_doc(i) for i in range(100)]
+        col.insert(docs)
+        col.optimize()
+        col.drop_index("dense")
+        # still queryable (brute-force fallback parity: writing-segment scan)
+        q = np.asarray(docs[7].vectors["dense"], np.float32)
+        assert col.query(VectorQuery("dense", vector=q), topk=1)[0].id == "pk7"
+        col.create_index(
+            "dense", HnswIndexParam(MetricType.L2, m=8, ef_construction=40)
+        )
+        assert col.query(VectorQuery("dense", vector=q), topk=1)[0].id == "pk7"
+
+    def test_create_invert_index_enables_fast_path(self, tmp_path):
+        col = zvec_tpu.create_and_open(str(tmp_path / "ii"), full_width_schema("ii"))
+        col.insert([make_doc(i) for i in range(50)])
+        col.optimize()
+        col.create_index(
+            FIELD_NAME[DataType.INT64], InvertIndexParam(enable_range_optimization=True)
+        )
+        got = col.query(
+            VectorQuery("dense", vector=np.zeros(DIM, np.float32)),
+            topk=100,
+            filter=f"{FIELD_NAME[DataType.INT64]} > 0",
+        )
+        assert {r.id for r in got} == {f"pk{i}" for i in range(1, 50)}
+
+    def test_index_completeness_stat(self, tmp_path):
+        col = zvec_tpu.create_and_open(str(tmp_path / "ic"), full_width_schema("ic"))
+        col.insert([make_doc(i) for i in range(100)])
+        col.optimize()
+        stats = col.stats
+        assert stats.index_completeness.get("dense", 0) == pytest.approx(1.0)
+
+
+# --------------------------------------------------------------- column ----
+class TestColumnDDL:
+    def test_add_column_with_default_then_filter(self, tmp_path):
+        col = zvec_tpu.create_and_open(str(tmp_path / "ac"), full_width_schema("ac"))
+        col.insert([make_doc(i) for i in range(30)])
+        col.add_column(FieldSchema("added", DataType.INT64, nullable=True), "7")
+        got = col.fetch("pk2")["pk2"]
+        assert got.fields["added"] == 7
+        # new docs may set it; filter sees both
+        d = make_doc(99)
+        d.fields["added"] = 1
+        col.insert(d)
+        hits = col.query(
+            VectorQuery("dense", vector=np.zeros(DIM, np.float32)),
+            topk=100,
+            filter="added = 7",
+        )
+        assert len(hits) == 30
+
+    def test_add_column_expression(self, tmp_path):
+        col = zvec_tpu.create_and_open(str(tmp_path / "ae"), full_width_schema("ae"))
+        col.insert([make_doc(i) for i in range(10)])
+        col.add_column(
+            FieldSchema("doubled", DataType.DOUBLE, nullable=True),
+            expression=f"{FIELD_NAME[DataType.FLOAT]} * 2",
+        )
+        got = col.fetch("pk4")["pk4"]
+        assert got.fields["doubled"] == pytest.approx(4 * 0.5 * 2)
+
+    def test_drop_column_removes_everywhere(self, tmp_path):
+        col = zvec_tpu.create_and_open(str(tmp_path / "dc"), full_width_schema("dc"))
+        col.insert([make_doc(i) for i in range(10)])
+        name = FIELD_NAME[DataType.UINT64]
+        col.drop_column(name)
+        assert col.schema.field(name) is None
+        assert name not in col.fetch("pk1")["pk1"].fields
+        with pytest.raises((ZvecError, ValueError)):  # FilterError(ValueError)
+            col.query(
+                VectorQuery("dense", vector=np.zeros(DIM, np.float32)),
+                topk=3,
+                filter=f"{name} > 0",
+            )
+
+    def test_alter_column_rename_persists(self, tmp_path):
+        p = str(tmp_path / "ar")
+        col = zvec_tpu.create_and_open(p, full_width_schema("ar"))
+        col.insert([make_doc(i) for i in range(10)])
+        old = FIELD_NAME[DataType.INT32]
+        col.alter_column(
+            old, field_schema=FieldSchema("renamed_i32", DataType.INT32, nullable=True)
+        )
+        assert col.fetch("pk3")["pk3"].fields["renamed_i32"] == -2
+        col.flush()
+        col._impl.close()
+        col2 = zvec_tpu.open(p)
+        assert col2.schema.field("renamed_i32") is not None
+        assert col2.schema.field(old) is None
+
+    def test_column_ddl_on_sealed_segments(self, tmp_path):
+        col = zvec_tpu.create_and_open(str(tmp_path / "sc"), full_width_schema("sc"))
+        col.insert([make_doc(i) for i in range(20)])
+        col.optimize()  # seal
+        col.add_column(FieldSchema("late", DataType.STRING, nullable=True), "'x'")
+        assert col.fetch("pk0")["pk0"].fields["late"] == "x"
+
+
+# -------------------------------------------------------------- optimize ----
+class TestOptimize:
+    def test_optimize_compacts_deletes(self, tmp_path):
+        col = zvec_tpu.create_and_open(str(tmp_path / "oc"), full_width_schema("oc"))
+        col.insert([make_doc(i) for i in range(100)])
+        col.delete([f"pk{i}" for i in range(0, 100, 2)])
+        col.optimize()
+        assert col.stats.doc_count == 50
+        seg_rows = sum(s.store.count for s in col._impl.segments)
+        assert seg_rows == 50  # tombstoned rows physically gone
+
+    def test_optimize_idempotent(self, tmp_path):
+        col = zvec_tpu.create_and_open(str(tmp_path / "oi"), full_width_schema("oi"))
+        col.insert([make_doc(i) for i in range(30)])
+        col.optimize()
+        v1 = {s.meta.segment_id for s in col._impl.segments}
+        col.optimize()
+        assert col.stats.doc_count == 30
+        q = np.asarray(make_doc(3).vectors["dense"], np.float32)
+        assert col.query(VectorQuery("dense", vector=q), topk=1)[0].id == "pk3"
+
+    def test_optimize_empty_collection(self, full_col):
+        full_col.optimize()  # must not raise
+        assert full_col.stats.doc_count == 0
+
+    def test_destroy_removes_directory(self, tmp_path):
+        p = str(tmp_path / "destroy")
+        col = zvec_tpu.create_and_open(p, full_width_schema("destroy"))
+        col.insert(make_doc(0))
+        col.destroy()
+        assert not os.path.exists(p)

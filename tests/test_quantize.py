@@ -163,7 +163,10 @@ def test_int4_flat_engine_packed_storage(rng):
         MetricType.L2, d, FlatIndexParam(MetricType.L2, QuantizeType.INT4)
     )
     e4.bind_data(lambda: xs, lambda: 1)
-    sims, idx = e4.search(qs, k)
+    from zvec_tpu.model.param.param import FlatQueryParam
+
+    # raw quantized scores: opt out of the r3 refine-by-default
+    sims, idx = e4.search(qs, k, param=FlatQueryParam(is_using_refiner=False))
     # storage really is packed: d/2 bytes per row
     assert e4._codes.shape[1] == d // 2
     assert e4._codes.dtype == jnp.int8
@@ -172,6 +175,13 @@ def test_int4_flat_engine_packed_storage(rng):
     expect = np.argsort(dmat, axis=1)[:, :k]
     hits = sum(len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(len(qs)))
     assert hits / (len(qs) * k) >= 0.6
+    # DEFAULT (no param) now refines quantized hits against fp32 — recall
+    # must beat or match the raw-code ranking (`segment.cc:1591-1700` pairing)
+    _, idx_ref = e4.search(qs, k)
+    hits_ref = sum(
+        len(set(idx_ref[i][idx_ref[i] >= 0]) & set(expect[i])) for i in range(len(qs))
+    )
+    assert hits_ref >= hits
     # and exactly matches the same engine scoring unpacked codes
     from zvec_tpu.ops.quantize import unpack_int4
     from zvec_tpu.ops.topk import blockwise_topk_search

@@ -201,8 +201,9 @@ def test_doc_repr_and_fields():
 
 
 def test_status_codes():
-    ok = Status.ok()
-    assert ok and ok.code == StatusCode.OK
+    ok = Status.ok_status()
+    assert ok and ok.code == StatusCode.OK and ok.ok()
+    assert not Status(StatusCode.NOT_FOUND).ok()  # instance truth (ref parity)
     bad = Status(StatusCode.INVALID_ARGUMENT, "nope")
     assert not bad
     assert "nope" in str(bad)

@@ -242,3 +242,63 @@ def test_bm25_query_indicator_and_doc_idf():
     idf_beta = math.log(1 + (n - 2 + 0.5) / 2.5)
     assert abs(w[0] - idf_alpha * tf_sat) < 1e-9
     assert abs(w[1] - idf_beta * tf_sat) < 1e-9
+
+
+def test_bm25_term_dictionary_collision_free():
+    """Round-2 regression: terms that FNV-hash to the same bucket used to
+    alias into one dimension; the term dictionary must keep every distinct
+    term on its own id (reference trains a real encoder vocabulary,
+    `bm25_embedding_function.py:168-271`)."""
+    from zvec_tpu import BM25EmbeddingFunction
+
+    # 'costarring'/'liquid' and 'declinate'/'macallums' are classic FNV-1a
+    # 32-bit full collisions; regardless, ANY large vocab must stay 1:1
+    corpus = ["costarring liquid declinate macallums", "liquid macallums"]
+    bm25 = BM25EmbeddingFunction(corpus=corpus)
+    ids = {t: bm25._vocab[t] for t in ("costarring", "liquid", "declinate", "macallums")}
+    assert len(set(ids.values())) == 4, ids
+    # 50k synthetic terms: ids must be collision-free and dense
+    big = BM25EmbeddingFunction().fit([" ".join(f"t{i}" for i in range(50_000))])
+    assert big.vocab_size == 50_000
+    assert sorted(big.dump_vocab().values()) == list(range(50_000))
+
+
+def test_bm25_language_and_analyzer_hooks():
+    from zvec_tpu import BM25EmbeddingFunction
+    from zvec_tpu.extension.bm25_embedding_function import ENGLISH_STOPWORDS
+
+    # stopwords drop function words from both docs and queries
+    bm25 = BM25EmbeddingFunction(
+        corpus=["the quick fox", "a lazy dog"], stopwords=ENGLISH_STOPWORDS
+    )
+    assert "the" not in bm25._vocab and "quick" in bm25._vocab
+    assert bm25.embed_query("the the the") == {}
+
+    # stemmer hook normalizes surface forms onto one id
+    stem = lambda t: t[:-1] if t.endswith("s") else t  # noqa: E731
+    bs = BM25EmbeddingFunction(corpus=["dogs dog"], stemmer=stem)
+    assert bs.vocab_size == 1
+
+    # zh analyzer: character bigrams, no external deps
+    bz = BM25EmbeddingFunction(corpus=["今天天气很好", "天气不错"], language="zh")
+    assert "天气" in bz._vocab
+    q = bz.embed_query("天气")
+    assert len(q) == 1
+
+    # encoding_type call modes (reference __call__ semantics)
+    bq = BM25EmbeddingFunction(corpus=["alpha beta"], encoding_type="query")
+    assert set(bq("alpha alpha").values()) == {1.0}
+    bd = BM25EmbeddingFunction(corpus=["alpha beta"], encoding_type="document")
+    assert all(v != 1.0 for v in bd("alpha alpha").values())
+
+    # unknown query terms match nothing -> dropped
+    assert bq("zulu") == {}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BM25EmbeddingFunction(encoding_type="nope")
+    with _pytest.raises(ValueError):
+        BM25EmbeddingFunction(language="fr")
+    with _pytest.raises(ValueError):
+        BM25EmbeddingFunction(corpus=[])

@@ -48,7 +48,7 @@ from .model.param import (
     IVFQueryParam,
     OptimizeOption,
 )
-from .model.param.vector_query import VectorQuery
+from .model.param.vector_query import GroupByVectorQuery, VectorQuery
 from .model.schema import CollectionSchema, CollectionStats, FieldSchema, VectorSchema
 from .typing import (
     DataType,
@@ -82,6 +82,7 @@ __all__ = [
     "CollectionStats",
     # parameters
     "VectorQuery",
+    "GroupByVectorQuery",
     "InvertIndexParam",
     "HnswIndexParam",
     "FlatIndexParam",

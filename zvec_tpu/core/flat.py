@@ -252,10 +252,14 @@ class FlatEngine(VectorIndexEngine):
             queries = bits_to_pm1(binarize(queries))
             scan_metric = MetricType.L2
 
-        use_refiner = (
-            param is not None
-            and getattr(param, "is_using_refiner", False)
-            and self.quantize != QuantizeType.UNDEFINED
+        quantized = self.quantize != QuantizeType.UNDEFINED
+        # refine-by-default on quantized indexes (reference full-precision
+        # refine block pairing, `segment.cc:1591-1700`); opt out with
+        # is_using_refiner=False
+        use_refiner = quantized and (
+            param.refiner_enabled(True)
+            if isinstance(param, QueryParam)
+            else True
         )
         scan_k = topk
         if use_refiner:

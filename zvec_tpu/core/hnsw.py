@@ -1509,10 +1509,14 @@ class HnswEngine(VectorIndexEngine):
 
             queries = bits_to_pm1(unpack_bits(np.ascontiguousarray(queries), self.dimension))
         ef = param.ef if isinstance(param, HnswQueryParam) else 500
-        use_refiner = (
-            param is not None
-            and getattr(param, "is_using_refiner", False)
-            and self.quantize != QuantizeType.UNDEFINED
+        quantized = self.quantize != QuantizeType.UNDEFINED
+        # refine-by-default on quantized indexes (reference full-precision
+        # refine block pairing, `segment.cc:1591-1700`); opt out with
+        # is_using_refiner=False
+        use_refiner = quantized and (
+            param.refiner_enabled(True)
+            if isinstance(param, QueryParam)
+            else True
         )
         out_topk = topk
         if use_refiner:

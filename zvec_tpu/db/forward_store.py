@@ -44,15 +44,21 @@ def write_arrow(table: "pa.Table", path: str, file_format: str = None) -> None:
     os.replace(tmp, path)
 
 
-def read_forward_table(path: str) -> "pa.Table":
-    """Read a forward block, sniffing IPC vs Parquet by magic bytes."""
+def read_forward_table(path: str, use_mmap: bool = True) -> "pa.Table":
+    """Read a forward block, sniffing IPC vs Parquet by magic bytes.
+    `use_mmap=False` reads the block into heap buffers instead of
+    memory-mapping (reference `CollectionOptions.enable_mmap_`,
+    `options.h:24`: MmapFileReadStorage vs FileReadStorage)."""
     with open(path, "rb") as fh:
         magic = fh.read(6)
     if magic[:4] == b"PAR1":
         import pyarrow.parquet as pq
 
-        return pq.read_table(path)
-    with pa.memory_map(path) as source:
+        return pq.read_table(path, memory_map=use_mmap)
+    if use_mmap:
+        with pa.memory_map(path) as source:
+            return ipc.open_file(source).read_all()
+    with pa.OSFile(path, "rb") as source:
         return ipc.open_file(source).read_all()
 
 PK_COLUMN = "_pk"
@@ -387,9 +393,11 @@ class ForwardStore:
         write_arrow(self.to_arrow() if self._writable else self._table, path)
 
     @classmethod
-    def load(cls, schema: CollectionSchema, path: str) -> "ForwardStore":
+    def load(
+        cls, schema: CollectionSchema, path: str, use_mmap: bool = True
+    ) -> "ForwardStore":
         store = cls(schema)
-        store._table = read_forward_table(path)
+        store._table = read_forward_table(path, use_mmap)
         store._count = store._table.num_rows
         store._writable = False
         store._scalars = {}

@@ -73,10 +73,13 @@ class Segment:
 
     @classmethod
     def open_sealed(
-        cls, root: str, meta: SegmentMeta, schema: CollectionSchema
+        cls, root: str, meta: SegmentMeta, schema: CollectionSchema,
+        use_mmap: bool = True,
     ) -> "Segment":
         directory = os.path.join(root, meta.dirname)
-        store = ForwardStore.load(schema, os.path.join(directory, FORWARD_FILE))
+        store = ForwardStore.load(
+            schema, os.path.join(directory, FORWARD_FILE), use_mmap
+        )
         seg = cls(directory, meta, schema, store, None)
         seg._load_built_indexes()
         seg._load_inverted_indexes()

@@ -304,4 +304,4 @@ def validate_doc(
                     f"vector field '{vs.name}' is required",
                 )
 
-    return fields, vectors, Status.ok()
+    return fields, vectors, Status.ok_status()

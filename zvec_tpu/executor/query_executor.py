@@ -145,17 +145,40 @@ class QueryExecutor(ABC):
                 param=bq.param,
             )
 
-        workers = self._concurrency or min(4, len(built))
-        if len(built) == 1 or workers == 1:
+        if len(built) == 1:
             return {bq.field_name: run(bq) for bq in built}
-        done: Dict[str, List[Doc]] = {}
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            futures = {pool.submit(run, bq): bq.field_name for bq in built}
-            for future in as_completed(futures):
-                done[futures[future]] = future.result()
-        # assemble in query order: reranker tie-breaks must not depend on
-        # thread completion order (results deterministic vs serial path)
-        return {bq.field_name: done[bq.field_name] for bq in built}
+        workers = self._concurrency
+        if workers and workers > 1:
+            # explicit thread fan-out (reference semantics,
+            # ZVEC_QUERY_CONCURRENCY / `query_executor.py:196-211`)
+            done: Dict[str, List[Doc]] = {}
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                futures = {pool.submit(run, bq): bq.field_name for bq in built}
+                for future in as_completed(futures):
+                    done[futures[future]] = future.result()
+            # assemble in query order: reranker tie-breaks must not depend
+            # on thread completion order (deterministic vs serial path)
+            return {bq.field_name: done[bq.field_name] for bq in built}
+        # default: dispatch/finalize split — every field's device program is
+        # enqueued before the first result is fetched, overlapping H2D
+        # upload + dispatch of field i+1 with device compute of field i
+        # (one tunnel round trip instead of len(built) sequential ones)
+        fins = [
+            (
+                bq.field_name,
+                impl.query_dispatch(
+                    bq.field_name,
+                    bq.vector,
+                    topk=ctx.topk,
+                    filter_str=ctx.filter,
+                    include_vector=ctx.include_vector,
+                    output_fields=ctx.output_fields,
+                    param=bq.param,
+                ),
+            )
+            for bq in built
+        ]
+        return {name: fin() for name, fin in fins}
 
     def _do_merge_rerank_results(
         self, ctx: QueryContext, docs_map: Dict[str, List[Doc]]

@@ -282,19 +282,40 @@ class Collection:
         self,
         vectors: Optional[Union[VectorQuery, List[VectorQuery]]] = None,
         *,
-        group_by_field: str,
+        group_by_field: Optional[str] = None,
         group_count: int = 10,
         group_topk: int = 2,
         filter: Optional[str] = None,
         include_vector: bool = False,
         output_fields: Optional[List[str]] = None,
+        reranker: Optional[RerankFunction] = None,
     ) -> List[Doc]:
         """Group-by search: best `group_topk` docs for each of the top
         `group_count` groups (reference `_Collection.GroupByQuery`,
-        `python_collection.cc:203`; C++-only there, exposed here)."""
-        query = vectors[0] if isinstance(vectors, list) else vectors
+        `python_collection.cc:203`; C++-only there, exposed here).
+
+        Accepts a `GroupByVectorQuery` (reference typed query object,
+        `doc.h:370`) carrying its own group params, a plain VectorQuery with
+        the group kwargs, or a LIST of queries (multi-vector grouped fused
+        search — requires a reranker, like `query`)."""
+        from ..model.param.vector_query import GroupByVectorQuery
+
+        qs = vectors if isinstance(vectors, list) else [vectors]
+        for q in qs:
+            if isinstance(q, GroupByVectorQuery):
+                group_by_field = group_by_field or q.group_by_field
+                group_count = q.group_count
+                group_topk = q.group_topk
+                break
+        if not group_by_field:
+            raise ValueError("group_by_query requires group_by_field")
+        if len(qs) > 1:
+            return self._grouped_multi_vector(
+                qs, group_by_field, group_count, group_topk,
+                filter, include_vector, output_fields, reranker,
+            )
         return self._impl.group_by_query(
-            query,
+            qs[0],
             group_by_field=group_by_field,
             group_count=group_count,
             group_topk=group_topk,
@@ -302,3 +323,46 @@ class Collection:
             include_vector=include_vector,
             output_fields=output_fields,
         )
+
+    def _grouped_multi_vector(
+        self, qs, group_by_field, group_count, group_topk,
+        filter, include_vector, output_fields, reranker,
+    ) -> List[Doc]:
+        """Grouped fused search: rerank the multi-vector fusion at growing
+        overscan until `group_count` groups hold `group_topk` docs each
+        (same iterative-deepening guarantee as the single-vector path)."""
+        if self._impl.schema.field(group_by_field) is None:
+            raise ValueError(f"unknown group-by field '{group_by_field}'")
+        total = self._impl.stats().doc_count
+        overscan = max(group_count * group_topk * 4, 64)
+        while True:
+            res = self.query(
+                qs, topk=min(overscan, max(total, 1)), filter=filter,
+                include_vector=include_vector, output_fields=None,
+                reranker=reranker,
+            )
+            groups: Dict = {}
+            order: List = []
+            satisfied = 0
+            for doc in res:
+                key = doc.fields.get(group_by_field)
+                key = str(key) if isinstance(key, (list, tuple)) else key
+                lst = groups.setdefault(key, [])
+                if key not in order:
+                    order.append(key)
+                if len(lst) < group_topk:
+                    lst.append(doc)
+                    if len(lst) == group_topk:
+                        satisfied += 1
+            if satisfied >= group_count or len(res) < overscan or overscan >= total:
+                break
+            overscan = min(overscan * 4, max(total, 1))
+        out: List[Doc] = []
+        for key in order[:group_count]:
+            for doc in groups[key]:
+                if output_fields is not None and doc.fields:
+                    doc.fields = {
+                        k: v for k, v in doc.fields.items() if k in output_fields
+                    }
+                out.append(doc)
+        return out

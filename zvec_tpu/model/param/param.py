@@ -209,12 +209,25 @@ class IVFIndexParam(VectorIndexParam):
 
 
 class QueryParam(_ReprMixin):
-    """Base of per-query vector search parameters."""
+    """Base of per-query vector search parameters.
 
-    def __init__(self, is_linear: bool = False, is_using_refiner: bool = False):
+    `is_using_refiner=None` (default) = AUTO: quantized indexes refine
+    against the full-precision forward tier by default (the reference pairs
+    every quantized index with a full-precision block precisely for this,
+    `segment.cc:1591-1700`); fp32 indexes don't. Pass False to force raw
+    quantized scores, True to force refining."""
+
+    def __init__(self, is_linear: bool = False, is_using_refiner=None):
         self.is_linear = bool(is_linear)
-        self.is_using_refiner = bool(is_using_refiner)
+        self.is_using_refiner = (
+            None if is_using_refiner is None else bool(is_using_refiner)
+        )
         self.refiner_scale_factor = DEFAULT_REFINER_SCALE_FACTOR
+
+    def refiner_enabled(self, quantized: bool) -> bool:
+        if self.is_using_refiner is None:
+            return quantized
+        return self.is_using_refiner
 
 
 class HnswQueryParam(QueryParam):
@@ -239,7 +252,7 @@ class HnswQueryParam(QueryParam):
         ef: int = DEFAULT_HNSW_EF_SEARCH,
         radius: float = 0.0,
         is_linear: bool = False,
-        is_using_refiner: bool = False,
+        is_using_refiner=None,
         *,
         frontier: int = 0,
         steps_slack: int = 64,
@@ -268,7 +281,7 @@ class HnswQueryParam(QueryParam):
 
 
 class IVFQueryParam(QueryParam):
-    def __init__(self, nprobe: int = DEFAULT_IVF_NPROBE, is_using_refiner: bool = False):
+    def __init__(self, nprobe: int = DEFAULT_IVF_NPROBE, is_using_refiner=None):
         super().__init__(is_using_refiner=is_using_refiner)
         if nprobe <= 0:
             raise ValueError(f"IVF nprobe must be positive, got {nprobe}")
@@ -276,7 +289,7 @@ class IVFQueryParam(QueryParam):
 
 
 class FlatQueryParam(QueryParam):
-    def __init__(self, is_using_refiner: bool = False):
+    def __init__(self, is_using_refiner=None):
         super().__init__(is_using_refiner=is_using_refiner)
 
 

@@ -13,7 +13,7 @@ from typing import Optional, Union
 from ..doc import VectorType
 from .param import FlatQueryParam, HnswQueryParam, IVFQueryParam
 
-__all__ = ["VectorQuery"]
+__all__ = ["VectorQuery", "GroupByVectorQuery"]
 
 
 @dataclass(frozen=True)
@@ -40,3 +40,23 @@ class VectorQuery:
             raise ValueError("Cannot provide both id and vector")
         if not self.has_id() and not self.has_vector():
             raise ValueError("VectorQuery requires either id or vector")
+
+
+@dataclass(frozen=True)
+class GroupByVectorQuery(VectorQuery):
+    """A VectorQuery carrying group-by parameters (reference typed query
+    object `src/include/zvec/db/doc.h:370`): best `group_topk` docs for each
+    of the top `group_count` groups keyed by `group_by_field`. Usable
+    anywhere a VectorQuery is — including in a multi-vector list with a
+    reranker (grouped fused search)."""
+
+    group_by_field: str = ""
+    group_count: int = 10
+    group_topk: int = 2
+
+    def _validate(self) -> None:
+        super()._validate()
+        if not self.group_by_field:
+            raise ValueError("GroupByVectorQuery requires group_by_field")
+        if self.group_count <= 0 or self.group_topk <= 0:
+            raise ValueError("group_count and group_topk must be positive")

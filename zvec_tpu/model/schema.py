@@ -275,6 +275,9 @@ class CollectionSchema:
             raise ValueError(
                 f"schema validate failed: collection name must be str, got {type(name).__name__}"
             )
+        if not name:
+            # reference `schema.cc:231-232`
+            raise ValueError("schema validate failed: name is empty")
         self._name = name
         self._fields: List[FieldSchema] = []
         self._vectors: List[VectorSchema] = []

@@ -29,7 +29,7 @@ class Status:
         raise AttributeError("Status is immutable; build a new one instead")
 
     @classmethod
-    def ok(cls) -> "Status":
+    def ok_status(cls) -> "Status":
         # shared immutable OK instance: write paths return one per doc
         # (measured 7% of a vector-only insert batch in allocations)
         return _OK
@@ -38,8 +38,15 @@ class Status:
     def error(cls, code: StatusCode, message: str = "") -> "Status":
         return cls(code, message)
 
-    def is_ok(self) -> bool:
+    def ok(self) -> bool:
+        """Instance truth check — reference parity: every caller writes
+        `result.ok()` (`python/tests/.../result.ok()` idiom). The shared-OK
+        factory moved to `Status.ok_status()` (round-3 fix: the classmethod
+        used to shadow this name, so `status.ok()` returned the OK singleton
+        even on an error status — silently truthy)."""
         return self.code == StatusCode.OK
+
+    is_ok = ok
 
     @property
     def ok_(self) -> bool:  # reference-style truthiness helper

@@ -59,7 +59,9 @@ def create_and_open(
     option: CollectionOption = CollectionOption(),
 ) -> Collection:
     """Create a new collection at `path` and open it."""
-    impl = CollectionImpl.create_and_open(path, schema, read_only=option.read_only)
+    impl = CollectionImpl.create_and_open(
+        path, schema, read_only=option.read_only, enable_mmap=option.enable_mmap
+    )
     return Collection(impl, option)
 
 
@@ -67,5 +69,7 @@ def open(
     path: str, option: CollectionOption = CollectionOption()
 ) -> Collection:
     """Open an existing collection, recovering from manifest + WAL."""
-    impl = CollectionImpl.open(path, read_only=option.read_only)
+    impl = CollectionImpl.open(
+        path, read_only=option.read_only, enable_mmap=option.enable_mmap
+    )
     return Collection(impl, option)
