@@ -122,3 +122,73 @@ def test_engine_recall_with_alpha(rng):
         for i in range(len(Q))
     )
     assert hits / (len(Q) * k) >= 0.85
+
+
+def test_backfill_alpha_diversifies_tail(rng):
+    """backfill_alpha inserts a second (alpha-relaxed) prune round over the
+    pruned pool: kept tier identical to alpha=1.0, backfill tail reordered
+    toward diverse (mutually non-dominating) edges."""
+    import jax.numpy as jnp
+
+    from zvec_tpu.ops.hnsw import _compact_keep_backfill, _prune_keep
+
+    pair, sims, valid = _mk(rng, b=6, c=64)
+    keep = _prune_keep(pair, sims, valid, 64, metric=MetricType.L2)
+    ids = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32), (6, 64))
+    base_ids, _ = _compact_keep_backfill(keep, valid, ids, sims, 16)
+    div_ids, _ = _compact_keep_backfill(
+        keep, valid, ids, sims, 16,
+        pair=pair, metric=MetricType.L2, backfill_alpha=1.2,
+    )
+    base_ids, div_ids = np.asarray(base_ids), np.asarray(div_ids)
+    kept = np.asarray(keep)
+    for r in range(6):
+        nk = int(kept[r].sum())
+        upto = min(nk, 16)
+        # the exact dominance tier is untouched
+        np.testing.assert_array_equal(base_ids[r][:upto], div_ids[r][:upto])
+    # and somewhere the backfill tail actually changed
+    assert not np.array_equal(base_ids, div_ids)
+
+
+def test_backfill_alpha_host_twin(rng):
+    from zvec_tpu.core.hnsw import _host_prune_compact
+
+    n, d, C = 300, 16, 64
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    nrm = (X**2).sum(1)
+    S = -(nrm[:, None] + nrm[None, :] - 2 * (X @ X.T))
+    np.fill_diagonal(S, -np.inf)
+    cand = np.argsort(-S, axis=1)[:, :C].astype(np.int64)
+    plain = _host_prune_compact(X, S, cand, MetricType.L2, 12)
+    div = _host_prune_compact(
+        X, S, cand, MetricType.L2, 12, backfill_alpha=1.2
+    )
+    assert not np.array_equal(plain, div)  # tail reordered
+    # same id POOL at full width (backfill only reorders, never drops)
+    full_p = _host_prune_compact(X, S, cand, MetricType.L2, C)
+    full_d = _host_prune_compact(X, S, cand, MetricType.L2, C, backfill_alpha=1.2)
+    for r in range(0, n, 37):
+        assert set(full_p[r][full_p[r] >= 0]) == set(full_d[r][full_d[r] >= 0])
+
+
+def test_backfill_alpha_engine_param(rng):
+    """backfill_alpha flows through HnswIndexParam and still answers."""
+    from zvec_tpu.core.hnsw import HnswEngine
+    from zvec_tpu.model.param.param import HnswIndexParam, HnswQueryParam
+
+    n, d, k = 3000, 24, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((25, d)).astype(np.float32)
+    eng = HnswEngine(
+        MetricType.L2, d,
+        HnswIndexParam(MetricType.L2, m=12, ef_construction=100,
+                       backfill_alpha=1.2),
+    )
+    assert eng.backfill_alpha == 1.2
+    eng.bind_data(lambda: X, lambda: 1)
+    _, idx = eng.search(Q, k, param=HnswQueryParam(ef=120))
+    d2 = ((X[None] - Q[:, None]) ** 2).sum(-1)
+    expect = np.argsort(d2, axis=1)[:, :k]
+    hits = sum(len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(25))
+    assert hits / (25 * k) >= 0.85

@@ -97,6 +97,9 @@ class HnswEngine(VectorIndexEngine):
         self.prune_alpha = float(getattr(params, "prune_alpha", 1.0) or 1.0)
         if _envv("ZVEC_HNSW_PRUNE_ALPHA"):
             self.prune_alpha = float(env["ZVEC_HNSW_PRUNE_ALPHA"])
+        self.backfill_alpha = float(getattr(params, "backfill_alpha", 0.0) or 0.0)
+        if _envv("ZVEC_HNSW_BACKFILL_ALPHA"):
+            self.backfill_alpha = float(env["ZVEC_HNSW_BACKFILL_ALPHA"])
         self.clustered_build = getattr(params, "clustered_build", None)
         if _envv("ZVEC_HNSW_CLUSTERED"):
             self.clustered_build = env["ZVEC_HNSW_CLUSTERED"] == "1"
@@ -629,6 +632,7 @@ class HnswEngine(VectorIndexEngine):
                 out = merge_prune_batch_out(
                     jnp.asarray(rm), cand_dev, codes_dev, norms_dev,
                     metric=metric, max_out=max_out, alpha=self.prune_alpha,
+                        backfill_alpha=self.backfill_alpha,
                 )
                 out_np = np.asarray(out).reshape(-1, max_out)
                 fwd[rm.reshape(-1)] = out_np  # padded repeats rewrite a row
@@ -667,6 +671,7 @@ class HnswEngine(VectorIndexEngine):
                         jnp.asarray(rm), fwd_dev, codes_dev, norms_dev,
                         metric=metric, max_out=max_out, expand=expand,
                         alpha=self.prune_alpha,
+                        backfill_alpha=self.backfill_alpha,
                     )
                     new_fwd[rm.reshape(-1)] = np.asarray(out).reshape(-1, max_out)
                 fwd = new_fwd
@@ -693,6 +698,7 @@ class HnswEngine(VectorIndexEngine):
                         norms_dev, mask_dev, adj, metric=metric, knn_k=knn_k,
                         max_out=max_out, use_pallas=use_pallas,
                         alpha=self.prune_alpha,
+                        backfill_alpha=self.backfill_alpha,
                     )
             else:
                 from ..ops.hnsw import knn_build_step
@@ -703,6 +709,7 @@ class HnswEngine(VectorIndexEngine):
                         mask_dev, adj, metric=metric, knn_k=knn_k,
                         max_out=max_out, use_pallas=use_pallas,
                         alpha=self.prune_alpha,
+                        backfill_alpha=self.backfill_alpha,
                     )
             fwd = np.asarray(adj)
             del adj  # free device HBM before the merge-phase adjacency
@@ -729,6 +736,7 @@ class HnswEngine(VectorIndexEngine):
                 out = prune_scored(
                     rows_dev, ids.astype(jnp.int32), sims, codes_dev, norms_dev,
                     metric=metric, max_out=max_out, alpha=self.prune_alpha,
+                        backfill_alpha=self.backfill_alpha,
                 )
                 fwd[rows] = np.asarray(out)
 
@@ -775,6 +783,7 @@ class HnswEngine(VectorIndexEngine):
                     jnp.asarray(rm), jnp.asarray(cand_rm), codes_dev,
                     norms_dev, metric=metric, max_out=max_out,
                     alpha=self.prune_alpha,
+                        backfill_alpha=self.backfill_alpha,
                 )
                 _tf = _time.perf_counter()
                 # padded repeats rewrite the same rows with identical output
@@ -799,6 +808,7 @@ class HnswEngine(VectorIndexEngine):
                     rows_dev, jnp.asarray(cand[rows]), codes_dev, norms_dev,
                     adj2, metric=metric, max_out=max_out,
                     alpha=self.prune_alpha,
+                        backfill_alpha=self.backfill_alpha,
                 )
             out = np.asarray(adj2)
 
@@ -862,7 +872,8 @@ class HnswEngine(VectorIndexEngine):
             s = np.take_along_axis(S, part, 1)
             cand = np.take_along_axis(part, np.argsort(-s, axis=1), 1)
         fwd = _host_prune_compact(
-            X, S, cand.astype(np.int64), metric, max_out, self.prune_alpha
+            X, S, cand.astype(np.int64), metric, max_out, self.prune_alpha,
+            self.backfill_alpha,
         )
         rev = _reverse_candidates(fwd, cap=max_out)
         comb = np.concatenate([fwd, rev], axis=1).astype(np.int64)
@@ -881,7 +892,9 @@ class HnswEngine(VectorIndexEngine):
         earlier = np.tril(np.ones((comb.shape[1], comb.shape[1]), bool), -1)
         dup = (eq & earlier[None] & (comb[:, None, :] >= 0)).any(axis=2)
         comb = np.where(dup, -1, comb)
-        return _host_prune_compact(X, S, comb, metric, max_out, self.prune_alpha)
+        return _host_prune_compact(
+            X, S, comb, metric, max_out, self.prune_alpha, self.backfill_alpha
+        )
 
     def _clustered_candidates(
         self, data: np.ndarray, codes_dev, norms_dev, n: int, kc: int
@@ -1084,6 +1097,7 @@ class HnswEngine(VectorIndexEngine):
                     max_out=self.m0_out(),
                     visited_bits=vb,
                     alpha=self.prune_alpha,
+                        backfill_alpha=self.backfill_alpha,
                 )
                 for li in range(nlv):
                     self._upper_dev[li] = new_upper[li]
@@ -1150,6 +1164,7 @@ class HnswEngine(VectorIndexEngine):
                     cand_cap=min(_PRUNE_CAND_CAP, mcodes.shape[0]),
                     max_out=self.m,
                     alpha=self.prune_alpha,
+                        backfill_alpha=self.backfill_alpha,
                 )
                 sel_rows = np.asarray(sel_rows)[: len(in_chunk)].astype(np.int64)
                 nbrs_l = g.upper_nbrs[li]
@@ -1329,6 +1344,7 @@ class HnswEngine(VectorIndexEngine):
                     metric=self._search_metric,
                     max_out=max_out,
                     alpha=self.prune_alpha,
+                        backfill_alpha=self.backfill_alpha,
                 )
             )[:w]
         out_ids, out_sims = [], []
@@ -1440,6 +1456,7 @@ class HnswEngine(VectorIndexEngine):
                 metric=self._search_metric,
                 max_out=cap,
                 alpha=self.prune_alpha,
+                        backfill_alpha=self.backfill_alpha,
             )
         ).astype(np.int64)
         touched_l0 = []
@@ -1888,6 +1905,7 @@ def _host_prune_compact(
     metric: MetricType,
     max_out: int,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,
 ) -> np.ndarray:
     """Host twin of `prune_scored`'s dominance prune + backfill compact:
     keep candidate i iff no already-kept j has sim(i, j) >= sim(i, base);
@@ -1934,6 +1952,34 @@ def _host_prune_compact(
             good = valid[:, i] & ~conflict & (count < max_out)
             keep[:, i] = good
             count += good
+        if backfill_alpha:
+            # host twin of the device second-round backfill prune
+            # (ops.hnsw._compact_keep_backfill backfill_alpha tier)
+            if backfill_alpha == 1.0:
+                th2 = base_s
+            elif metric == MetricType.L2:
+                th2 = base_s * np.float32(1.0 / (backfill_alpha * backfill_alpha))
+            elif metric == MetricType.COSINE:
+                th2 = (1.0 - (1.0 - base_s) / backfill_alpha).astype(np.float32)
+            else:
+                th2 = base_s
+            pruned = valid & ~keep
+            keep2 = np.zeros((b, C), bool)
+            count2 = np.zeros(b, np.int32)
+            for i in range(C):
+                conflict = (keep2 & (pair[:, i, :] >= th2[:, i, None])).any(axis=1)
+                good = pruned[:, i] & ~conflict & (count2 < max_out)
+                keep2[:, i] = good
+                count2 += good
+            tier = np.where(
+                keep, 0, np.where(keep2, 1, np.where(valid, 2, 3))
+            ).astype(np.int8)
+            rank = np.argsort(tier, axis=1, kind="stable")
+            tier_c = np.take_along_axis(tier, rank, 1)[:, :max_out]
+            ids_c = np.take_along_axis(cb, rank, 1)[:, :max_out]
+            ids_c = np.where(tier_c < 3, ids_c, -1)
+            out[lo:hi, : ids_c.shape[1]] = ids_c
+            continue
         tier = np.where(keep, 0, np.where(valid, 1, 2)).astype(np.int8)
         rank = np.argsort(tier, axis=1, kind="stable")
         tier_c = np.take_along_axis(tier, rank, 1)[:, :max_out]

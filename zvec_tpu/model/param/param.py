@@ -127,6 +127,10 @@ class HnswIndexParam(VectorIndexParam):
       explores.
     - ``prune_alpha``: Vamana/DiskANN robust-prune relaxation; 1.0 = the
       reference's exact dominance rule (`hnsw_algorithm.cc:394-430`).
+    - ``backfill_alpha``: 0 = plain by-sim backfill; >= 1.0 inserts a
+      DiskANN-style second prune round (alpha-relaxed, over the pruned pool
+      only) ahead of the by-sim tail, keeping backfill edges diverse
+      without touching the exact primary tier.
     - ``clustered_build``: True forces the cluster-local exact-candidate
       build path, False forces the full exact scan, None = auto by size.
     - ``brute_force_threshold``: below this doc count searches scan flat
@@ -146,6 +150,7 @@ class HnswIndexParam(VectorIndexParam):
         *,
         knn_k: Optional[int] = None,
         prune_alpha: float = 1.0,
+        backfill_alpha: float = 0.0,
         clustered_build: Optional[bool] = None,
         brute_force_threshold: int = 1000,
         max_scan_ratio: float = 0.0,
@@ -161,6 +166,10 @@ class HnswIndexParam(VectorIndexParam):
             raise ValueError(f"HNSW knn_k must be positive, got {knn_k}")
         if prune_alpha < 1.0:
             raise ValueError(f"HNSW prune_alpha must be >= 1.0, got {prune_alpha}")
+        if backfill_alpha and backfill_alpha < 1.0:
+            raise ValueError(
+                f"HNSW backfill_alpha must be 0 (off) or >= 1.0, got {backfill_alpha}"
+            )
         if brute_force_threshold < 0:
             raise ValueError(
                 f"HNSW brute_force_threshold must be >= 0, got {brute_force_threshold}"
@@ -173,6 +182,7 @@ class HnswIndexParam(VectorIndexParam):
         self.ef_construction = int(ef_construction)
         self.knn_k = None if knn_k is None else int(knn_k)
         self.prune_alpha = float(prune_alpha)
+        self.backfill_alpha = float(backfill_alpha)
         self.clustered_build = None if clustered_build is None else bool(clustered_build)
         self.brute_force_threshold = int(brute_force_threshold)
         self.max_scan_ratio = float(max_scan_ratio)

@@ -463,6 +463,7 @@ def _index_param_from_dict(d: Optional[Dict[str, Any]]) -> Optional[IndexParam]:
             quant,
             knn_k=d.get("knn_k"),
             prune_alpha=d.get("prune_alpha", 1.0),
+            backfill_alpha=d.get("backfill_alpha", 0.0),
             clustered_build=d.get("clustered_build"),
             brute_force_threshold=d.get("brute_force_threshold", 1000),
             max_scan_ratio=d.get("max_scan_ratio", 0.0),

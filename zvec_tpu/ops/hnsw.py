@@ -509,13 +509,40 @@ def _compact_keep(keep, ids, sims, max_out: int):
     return ids_c, sims_c
 
 
-def _compact_keep_backfill(keep, valid, ids, sims, max_out: int):
+def _compact_keep_backfill(
+    keep, valid, ids, sims, max_out: int,
+    pair=None, metric=None, backfill_alpha: float = 0.0,
+):
     """Compact kept candidates, then BACKFILL the remaining slots with the
     best dominance-pruned (but valid) candidates — hnswlib's
     keepPrunedConnections. Dominance alone starves dense regions: measured
     mean L0 degree 29/100 (p10=10) on clustered 200k, tanking both recall
     and beam progress. Kept edges stay first (diversity preserved); pruned
-    nearest fill the tail."""
+    nearest fill the tail.
+
+    backfill_alpha > 0 inserts a DiskANN-style second prune round between
+    the kept tier and the by-sim tail: the pruned pool is dominance-pruned
+    AGAIN among itself with the alpha-relaxed rule, and its survivors rank
+    ahead of the rest — backfill edges stay diverse instead of stuffing
+    near-duplicates of the kept set (HnswIndexParam.backfill_alpha; the
+    r2 finding was that global alpha>1 trades away high-ef recall, so the
+    relaxation applies ONLY to the backfill tier)."""
+    if backfill_alpha and pair is not None:
+        pruned = valid & ~keep
+        keep2 = _prune_keep(
+            pair, jnp.where(pruned, sims, NEG_INF), pruned, max_out,
+            metric=metric, alpha=backfill_alpha,
+        )
+        tier = jnp.where(
+            keep, 0, jnp.where(keep2, 1, jnp.where(valid, 2, 3))
+        ).astype(jnp.int8)
+        rank = jnp.argsort(tier, axis=1, stable=True)
+        tier_c = jnp.take_along_axis(tier, rank, 1)[:, :max_out]
+        ids_c = jnp.take_along_axis(ids, rank, 1)[:, :max_out]
+        sims_c = jnp.take_along_axis(sims, rank, 1)[:, :max_out]
+        ids_c = jnp.where(tier_c < 3, ids_c, -1)
+        sims_c = jnp.where(tier_c < 3, sims_c, NEG_INF)
+        return ids_c, sims_c
     tier = jnp.where(keep, 0, jnp.where(valid, 1, 2)).astype(jnp.int8)
     rank = jnp.argsort(tier, axis=1, stable=True)  # kept, then pruned-valid
     tier_c = jnp.take_along_axis(tier, rank, 1)[:, :max_out]
@@ -529,7 +556,7 @@ def _compact_keep_backfill(keep, valid, ids, sims, max_out: int):
 @partial(
     jax.jit,
     donate_argnames=("l0_nbrs", "upper_nbrs"),
-    static_argnames=("alpha", 
+    static_argnames=("alpha", "backfill_alpha", 
         "metric", "ef", "cand_cap", "max_steps", "num_levels", "frontier",
         "max_out", "visited_bits",
     ),
@@ -561,6 +588,7 @@ def hnsw_build_select(
     max_out: int,  # M0
     visited_bits: int = 0,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,  # accepted for call symmetry; no backfill tier here
 ):
     """ONE device program per build chunk: apply pending L0 + upper-level
     adjacency updates, beam-search candidates over the current graph, merge
@@ -627,7 +655,7 @@ def hnsw_build_select(
 
 @partial(
     jax.jit,
-    static_argnames=("alpha", "metric", "cand_cap", "max_out"),
+    static_argnames=("alpha", "backfill_alpha", "metric", "cand_cap", "max_out"),
 )
 def upper_forward_select(
     qc: jax.Array,  # (Qb, D) chunk queries at this level (zero-padded)
@@ -640,6 +668,7 @@ def upper_forward_select(
     cand_cap: int,
     max_out: int,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,  # accepted for call symmetry; no backfill tier here
 ):
     """Fused upper-level insertion step: exact scan over level members
     (incl. in-chunk members), self-masked, pairwise-pruned, compacted to
@@ -669,7 +698,7 @@ def upper_forward_select(
     return sel_rows, sel_sims
 
 
-@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "backfill_alpha", "metric", "max_out"))
 def prune_rows(
     base_ids: jax.Array,  # (B,) node ids being re-pruned (overflow targets)
     cand_ids: jax.Array,  # (B, C) candidate node ids, -1 padded (any order)
@@ -679,6 +708,7 @@ def prune_rows(
     metric: MetricType,
     max_out: int,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,  # accepted for call symmetry; no backfill tier here
 ):
     """Overflow re-prune entirely on device: computes base-candidate sims,
     sorts desc, pairwise-prunes, returns compacted kept ids (B, max_out).
@@ -711,7 +741,7 @@ def prune_rows(
     return sel_ids
 
 
-@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "backfill_alpha", "metric", "max_out"))
 def select_neighbors_ids(
     cand_sims: jax.Array,  # (B, C) similarity to base, desc-sorted
     cand_ids: jax.Array,  # (B, C) row ids into codes (clipped safe)
@@ -722,6 +752,7 @@ def select_neighbors_ids(
     metric: MetricType,
     max_out: int,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,  # accepted for call symmetry; no backfill tier here
 ):
     """`select_neighbors_batch` with the candidate gather ON DEVICE — callers
     ship (B, C) int32 ids instead of (B, C, D) vectors (the vector upload
@@ -734,7 +765,7 @@ def select_neighbors_ids(
     )
 
 
-@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "backfill_alpha", "metric", "max_out"))
 def select_neighbors_batch(
     cand_sims: jax.Array,  # (B, C) similarity to the base point, desc-sorted
     cand_vecs: jax.Array,  # (B, C, D) candidate vectors
@@ -744,6 +775,7 @@ def select_neighbors_batch(
     metric: MetricType,
     max_out: int,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,  # accepted for call symmetry; no backfill tier here
 ):
     """Reference neighbor pruning (`update_neighbors`, `hnsw_algorithm.cc:394-430`),
     vectorized over a batch of base points: walk candidates best-first; keep
@@ -804,7 +836,7 @@ def _sim_to_base(base, bnorm2, vecs, nrm2, metric):
     raise ValueError(f"unsupported metric {metric}")
 
 
-@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "backfill_alpha", "metric", "max_out"))
 def prune_scored(
     rows: jax.Array,  # (B,) base node rows
     cand_ids: jax.Array,  # (B, C) candidate rows, DESC by sim, -1 pad
@@ -815,6 +847,7 @@ def prune_scored(
     metric: MetricType,
     max_out: int,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,
 ):
     """Heuristic prune of pre-scored DESC-sorted candidates -> (B, max_out)
     ids (-1 pad). Self/dup candidates are rejected by the dominance rule."""
@@ -825,7 +858,10 @@ def prune_scored(
     pair = _pairwise_sims(vecs, nrm2, metric)
     sims = jnp.where(valid, cand_sims, NEG_INF)
     keep = _prune_keep(pair, sims, valid, max_out, metric=metric, alpha=alpha)
-    ids_c, _ = _compact_keep_backfill(keep, valid, cand_ids, sims, max_out)
+    ids_c, _ = _compact_keep_backfill(
+        keep, valid, cand_ids, sims, max_out,
+        pair=pair, metric=metric, backfill_alpha=backfill_alpha,
+    )
     if ids_c.shape[1] < max_out:  # fewer candidates than out-degree
         ids_c = jnp.pad(
             ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
@@ -835,7 +871,7 @@ def prune_scored(
 
 @partial(
     jax.jit,
-    static_argnames=("alpha", "metric", "knn_k", "max_out", "use_pallas"),
+    static_argnames=("alpha", "backfill_alpha", "metric", "knn_k", "max_out", "use_pallas"),
     donate_argnums=(4,),
 )
 def knn_build_step(
@@ -850,6 +886,7 @@ def knn_build_step(
     max_out: int,
     use_pallas: bool = True,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,
 ):
     """ONE device program per build batch: exact top-(knn_k+1) scan for the
     batch's nodes, heuristic prune to max_out forward neighbors, scatter into
@@ -877,14 +914,14 @@ def knn_build_step(
         ids = ids.astype(jnp.int32)
     out_ids = prune_scored(
         rows, ids, sims, codes, norms2, metric=metric, max_out=max_out,
-        alpha=alpha,
+        alpha=alpha, backfill_alpha=backfill_alpha,
     )
     return adj.at[rows].set(out_ids)
 
 
 @partial(
     jax.jit,
-    static_argnames=("alpha", "metric", "max_out"),
+    static_argnames=("alpha", "backfill_alpha", "metric", "max_out"),
     donate_argnums=(4,),
 )
 def merge_prune_step(
@@ -897,6 +934,7 @@ def merge_prune_step(
     metric: MetricType,
     max_out: int,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,
 ):
     """Final per-node prune over forward ∪ reverse candidates: score against
     the base on device, sort desc, heuristic-prune, scatter."""
@@ -920,7 +958,10 @@ def merge_prune_step(
     pair = _pairwise_sims(vecs_o, nrm_o, metric)
     sims_o = jnp.where(valid_o, sims_o, NEG_INF)
     keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric, alpha=alpha)
-    ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
+    ids_c, _ = _compact_keep_backfill(
+            keep, valid_o, ids_o, sims_o, max_out,
+            pair=pair, metric=metric, backfill_alpha=backfill_alpha,
+        )
     if ids_c.shape[1] < max_out:
         ids_c = jnp.pad(
             ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
@@ -930,7 +971,7 @@ def merge_prune_step(
 
 @partial(
     jax.jit,
-    static_argnames=("alpha", "metric", "knn_k", "max_out", "use_pallas"),
+    static_argnames=("alpha", "backfill_alpha", "metric", "knn_k", "max_out", "use_pallas"),
     donate_argnums=(4,),
 )
 def knn_build_all(
@@ -945,6 +986,7 @@ def knn_build_all(
     max_out: int,
     use_pallas: bool,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,
 ):
     """Whole forward layer as ONE device program: lax.scan over the batch
     rows — zero per-batch dispatch overhead through the remote tunnel
@@ -972,7 +1014,7 @@ def knn_build_all(
             ids = ids.astype(jnp.int32)
         out_ids = prune_scored(
             rows, ids, sims, codes, norms2, metric=metric, max_out=max_out,
-            alpha=alpha,
+            alpha=alpha, backfill_alpha=backfill_alpha,
         )
         return adj_c.at[rows].set(out_ids), None
 
@@ -982,7 +1024,7 @@ def knn_build_all(
 
 @partial(
     jax.jit,
-    static_argnames=("alpha", "metric", "max_out"),
+    static_argnames=("alpha", "backfill_alpha", "metric", "max_out"),
     donate_argnums=(4,),
 )
 def merge_prune_all(
@@ -995,6 +1037,7 @@ def merge_prune_all(
     metric: MetricType,
     max_out: int,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,
 ):
     """Whole merge layer as ONE device program (scan over batches)."""
 
@@ -1018,7 +1061,10 @@ def merge_prune_all(
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
         keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric, alpha=alpha)
-        ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
+        ids_c, _ = _compact_keep_backfill(
+            keep, valid_o, ids_o, sims_o, max_out,
+            pair=pair, metric=metric, backfill_alpha=backfill_alpha,
+        )
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
                 ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
@@ -1084,7 +1130,7 @@ def assign_top2_blocked(data: jax.Array, cents: jax.Array, block: int = 16384):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
-@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "backfill_alpha", "metric", "max_out"))
 def merge_prune_chunk_out(
     rows_mat: jax.Array,  # (NB, B)
     cand_mat: jax.Array,  # (NB, B, C) staged forward + reverse candidates
@@ -1094,6 +1140,7 @@ def merge_prune_chunk_out(
     metric: MetricType,
     max_out: int,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,
 ):
     """merge_prune_all without the device-resident adjacency: emits pruned
     ids (NB, B, max_out) for host-side assembly. At 10M the (N, max_out)
@@ -1121,7 +1168,10 @@ def merge_prune_chunk_out(
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
         keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric, alpha=alpha)
-        ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
+        ids_c, _ = _compact_keep_backfill(
+            keep, valid_o, ids_o, sims_o, max_out,
+            pair=pair, metric=metric, backfill_alpha=backfill_alpha,
+        )
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
                 ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
@@ -1132,7 +1182,7 @@ def merge_prune_chunk_out(
     return out
 
 
-@partial(jax.jit, static_argnames=("alpha", "metric", "max_out", "expand"))
+@partial(jax.jit, static_argnames=("alpha", "backfill_alpha", "metric", "max_out", "expand"))
 def nn_descent_round(
     rows_mat: jax.Array,  # (NB, B)
     fwd_full: jax.Array,  # (n + 1, m0) int32 adjacency, -1 pad; row n all -1
@@ -1143,6 +1193,7 @@ def nn_descent_round(
     max_out: int,
     expand: int,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,
 ):
     """One asynchronous NN-descent round (Dong et al., WWW'11), batched on
     device: each node's candidates = own neighbors U the neighbors of its
@@ -1186,7 +1237,10 @@ def nn_descent_round(
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
         keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric, alpha=alpha)
-        ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
+        ids_c, _ = _compact_keep_backfill(
+            keep, valid_o, ids_o, sims_o, max_out,
+            pair=pair, metric=metric, backfill_alpha=backfill_alpha,
+        )
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
                 ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
@@ -1197,7 +1251,7 @@ def nn_descent_round(
     return out
 
 
-@partial(jax.jit, static_argnames=("alpha", "metric", "max_out"))
+@partial(jax.jit, static_argnames=("alpha", "backfill_alpha", "metric", "max_out"))
 def merge_prune_batch_out(
     rows_mat: jax.Array,  # (NB, B)
     cand_full: jax.Array,  # (n + 1, S*kc) device-RESIDENT candidate lanes
@@ -1207,6 +1261,7 @@ def merge_prune_batch_out(
     metric: MetricType,
     max_out: int,
     alpha: float = 1.0,
+    backfill_alpha: float = 0.0,
 ):
     """Forward merge-prune straight from device-resident candidates: each
     scan step gathers its rows' candidate lanes in-program (no host staging
@@ -1234,7 +1289,10 @@ def merge_prune_batch_out(
         sims_o = jnp.where(valid_o, sims_o, NEG_INF)
         pair = _pairwise_sims(vecs_o, nrm_o, metric)
         keep = _prune_keep(pair, sims_o, valid_o, max_out, metric=metric, alpha=alpha)
-        ids_c, _ = _compact_keep_backfill(keep, valid_o, ids_o, sims_o, max_out)
+        ids_c, _ = _compact_keep_backfill(
+            keep, valid_o, ids_o, sims_o, max_out,
+            pair=pair, metric=metric, backfill_alpha=backfill_alpha,
+        )
         if ids_c.shape[1] < max_out:
             ids_c = jnp.pad(
                 ids_c, ((0, 0), (0, max_out - ids_c.shape[1])), constant_values=-1
