@@ -34,8 +34,10 @@ def main():
     for spec in os.environ.get(
         "SWEEP", "96:4:0 96:6:0 96:8:0 64:8:0 80:4:0 96:4:23 64:4:23"
     ).split():
-        ef, fr, vb = (int(x) for x in spec.split(":"))
-        combos.append((ef, fr, vb))
+        parts = [int(x) for x in spec.split(":")]
+        while len(parts) < 5:  # ef:frontier:visited_bits:slack:bytes
+            parts.append(64 if len(parts) == 3 else 0)
+        combos.append(tuple(parts))
 
     zvec_tpu.init()
     t0 = time.time()
@@ -48,12 +50,17 @@ def main():
     results = {}
     if os.path.exists(OUT):
         results = json.load(open(OUT))
-    for ef, fr, vb in combos:
-        key = f"ef{ef}_f{fr}_vb{vb}"
+    for ef, fr, vb, slack, vbytes in combos:
+        key = (
+            f"ef{ef}_f{fr}_vb{vb}"
+            + ("" if slack == 64 else f"_s{slack}")
+            + ("_bytes" if vbytes else "")
+        )
         if key in results:
             log(f"{key}: cached {results[key]}")
             continue
-        p = HnswQueryParam(ef=ef, frontier=fr, visited_bits=vb)
+        p = HnswQueryParam(ef=ef, frontier=fr, visited_bits=vb,
+                           steps_slack=slack, visited_bytes=bool(vbytes))
         try:
             col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
             col.batch_query("vec", Q, topk=K, output_fields=[], param=p)

@@ -366,3 +366,45 @@ def test_prune_keep_matches_naive(rng, c, max_out, chunk):
                 want[bi, i] = True
                 kept.append(i)
     np.testing.assert_array_equal(got, want)
+
+
+def test_visited_bytes_mode_matches_bitset(rng):
+    """Bytemap visited (VisitByteMap analog, `visit_filter.h:360`): same
+    hashed slot count as the bitset -> recall within noise of it, and well
+    above the oracle floor."""
+    from zvec_tpu.core.hnsw import HnswEngine
+    from zvec_tpu.model.param.param import HnswIndexParam, HnswQueryParam
+    from zvec_tpu.typing import MetricType
+
+    n, d, k = 4000, 24, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((32, d)).astype(np.float32)
+    eng = HnswEngine(
+        MetricType.L2, d, HnswIndexParam(MetricType.L2, m=12, ef_construction=100)
+    )
+    eng.bind_data(lambda: X, lambda: 1)
+    d2 = ((Q[:, None] - X[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :k]
+
+    def recall(param):
+        _, idx = eng.search(Q, k, param=param)
+        return sum(
+            len(set(idx[i][idx[i] >= 0]) & set(gt[i])) for i in range(len(Q))
+        ) / (len(Q) * k)
+
+    r_bits = recall(HnswQueryParam(ef=96, visited_bits=14))
+    r_bytes = recall(HnswQueryParam(ef=96, visited_bits=14, visited_bytes=True))
+    assert r_bytes >= r_bits - 0.02, (r_bytes, r_bits)
+    assert r_bytes >= 0.9
+
+    # filtered path (track_res merge): no duplicate ids may survive
+    mask = np.zeros(n, bool)
+    mask[::3] = True
+    _, idxf = eng.search(
+        Q, k, mask=mask,
+        param=HnswQueryParam(ef=96, visited_bits=14, visited_bytes=True),
+    )
+    for r in range(len(Q)):
+        got = idxf[r][idxf[r] >= 0]
+        assert len(got) == len(set(got.tolist())), "duplicate hits"
+        assert all(mask[g] for g in got)

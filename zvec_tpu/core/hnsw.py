@@ -1633,6 +1633,7 @@ class HnswEngine(VectorIndexEngine):
                 visited_bits=knobs["visited_bits"]
                 if knobs["visited_bits"]
                 else (0 if self._codes.shape[0] <= (1 << 21) else 21),
+                visited_bytes=knobs["visited_bytes"],
             )
 
             def collect():
@@ -1751,6 +1752,10 @@ class HnswEngine(VectorIndexEngine):
             env.get("ZVEC_HNSW_VISITED_BITS")
             or (getattr(qp, "visited_bits", 0) if qp is not None else 0)
         )
+        visited_bytes = bool(
+            env.get("ZVEC_HNSW_VISITED_BYTES") == "1"
+            or (getattr(qp, "visited_bytes", False) if qp is not None else False)
+        )
         scan_ratio = (
             float(env.get("ZVEC_HNSW_MAX_SCAN_RATIO") or 0.0)
             or (getattr(qp, "max_scan_ratio", 0.0) if qp is not None else 0.0)
@@ -1761,6 +1766,7 @@ class HnswEngine(VectorIndexEngine):
             "frontier": frontier,
             "steps_slack": steps_slack,
             "visited_bits": visited_bits,
+            "visited_bytes": visited_bytes,
             "scan_ratio": scan_ratio,
         }
 

@@ -253,6 +253,10 @@ class HnswQueryParam(QueryParam):
     - ``visited_bits``: hashed visited-bitset size as log2(bits); 0 = auto
       (exact id-indexed bitset below 2^21 rows, 21-bit hash above — the
       reference's VisitFilter bitmap->bloom switch, `visit_filter.h:39`).
+    - ``visited_bytes``: store the hashed visited set as a BYTE map
+      (duplicate-safe writes elide the per-step dedup sort; 8x HBM per
+      slot — the reference's VisitByteMap strategy, `visit_filter.h:360`).
+      Requires visited_bits > 0.
     - ``max_scan_ratio``: per-query override of the scan-budget fraction;
       0 = index/engine default.
     """
@@ -267,6 +271,7 @@ class HnswQueryParam(QueryParam):
         frontier: int = 0,
         steps_slack: int = 64,
         visited_bits: int = 0,
+        visited_bytes: bool = False,
         max_scan_ratio: float = 0.0,
     ):
         super().__init__(is_linear, is_using_refiner)
@@ -287,6 +292,7 @@ class HnswQueryParam(QueryParam):
         self.frontier = int(frontier)
         self.steps_slack = int(steps_slack)
         self.visited_bits = int(visited_bits)
+        self.visited_bytes = bool(visited_bytes)
         self.max_scan_ratio = float(max_scan_ratio)
 
 

@@ -156,9 +156,16 @@ def _beam_core(
     frontier: int = 1,  # candidates expanded per step (F-way beam)
     int4_packed: bool = False,
     visited_bits: int = 0,
+    visited_bytes: bool = False,
 ):
     """Batched HNSW search core (traced inline by its jitted callers).
-    Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad)."""
+    Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad).
+
+    visited_bytes=True stores the (hashed) visited set as a BYTE map
+    instead of a bitset: set(1) is duplicate-safe, so the per-step
+    2-operand dedup sort (the bitset's scatter-add uniqueness requirement)
+    is elided entirely — 8x the HBM per slot, zero sort cost. Requires
+    visited_bits > 0 (an exact byte map at 10M rows is 10GB/batch)."""
     nq, d = q.shape
     q = q.astype(jnp.float32)
 
@@ -241,12 +248,17 @@ def _beam_core(
     cand_i = jnp.full((nq, ef), -1, jnp.int32).at[:, 0].set(entry_ids)
     cand_x = jnp.zeros((nq, ef), bool)  # expanded flags
 
-    visited = jnp.zeros((nq, words), jnp.uint32)
+    use_bytes = visited_bytes and visited_bits > 0
     qidx = jnp.arange(nq)
     entry_vix = _visit_index(entry_ids, visited_bits)
-    visited = visited.at[qidx, entry_vix // 32].set(
-        jnp.uint32(1) << (entry_vix % 32).astype(jnp.uint32)
-    )
+    if use_bytes:
+        visited = jnp.zeros((nq, nbits), jnp.uint8)
+        visited = visited.at[qidx, entry_vix].set(jnp.uint8(1))
+    else:
+        visited = jnp.zeros((nq, words), jnp.uint32)
+        visited = visited.at[qidx, entry_vix // 32].set(
+            jnp.uint32(1) << (entry_vix % 32).astype(jnp.uint32)
+        )
     scanned = jnp.ones((nq,), jnp.int32)
     done = jnp.zeros((nq,), bool)
 
@@ -305,30 +317,47 @@ def _beam_core(
         #     downstream is elementwise over the step axis or an order-free
         #     top_k merge, so no inverse permutation is ever needed.
         vix = _visit_index(nbrs_safe, visited_bits)
-        if frontier > 1 or visited_bits > 0:
-            key = jnp.where(valid, vix, jnp.int32(2**30))
-            key_sorted, nbrs_sorted = jax.lax.sort(
-                (key, nbrs_safe), dimension=1, num_keys=1
+        if use_bytes:
+            # 5. byte-map visited test + set: every write is the VALUE 1,
+            #    so duplicate indices are harmless (no dedup sort needed).
+            #    Within-step duplicate neighbors may be scored twice —
+            #    bounded waste, and hashed same-step collisions now score
+            #    BOTH nodes instead of silently dropping one.
+            byte_val = jnp.take_along_axis(visited, vix, axis=1)
+            fresh = valid & (byte_val == 0)
+            # scatter-MAX: 0 for non-fresh lanes is the identity (invalid
+            # lanes must not mark their clipped-index slots), and duplicate
+            # fresh lanes writing 1 are associative-safe
+            visited = visited.at[qidx[:, None], vix].max(
+                jnp.where(fresh, jnp.uint8(1), jnp.uint8(0))
             )
-            dup_sorted = jnp.concatenate(
-                [
-                    jnp.zeros((nbrs.shape[0], 1), bool),
-                    key_sorted[:, 1:] == key_sorted[:, :-1],
-                ],
-                axis=1,
-            )
-            valid = (key_sorted < 2**30) & ~dup_sorted
-            nbrs_safe = nbrs_sorted
-            vix = jnp.where(valid, key_sorted, _visit_index(nbrs_sorted, visited_bits))
+        else:
+            if frontier > 1 or visited_bits > 0:
+                key = jnp.where(valid, vix, jnp.int32(2**30))
+                key_sorted, nbrs_sorted = jax.lax.sort(
+                    (key, nbrs_safe), dimension=1, num_keys=1
+                )
+                dup_sorted = jnp.concatenate(
+                    [
+                        jnp.zeros((nbrs.shape[0], 1), bool),
+                        key_sorted[:, 1:] == key_sorted[:, :-1],
+                    ],
+                    axis=1,
+                )
+                valid = (key_sorted < 2**30) & ~dup_sorted
+                nbrs_safe = nbrs_sorted
+                vix = jnp.where(
+                    valid, key_sorted, _visit_index(nbrs_sorted, visited_bits)
+                )
 
-        # 5. visited test + set (bitset; disjoint bits of unique fresh ids
-        #    let scatter-add act as scatter-or)
-        word_idx = vix // 32
-        bit = jnp.uint32(1) << (vix % 32).astype(jnp.uint32)
-        word_val = jnp.take_along_axis(visited, word_idx, axis=1)
-        fresh = valid & ((word_val & bit) == 0)
-        add_val = jnp.where(fresh, bit, jnp.uint32(0))
-        visited = visited.at[qidx[:, None], word_idx].add(add_val)
+            # 5. visited test + set (bitset; disjoint bits of unique fresh
+            #    ids let scatter-add act as scatter-or)
+            word_idx = vix // 32
+            bit = jnp.uint32(1) << (vix % 32).astype(jnp.uint32)
+            word_val = jnp.take_along_axis(visited, word_idx, axis=1)
+            fresh = valid & ((word_val & bit) == 0)
+            add_val = jnp.where(fresh, bit, jnp.uint32(0))
+            visited = visited.at[qidx[:, None], word_idx].add(add_val)
 
         # 6. score all fresh neighbors in one shot
         sims = _batched_sims(
@@ -346,6 +375,21 @@ def _beam_core(
         new_s, sel = jax.lax.top_k(all_s, ef)
         new_i = jnp.take_along_axis(all_i, sel, 1)
         new_x = jnp.take_along_axis(all_x, sel, 1)
+        if use_bytes:
+            # bytemap mode skips the pre-score dedup sort, so within-step
+            # duplicate neighbors reach this merge as equal-sim copies —
+            # which top_k places adjacently; null the repeats so they can't
+            # crowd real candidates out of the ef window
+            dup = jnp.concatenate(
+                [
+                    jnp.zeros((new_i.shape[0], 1), bool),
+                    (new_i[:, 1:] == new_i[:, :-1]) & (new_i[:, 1:] >= 0),
+                ],
+                axis=1,
+            )
+            new_s = jnp.where(dup, NEG_INF, new_s)
+            new_i = jnp.where(dup, -1, new_i)
+            new_x = jnp.where(dup, False, new_x)
         cand_s = jnp.where(active[:, None], new_s, cand_s)
         cand_i = jnp.where(active[:, None], new_i, cand_i)
         cand_x = jnp.where(active[:, None], new_x, cand_x)
@@ -362,6 +406,16 @@ def _beam_core(
             r_all_i = jnp.concatenate([res_i, rids], axis=1)
             nr_s, rsel = jax.lax.top_k(r_all_s, res_s.shape[1])
             nr_i = jnp.take_along_axis(r_all_i, rsel, 1)
+            if use_bytes:  # same within-step duplicate handling as cand
+                rdup = jnp.concatenate(
+                    [
+                        jnp.zeros((nr_i.shape[0], 1), bool),
+                        (nr_i[:, 1:] == nr_i[:, :-1]) & (nr_i[:, 1:] >= 0),
+                    ],
+                    axis=1,
+                )
+                nr_s = jnp.where(rdup, NEG_INF, nr_s)
+                nr_i = jnp.where(rdup, -1, nr_i)
             res_s = jnp.where(active[:, None], nr_s, res_s)
             res_i = jnp.where(active[:, None], nr_i, res_i)
 
@@ -380,7 +434,7 @@ def _beam_core(
     jax.jit,
     static_argnames=(
         "metric", "ef", "topk", "max_steps", "num_levels", "frontier",
-        "int4_packed", "visited_bits",
+        "int4_packed", "visited_bits", "visited_bytes",
     ),
 )
 def hnsw_search(
@@ -388,6 +442,7 @@ def hnsw_search(
     mask, scan_budget, dequant=None, *,
     metric: MetricType, ef: int, topk: int, max_steps: int, num_levels: int,
     frontier: int = 1, int4_packed: bool = False, visited_bits: int = 0,
+    visited_bytes: bool = False,
 ):
     """Batched HNSW search. Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad)."""
     return _beam_core(
@@ -395,7 +450,7 @@ def hnsw_search(
         entry_rows, mask, scan_budget, dequant,
         metric=metric, ef=ef, topk=topk, max_steps=max_steps,
         num_levels=num_levels, frontier=frontier, int4_packed=int4_packed,
-        visited_bits=visited_bits,
+        visited_bits=visited_bits, visited_bytes=visited_bytes,
     )
 
 
