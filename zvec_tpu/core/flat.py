@@ -255,11 +255,15 @@ class FlatEngine(VectorIndexEngine):
         quantized = self.quantize != QuantizeType.UNDEFINED
         # refine-by-default on quantized indexes (reference full-precision
         # refine block pairing, `segment.cc:1591-1700`); opt out with
-        # is_using_refiner=False
+        # is_using_refiner=False. BINARY is a metric CONVERSION (scores are
+        # hamming distances on sign bits), not a compression of the stored
+        # metric — fp32 L2 refine would silently change user-visible score
+        # semantics, so refine stays opt-in there.
+        auto_refine = quantized and not self._binary_codes
         use_refiner = quantized and (
-            param.refiner_enabled(True)
+            param.refiner_enabled(auto_refine)
             if isinstance(param, QueryParam)
-            else True
+            else auto_refine
         )
         scan_k = topk
         if use_refiner:
