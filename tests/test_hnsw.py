@@ -408,3 +408,96 @@ def test_visited_bytes_mode_matches_bitset(rng):
         got = idxf[r][idxf[r] >= 0]
         assert len(got) == len(set(got.tolist())), "duplicate hits"
         assert all(mask[g] for g in got)
+
+
+@pytest.mark.parametrize("mode", ["int8", "bf16"])
+def test_hnsw_routed_traversal(rng, mode):
+    """route_quantize: the beam navigates reduced-precision codes, the final
+    working set re-ranks against fp32 ON DEVICE — returned scores must be
+    fp32-exact and recall must match the unrouted beam (reference
+    quantize + full-precision refine pairing, `segment.cc:1591-1700`)."""
+    n, d, k = 3000, 24, 10
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((16, d)).astype(np.float32)
+    gt = brute_topk(Q, xs, MetricType.L2, k)
+
+    eng = HnswEngine(
+        MetricType.L2, d,
+        HnswIndexParam(MetricType.L2, m=12, ef_construction=80,
+                       route_quantize=mode),
+    )
+    eng.bind_data(lambda: xs, lambda: 1)
+    sims, idx = eng.search(Q, k, param=HnswQueryParam(ef=100))
+    import jax.numpy as jnp
+
+    assert eng._route is not None and (
+        eng._route[0].dtype == (jnp.int8 if mode == "int8" else jnp.bfloat16)
+    )
+    hits = sum(len(set(idx[i][idx[i] >= 0]) & set(gt[i])) for i in range(len(Q)))
+    assert hits / (len(Q) * k) >= 0.85
+
+    # scores are fp32-exact (squared L2 similarity = -(d2))
+    for i in range(len(Q)):
+        for j in range(k):
+            if idx[i, j] < 0:
+                continue
+            exact = -((xs[idx[i, j]] - Q[i]) ** 2).sum()
+            assert abs(sims[i, j] - exact) < 1e-3, (i, j, sims[i, j], exact)
+
+    # MIPS route: augmented-space quantization still converts back exactly
+    eng2 = HnswEngine(
+        MetricType.IP, d,
+        HnswIndexParam(MetricType.IP, m=12, ef_construction=80,
+                       route_quantize=mode),
+    )
+    eng2.bind_data(lambda: xs, lambda: 1)
+    sims2, idx2 = eng2.search(Q, k, param=HnswQueryParam(ef=100))
+    gt_ip = brute_topk(Q, xs, MetricType.IP, k)
+    hits2 = sum(
+        len(set(idx2[i][idx2[i] >= 0]) & set(gt_ip[i])) for i in range(len(Q))
+    )
+    assert hits2 / (len(Q) * k) >= 0.85
+    for i in range(0, len(Q), 4):
+        for j in range(k):
+            if idx2[i, j] < 0:
+                continue
+            assert abs(sims2[i, j] - float(xs[idx2[i, j]] @ Q[i])) < 1e-2
+
+
+def test_hnsw_route_param_roundtrip(tmp_path, rng):
+    """route_quantize survives schema dump/load and the filtered routed
+    path returns only mask-true rows with exact scores."""
+    from zvec_tpu import (
+        CollectionSchema, DataType, Doc, FieldSchema, VectorSchema, VectorQuery,
+    )
+
+    n, d = 2000, 16
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    schema = CollectionSchema(
+        "routed",
+        fields=[FieldSchema("num", DataType.INT32)],
+        vectors=[VectorSchema(
+            "vec", DataType.VECTOR_FP32, d,
+            HnswIndexParam(MetricType.L2, m=8, ef_construction=60,
+                           route_quantize="int8"),
+        )],
+    )
+    path = str(tmp_path / "routed")
+    col = zvec_tpu.create_and_open(path, schema)
+    for lo in range(0, n, 1000):
+        col.insert([Doc(id=str(i), fields={"num": i}, vectors={"vec": xs[i]})
+                    for i in range(lo, min(lo + 1000, n))])
+    col.optimize()
+    col.flush()
+    col._impl.close()
+
+    col = zvec_tpu.open(path)
+    vp = col.schema.vectors[0].index_param
+    assert vp.route_quantize == "int8"
+    q = rng.standard_normal(d).astype(np.float32)
+    docs = col.query(
+        VectorQuery("vec", vector=q), topk=5, filter="num >= 1000",
+        output_fields=["num"],
+    )
+    assert docs and all(doc.field("num") >= 1000 for doc in docs)
+    col._impl.close()

@@ -149,7 +149,23 @@ def test_sharded_quantized_flat(tmp_path, rng, mesh8, qt_name):
     deq = codes[:n].astype(np.float32) * float(st.dequant[0]) + float(st.dequant[1])
 
     q = rng.standard_normal(d).astype(np.float32)
+
+    # default path: quantized indexes refine against exact fp32 by default
+    # (reference full-precision refine block pairing, `segment.cc:1591-1700`)
     docs = col.query(VectorQuery("emb", vector=q), topk=10)
+    exact = np.argsort(((X - q) ** 2).sum(1))[:10]
+    got = [d_.id for d_ in docs]
+    assert len(set(got) & {f"pk{i}" for i in exact}) >= 9, (got, exact)
+
+    # opt-out path: raw quantized scores must match the dequant oracle
+    from zvec_tpu.model.param.param import FlatQueryParam
+
+    docs = col.query(
+        VectorQuery(
+            "emb", vector=q, param=FlatQueryParam(is_using_refiner=False)
+        ),
+        topk=10,
+    )
     d2 = ((deq - q) ** 2).sum(1)
     exp = np.argsort(d2)[:10]
     got = [d_.id for d_ in docs]

@@ -111,6 +111,9 @@ class HnswEngine(VectorIndexEngine):
         self.max_scan_ratio_cfg = float(getattr(params, "max_scan_ratio", 0.0) or 0.0)
         if _envv("ZVEC_HNSW_MAX_SCAN_RATIO"):
             self.max_scan_ratio_cfg = float(env["ZVEC_HNSW_MAX_SCAN_RATIO"])
+        self.route_quantize = str(getattr(params, "route_quantize", "auto") or "auto")
+        if _envv("ZVEC_HNSW_ROUTE"):
+            self.route_quantize = env["ZVEC_HNSW_ROUTE"]
         self._search_metric = self.metric  # set per-build (MIPS augments IP)
         self._mips = False
         self._mips_max_norm2 = 0.0
@@ -133,6 +136,9 @@ class HnswEngine(VectorIndexEngine):
         self._norms = None
         self._bf16_search = False
         self._dequant = None
+        # routed traversal: reduced-precision code tier for the beam's
+        # gathers (None = off); (codes, norms, dequant-or-None) on device
+        self._route = None
         self._qparams: Optional[QuantParams] = None
         self._dev = None  # dict of device graph arrays
         self._loaded_aux: Optional[Dict[str, np.ndarray]] = None
@@ -150,6 +156,7 @@ class HnswEngine(VectorIndexEngine):
         else:
             data = np.asarray(data, dtype=np.float32)
         self._n = data.shape[0]
+        self._route = None
         if self._n == 0:
             self._dev = None
             return
@@ -196,11 +203,56 @@ class HnswEngine(VectorIndexEngine):
         if self.quantize != QuantizeType.UNDEFINED:
             self._codes = jnp.asarray(codes_host)
             self._norms = jnp.asarray(norms_host)
+        self._route = self._build_route(codes_host)
 
     def _mesh(self):
         from ..parallel.mesh import collection_mesh
 
         return collection_mesh()
+
+    def _build_route(self, codes_host: np.ndarray):
+        """Reduced-precision ROUTING tier for fp32 indexes: the beam's
+        per-step neighbor gathers read these codes (int8 = 4x / bf16 = 2x
+        less HBM gather traffic than fp32 — the dominant per-hop cost at
+        scale), and `_beam_core` re-ranks the final working set against the
+        resident fp32 tier on device, so user-facing scores stay fp32-exact.
+        The TPU answer to the reference's quantized-index + full-precision
+        refine block pairing (`segment.cc:1591-1700`), applied to the
+        DEFAULT fp32 index. Returns (codes, norms, dequant-or-None) on
+        device, or None when routing is off."""
+        mode = self.route_quantize
+        if (
+            self.quantize != QuantizeType.UNDEFINED
+            or self._hamming
+            or self._bf16_search
+            or codes_host.dtype != np.float32
+        ):
+            return None
+        if mode == "auto":
+            # below ~2M rows the fp32 gather fits comfortably in the step
+            # budget; the extra tier only pays at scale
+            mode = "int8" if self._n >= (1 << 21) else "off"
+        if mode == "off":
+            return None
+        if mode == "bf16":
+            import ml_dtypes
+
+            rc = codes_host.astype(ml_dtypes.bfloat16)
+            rn = (rc.astype(np.float32) ** 2).sum(1)
+            return (jnp.asarray(rc), jnp.asarray(rn), None)
+        qp = train_quantizer(codes_host[: self._n], QuantizeType.INT8)
+        rc = encode(codes_host, QuantizeType.INT8, qp)
+        # norms of the DEQUANTIZED codes (ordering consistency with the
+        # routed sims); chunked so no second full fp32 copy materializes
+        rn = np.empty(rc.shape[0], np.float32)
+        for lo in range(0, rc.shape[0], 1 << 20):
+            blk = rc[lo : lo + (1 << 20)].astype(np.float32) * qp.scale + qp.bias
+            rn[lo : lo + (1 << 20)] = np.einsum("ij,ij->i", blk, blk)
+        return (
+            jnp.asarray(rc),
+            jnp.asarray(rn),
+            (jnp.float32(qp.scale), jnp.float32(qp.bias)),
+        )
 
     def _storage_codes_host(self, data: np.ndarray, n_pad: int):
         """Host-side (codes (n_pad, Dc) in storage dtype, norms (n_pad,) f32).
@@ -1606,10 +1658,20 @@ class HnswEngine(VectorIndexEngine):
                 fm[: self._n] = mask
                 dmask = jnp.asarray(fm)
             k = min(topk, self._n)
+            # routed traversal: navigate on the reduced-precision tier,
+            # re-rank the working set against fp32 inside the same program
+            if self._route is not None:
+                t_codes, t_norms, t_dequant = self._route
+                r_codes, r_norms = self._codes, self._norms
+            else:
+                t_codes, t_norms, t_dequant = (
+                    self._codes, self._norms, self._dequant,
+                )
+                r_codes = r_norms = None
             dev_out = hnsw_search(
                 jnp.asarray(qpad),
-                self._codes,
-                self._norms,
+                t_codes,
+                t_norms,
                 self._dev["l0"],
                 self._dev["upper_ids"],
                 self._dev["upper_nbrs"],
@@ -1617,7 +1679,9 @@ class HnswEngine(VectorIndexEngine):
                 self._dev["entry_rows"],
                 dmask,
                 budget,
-                self._dequant,
+                t_dequant,
+                r_codes,
+                r_norms,
                 metric=self._search_metric,
                 ef=ef,
                 topk=k,

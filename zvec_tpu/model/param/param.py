@@ -137,6 +137,12 @@ class HnswIndexParam(VectorIndexParam):
       (reference `hnsw_params.h` kDefaultBruteForceThreshold = 1000).
     - ``max_scan_ratio``: default scan-budget cap as a fraction of N for
       graph traversal (reference `hnsw_params.h:46`); 0 = engine default.
+    - ``route_quantize``: reduced-precision ROUTING codes for fp32 indexes:
+      the beam's per-step neighbor gathers (the dominant HBM cost at scale)
+      read int8/bf16 codes, and the final working set re-ranks against the
+      resident fp32 tier on device — scores stay fp32-exact. One of
+      "off" | "auto" | "bf16" | "int8"; auto = int8 above 2^21 rows.
+      Ignored on already-quantized indexes.
     """
 
     index_type = IndexType.HNSW
@@ -154,6 +160,7 @@ class HnswIndexParam(VectorIndexParam):
         clustered_build: Optional[bool] = None,
         brute_force_threshold: int = 1000,
         max_scan_ratio: float = 0.0,
+        route_quantize: str = "auto",
     ):
         super().__init__(metric_type, quantize_type)
         if m <= 0:
@@ -178,6 +185,11 @@ class HnswIndexParam(VectorIndexParam):
             raise ValueError(
                 f"HNSW max_scan_ratio must be in [0, 1], got {max_scan_ratio}"
             )
+        if route_quantize not in ("off", "auto", "bf16", "int8"):
+            raise ValueError(
+                "HNSW route_quantize must be one of off/auto/bf16/int8, "
+                f"got {route_quantize!r}"
+            )
         self.m = int(m)
         self.ef_construction = int(ef_construction)
         self.knn_k = None if knn_k is None else int(knn_k)
@@ -186,6 +198,7 @@ class HnswIndexParam(VectorIndexParam):
         self.clustered_build = None if clustered_build is None else bool(clustered_build)
         self.brute_force_threshold = int(brute_force_threshold)
         self.max_scan_ratio = float(max_scan_ratio)
+        self.route_quantize = route_quantize
 
 
 class FlatIndexParam(VectorIndexParam):

@@ -467,6 +467,7 @@ def _index_param_from_dict(d: Optional[Dict[str, Any]]) -> Optional[IndexParam]:
             clustered_build=d.get("clustered_build"),
             brute_force_threshold=d.get("brute_force_threshold", 1000),
             max_scan_ratio=d.get("max_scan_ratio", 0.0),
+            route_quantize=d.get("route_quantize", "auto"),
         )
     if t == IndexType.IVF:
         return IVFIndexParam(

@@ -147,6 +147,8 @@ def _beam_core(
     mask: Optional[jax.Array],  # (N_pad,) bool result filter or None
     scan_budget: jax.Array,  # () int32
     dequant: Optional[Tuple[jax.Array, jax.Array]] = None,
+    refine_codes: Optional[jax.Array] = None,  # (N_pad, D) fp32 exact tier
+    refine_norms: Optional[jax.Array] = None,  # (N_pad,) fp32
     *,
     metric: MetricType,
     ef: int,
@@ -425,7 +427,21 @@ def _beam_core(
     res_s, res_i, cand_s, cand_i, *_ = jax.lax.while_loop(cond, body, state)
     if not track_res:
         res_s, res_i = cand_s, cand_i
-    res_s, res_i = res_s[:, :topk], res_i[:, :topk]
+    if refine_codes is not None:
+        # Routed traversal: the beam navigated on reduced-precision codes;
+        # re-rank the FULL working set (kw = max(ef, topk) candidates) with
+        # one exact fp32 gather+score ON DEVICE — the host-rescore variant
+        # measured at 10M was a net loss (D2H + host gather dominated), this
+        # is ~kw rows/query once vs F*M0 rows/query/step. User-facing scores
+        # stay fp32-exact (reference full-precision refine block pairing,
+        # `segment.cc:1591-1700`).
+        safe = jnp.clip(res_i, 0)
+        ex = _batched_sims(q, refine_codes[safe], metric, refine_norms[safe])
+        ex = jnp.where(res_i >= 0, ex, NEG_INF)
+        res_s, sel = jax.lax.top_k(ex, topk)
+        res_i = jnp.take_along_axis(res_i, sel, 1)
+    else:
+        res_s, res_i = res_s[:, :topk], res_i[:, :topk]
     res_i = jnp.where(res_s > NEG_INF / 2, res_i, -1)
     return res_s, res_i
 
@@ -439,15 +455,19 @@ def _beam_core(
 )
 def hnsw_search(
     q, codes, norms, l0_nbrs, upper_ids, upper_nbrs, upper_down, entry_rows,
-    mask, scan_budget, dequant=None, *,
+    mask, scan_budget, dequant=None, refine_codes=None, refine_norms=None, *,
     metric: MetricType, ef: int, topk: int, max_steps: int, num_levels: int,
     frontier: int = 1, int4_packed: bool = False, visited_bits: int = 0,
     visited_bytes: bool = False,
 ):
-    """Batched HNSW search. Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad)."""
+    """Batched HNSW search. Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad).
+
+    `refine_codes`/`refine_norms`: exact fp32 tier for routed traversal —
+    the beam navigates on `codes` (reduced precision), the final working set
+    re-ranks against these on device."""
     return _beam_core(
         q, codes, norms, l0_nbrs, upper_ids, upper_nbrs, upper_down,
-        entry_rows, mask, scan_budget, dequant,
+        entry_rows, mask, scan_budget, dequant, refine_codes, refine_norms,
         metric=metric, ef=ef, topk=topk, max_steps=max_steps,
         num_levels=num_levels, frontier=frontier, int4_packed=int4_packed,
         visited_bits=visited_bits, visited_bytes=visited_bytes,
