@@ -63,7 +63,7 @@ class TestSchemaValidation:
         assert isinstance(vs.index_param, HnswIndexParam)
 
     def test_schema_roundtrip_with_r3_params(self):
-        s = full_width_schema("rt")
+        s = full_width_schema("col_rt")
         s2 = CollectionSchema.from_dict(s.to_dict())
         assert s2 == s
         # new typed knobs survive the dict round trip
@@ -151,7 +151,7 @@ class TestCreateAndOpen:
 
     def test_schema_persisted_matches(self, tmp_path):
         p = str(tmp_path / "sp")
-        schema = full_width_schema("sp")
+        schema = full_width_schema("col_sp")
         zvec_tpu.create_and_open(p, schema)._impl.close()
         col = zvec_tpu.open(p)
         assert col.schema == schema
@@ -170,7 +170,7 @@ class TestIndexDDL:
     )
     def test_create_index_each_type_then_query(self, tmp_path, rng, param):
         col = zvec_tpu.create_and_open(
-            str(tmp_path / "ci"), full_width_schema("ci")
+            str(tmp_path / "ci"), full_width_schema("col_ci")
         )
         docs = [make_doc(i) for i in range(300)]
         col.insert(docs)
@@ -185,7 +185,7 @@ class TestIndexDDL:
             full_col.create_index("ghost", FlatIndexParam())
 
     def test_drop_then_recreate_index(self, tmp_path, rng):
-        col = zvec_tpu.create_and_open(str(tmp_path / "dr"), full_width_schema("dr"))
+        col = zvec_tpu.create_and_open(str(tmp_path / "dr"), full_width_schema("col_dr"))
         docs = [make_doc(i) for i in range(100)]
         col.insert(docs)
         col.optimize()
@@ -199,7 +199,7 @@ class TestIndexDDL:
         assert col.query(VectorQuery("dense", vector=q), topk=1)[0].id == "pk7"
 
     def test_create_invert_index_enables_fast_path(self, tmp_path):
-        col = zvec_tpu.create_and_open(str(tmp_path / "ii"), full_width_schema("ii"))
+        col = zvec_tpu.create_and_open(str(tmp_path / "ii"), full_width_schema("col_ii"))
         col.insert([make_doc(i) for i in range(50)])
         col.optimize()
         col.create_index(
@@ -213,7 +213,7 @@ class TestIndexDDL:
         assert {r.id for r in got} == {f"pk{i}" for i in range(1, 50)}
 
     def test_index_completeness_stat(self, tmp_path):
-        col = zvec_tpu.create_and_open(str(tmp_path / "ic"), full_width_schema("ic"))
+        col = zvec_tpu.create_and_open(str(tmp_path / "ic"), full_width_schema("col_ic"))
         col.insert([make_doc(i) for i in range(100)])
         col.optimize()
         stats = col.stats
@@ -223,7 +223,7 @@ class TestIndexDDL:
 # --------------------------------------------------------------- column ----
 class TestColumnDDL:
     def test_add_column_with_default_then_filter(self, tmp_path):
-        col = zvec_tpu.create_and_open(str(tmp_path / "ac"), full_width_schema("ac"))
+        col = zvec_tpu.create_and_open(str(tmp_path / "ac"), full_width_schema("col_ac"))
         col.insert([make_doc(i) for i in range(30)])
         col.add_column(FieldSchema("added", DataType.INT64, nullable=True), "7")
         got = col.fetch("pk2")["pk2"]
@@ -240,7 +240,7 @@ class TestColumnDDL:
         assert len(hits) == 30
 
     def test_add_column_expression(self, tmp_path):
-        col = zvec_tpu.create_and_open(str(tmp_path / "ae"), full_width_schema("ae"))
+        col = zvec_tpu.create_and_open(str(tmp_path / "ae"), full_width_schema("col_ae"))
         col.insert([make_doc(i) for i in range(10)])
         col.add_column(
             FieldSchema("doubled", DataType.DOUBLE, nullable=True),
@@ -250,7 +250,7 @@ class TestColumnDDL:
         assert got.fields["doubled"] == pytest.approx(4 * 0.5 * 2)
 
     def test_drop_column_removes_everywhere(self, tmp_path):
-        col = zvec_tpu.create_and_open(str(tmp_path / "dc"), full_width_schema("dc"))
+        col = zvec_tpu.create_and_open(str(tmp_path / "dc"), full_width_schema("col_dc"))
         col.insert([make_doc(i) for i in range(10)])
         name = FIELD_NAME[DataType.UINT64]
         col.drop_column(name)
@@ -265,7 +265,7 @@ class TestColumnDDL:
 
     def test_alter_column_rename_persists(self, tmp_path):
         p = str(tmp_path / "ar")
-        col = zvec_tpu.create_and_open(p, full_width_schema("ar"))
+        col = zvec_tpu.create_and_open(p, full_width_schema("col_ar"))
         col.insert([make_doc(i) for i in range(10)])
         old = FIELD_NAME[DataType.INT32]
         col.alter_column(
@@ -279,7 +279,7 @@ class TestColumnDDL:
         assert col2.schema.field(old) is None
 
     def test_column_ddl_on_sealed_segments(self, tmp_path):
-        col = zvec_tpu.create_and_open(str(tmp_path / "sc"), full_width_schema("sc"))
+        col = zvec_tpu.create_and_open(str(tmp_path / "sc"), full_width_schema("col_sc"))
         col.insert([make_doc(i) for i in range(20)])
         col.optimize()  # seal
         col.add_column(FieldSchema("late", DataType.STRING, nullable=True), "'x'")
@@ -289,7 +289,7 @@ class TestColumnDDL:
 # -------------------------------------------------------------- optimize ----
 class TestOptimize:
     def test_optimize_compacts_deletes(self, tmp_path):
-        col = zvec_tpu.create_and_open(str(tmp_path / "oc"), full_width_schema("oc"))
+        col = zvec_tpu.create_and_open(str(tmp_path / "oc"), full_width_schema("col_oc"))
         col.insert([make_doc(i) for i in range(100)])
         col.delete([f"pk{i}" for i in range(0, 100, 2)])
         col.optimize()
@@ -298,7 +298,7 @@ class TestOptimize:
         assert seg_rows == 50  # tombstoned rows physically gone
 
     def test_optimize_idempotent(self, tmp_path):
-        col = zvec_tpu.create_and_open(str(tmp_path / "oi"), full_width_schema("oi"))
+        col = zvec_tpu.create_and_open(str(tmp_path / "oi"), full_width_schema("col_oi"))
         col.insert([make_doc(i) for i in range(30)])
         col.optimize()
         v1 = {s.meta.segment_id for s in col._impl.segments}

@@ -115,7 +115,7 @@ class TestInsert:
 
     def test_non_nullable_rejects_none(self, tmp_path):
         col = zvec_tpu.create_and_open(
-            str(tmp_path / "nn"), full_width_schema("nn", nullable=False)
+            str(tmp_path / "nn"), full_width_schema("col_nn", nullable=False)
         )
         d = Doc(id="x", vectors=make_doc(0).vectors)
         assert not col.insert(d).ok()
@@ -354,7 +354,7 @@ class TestWriteInvariants:
         from zvec_tpu import CollectionOption
 
         col = zvec_tpu.create_and_open(
-            str(tmp_path / "ro"), full_width_schema("ro")
+            str(tmp_path / "ro"), full_width_schema("col_ro")
         )
         col.insert(make_doc(0))
         col.flush()

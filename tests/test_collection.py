@@ -253,8 +253,7 @@ def test_collection_pickle_roundtrip(tmp_path, rng):
     (single-process file lock)."""
     import pickle
 
-    schema = CollectionSchema(
-        "pk",
+    schema = CollectionSchema("col_pk",
         vectors=[
             VectorSchema("v", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.L2))
         ],
@@ -336,8 +335,7 @@ def test_batch_query_matches_single_queries(tmp_path, rng):
 
     n, d = 2500, 16
     X = rng.standard_normal((n, d)).astype(np.float32)
-    schema = CollectionSchema(
-        "bp",
+    schema = CollectionSchema("col_bp",
         fields=[FieldSchema("g", DataType.INT32)],
         vectors=[VectorSchema("v", DataType.VECTOR_FP32, d,
                               HnswIndexParam(MetricType.L2, m=12, ef_construction=60))],

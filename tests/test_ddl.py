@@ -200,8 +200,7 @@ def test_read_only_open(tmp_path, rng):
     )
 
     path = str(tmp_path / "ro")
-    schema = CollectionSchema(
-        "ro",
+    schema = CollectionSchema("col_ro",
         fields=[FieldSchema("n", DataType.INT64)],
         vectors=[
             VectorSchema("v", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.L2))

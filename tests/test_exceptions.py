@@ -24,8 +24,7 @@ from zvec_tpu.db.collection_impl import MAX_WRITE_BATCH_SIZE
 
 @pytest.fixture
 def coll(tmp_path, rng):
-    schema = CollectionSchema(
-        "ex",
+    schema = CollectionSchema("col_ex",
         fields=[FieldSchema("n", DataType.INT64, nullable=True)],
         vectors=[
             VectorSchema("e", DataType.VECTOR_FP32, 4, FlatIndexParam(MetricType.L2))
@@ -47,7 +46,7 @@ def test_schema_validation_errors():
     with pytest.raises(ValueError):
         CollectionSchema(None)  # type: ignore
     with pytest.raises(TypeError):
-        CollectionSchema("c", fields=[42])  # type: ignore
+        CollectionSchema("col_c", fields=[42])  # type: ignore
 
 
 def test_param_validation_errors():
@@ -142,8 +141,7 @@ def test_open_missing_path(tmp_path):
 
 
 def test_nullable_enforcement(tmp_path):
-    schema = CollectionSchema(
-        "nn",
+    schema = CollectionSchema("col_nn",
         fields=[FieldSchema("req", DataType.INT64, nullable=False)],
         vectors=[VectorSchema("e", DataType.VECTOR_FP32, 2)],
     )
@@ -230,8 +228,7 @@ def test_drop_unknown_column_refused(coll):
 def test_ops_after_close_raise(tmp_path):
     """Reference analog: resource cleanup — writes on a closed collection
     fail with FAILED_PRECONDITION instead of corrupting files."""
-    schema = CollectionSchema(
-        "cl", vectors=[VectorSchema("e", DataType.VECTOR_FP32, 4)]
+    schema = CollectionSchema("col_cl", vectors=[VectorSchema("e", DataType.VECTOR_FP32, 4)]
     )
     c = zvec_tpu.create_and_open(str(tmp_path / "cl"), schema)
     c.insert([Doc(id="a", vectors={"e": np.ones(4, np.float32)})])
@@ -262,8 +259,7 @@ def test_delete_missing_pk_status(coll):
 def test_destroy_removes_files(tmp_path):
     import os
 
-    schema = CollectionSchema(
-        "de", vectors=[VectorSchema("e", DataType.VECTOR_FP32, 4)]
+    schema = CollectionSchema("col_de", vectors=[VectorSchema("e", DataType.VECTOR_FP32, 4)]
     )
     path = str(tmp_path / "de")
     c = zvec_tpu.create_and_open(path, schema)

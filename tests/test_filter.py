@@ -21,8 +21,7 @@ from zvec_tpu.db.filter import FilterError, compile_filter
 
 @pytest.fixture
 def schema():
-    return CollectionSchema(
-        "ft",
+    return CollectionSchema("col_ft",
         fields=[
             FieldSchema("category", DataType.STRING, nullable=True),
             FieldSchema("price", DataType.DOUBLE, nullable=True),

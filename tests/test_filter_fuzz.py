@@ -186,8 +186,7 @@ def test_filter_fuzz_vs_oracle(tmp_path, rng, invert_indexed):
         FieldSchema("active", DataType.BOOL, nullable=True),
         FieldSchema("tags", DataType.ARRAY_STRING, nullable=True),
     ]
-    schema = CollectionSchema(
-        "fz",
+    schema = CollectionSchema("col_fz",
         fields=fields,
         vectors=[VectorSchema("v", DataType.VECTOR_FP32, dim,
                               FlatIndexParam(MetricType.L2))],

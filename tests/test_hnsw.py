@@ -95,8 +95,7 @@ def test_hnsw_filtered_search(rng):
 
 def test_hnsw_through_collection(tmp_path, rng):
     n, d = 1500, 12
-    schema = CollectionSchema(
-        "h",
+    schema = CollectionSchema("col_h",
         fields=[FieldSchema("i", DataType.INT64)],
         vectors=[
             VectorSchema(

@@ -55,8 +55,7 @@ def test_sparse_hnsw_small_corpus_exact(rng):
 
 
 def test_sparse_hnsw_through_collection(tmp_path, rng):
-    schema = CollectionSchema(
-        "sh",
+    schema = CollectionSchema("col_sh",
         vectors=[
             VectorSchema(
                 "sv",

@@ -256,8 +256,7 @@ def test_ivf_filtered_cross_cluster_safety_net(rng):
     import tempfile
     path = tempfile.mkdtemp(prefix="ivf_filter_net_") + "/col"
     shutil.rmtree(path, ignore_errors=True)
-    schema = CollectionSchema(
-        "iv",
+    schema = CollectionSchema("col_iv",
         fields=[FieldSchema("g", DataType.INT32)],
         vectors=[VectorSchema("v", DataType.VECTOR_FP32, d, IVFIndexParam(MetricType.L2))],
     )

@@ -28,8 +28,7 @@ from zvec_tpu.utils.profiler import Profiler
 
 @pytest.fixture
 def coll(tmp_path, rng):
-    schema = CollectionSchema(
-        "m",
+    schema = CollectionSchema("col_m",
         fields=[FieldSchema("grp", DataType.STRING), FieldSchema("n", DataType.INT64)],
         vectors=[
             VectorSchema("e", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.L2))
@@ -117,8 +116,7 @@ def test_group_by_unknown_field(coll):
 
 
 def test_concurrent_read_write(tmp_path, rng):
-    schema = CollectionSchema(
-        "cc",
+    schema = CollectionSchema("col_cc",
         vectors=[
             VectorSchema("e", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.IP))
         ],
@@ -226,8 +224,7 @@ def test_query_profiling(coll):
 def test_group_by_sparse_vector(tmp_path, rng):
     from zvec_tpu import FlatIndexParam
 
-    schema = zvec_tpu.CollectionSchema(
-        "gs",
+    schema = zvec_tpu.CollectionSchema("col_gs",
         fields=[FieldSchema("g", DataType.STRING)],
         vectors=[
             VectorSchema("sv", DataType.SPARSE_VECTOR_FP32, 0, FlatIndexParam(MetricType.IP))
@@ -258,8 +255,7 @@ def test_topk_validation(coll):
 
 def test_no_vector_collection_scan(tmp_path):
     """Schemas without vector fields use the filter-only scan executor."""
-    schema = zvec_tpu.CollectionSchema(
-        "nv",
+    schema = zvec_tpu.CollectionSchema("col_nv",
         fields=[
             FieldSchema("name", DataType.STRING),
             FieldSchema("age", DataType.INT64),
@@ -314,8 +310,7 @@ def test_radius_across_segments(tmp_path, rng):
 def test_engine_lifetime_stats(tmp_path, rng):
     """Per-runner lifetime stats roll up through CollectionStats
     (reference `index_runner.h:52-140`)."""
-    schema = CollectionSchema(
-        "st",
+    schema = CollectionSchema("col_st",
         vectors=[
             VectorSchema("v", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.L2))
         ],

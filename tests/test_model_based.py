@@ -58,8 +58,7 @@ def _check(col, oracle):
 def test_random_walk_vs_oracle(tmp_path):
     rng = np.random.default_rng(20260817)
     path = str(tmp_path / "mb")
-    schema = CollectionSchema(
-        "mb",
+    schema = CollectionSchema("col_mb",
         fields=[FieldSchema("n", DataType.INT64), FieldSchema("tag", DataType.STRING)],
         vectors=[
             VectorSchema("v", DataType.VECTOR_FP32, D, FlatIndexParam(MetricType.L2))

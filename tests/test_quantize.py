@@ -100,8 +100,7 @@ def test_refiner_improves_int4(rng):
 def test_quantized_collection_cosine_int8(tmp_path, rng):
     """GloVe-style config: cosine + int8 codes (BASELINE config #3 analog)."""
     d = 20
-    schema = CollectionSchema(
-        "q",
+    schema = CollectionSchema("col_q",
         vectors=[
             VectorSchema(
                 "e",

@@ -62,7 +62,7 @@ def _fill(col, rng, n=40, n_fields=1):
 
 
 def test_factory_picks_executor_by_vector_count():
-    no_vec = CollectionSchema("nv", fields=[FieldSchema("x", DataType.INT64)])
+    no_vec = CollectionSchema("col_nv", fields=[FieldSchema("x", DataType.INT64)])
     assert isinstance(
         QueryExecutorFactory.create(no_vec), NoVectorQueryExecutor
     )
@@ -156,8 +156,7 @@ def test_query_vector_dtype_coercion(tmp_path, rng):
 
 
 def test_no_vector_scan(tmp_path):
-    schema = CollectionSchema(
-        "nv",
+    schema = CollectionSchema("col_nv",
         fields=[FieldSchema("n", DataType.INT64), FieldSchema("s", DataType.STRING)],
     )
     col = zvec_tpu.create_and_open(str(tmp_path / "c"), schema)

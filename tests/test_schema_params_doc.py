@@ -86,24 +86,21 @@ def test_vector_schema_defaults_to_hnsw():
 
 def test_schema_rejects_duplicates():
     with pytest.raises(Exception):
-        CollectionSchema(
-            "s",
+        CollectionSchema("col_s",
             fields=[
                 FieldSchema("x", DataType.INT64),
                 FieldSchema("x", DataType.STRING),
             ],
         )
     with pytest.raises(Exception):
-        CollectionSchema(
-            "s",
+        CollectionSchema("col_s",
             vectors=[
                 VectorSchema("v", DataType.VECTOR_FP32, 4),
                 VectorSchema("v", DataType.VECTOR_FP32, 4),
             ],
         )
     with pytest.raises(Exception):  # field/vector name collision
-        CollectionSchema(
-            "s",
+        CollectionSchema("col_s",
             fields=[FieldSchema("v", DataType.INT64)],
             vectors=[VectorSchema("v", DataType.VECTOR_FP32, 4)],
         )
@@ -117,8 +114,7 @@ def test_sparse_vector_schema_has_no_dimension_requirement():
 
 
 def test_schema_dict_roundtrip():
-    s = CollectionSchema(
-        "rt",
+    s = CollectionSchema("col_rt",
         fields=[
             FieldSchema("tag", DataType.STRING, index_param=InvertIndexParam()),
             FieldSchema("n", DataType.INT64, nullable=True),
@@ -142,8 +138,7 @@ def test_schema_dict_roundtrip():
 
 
 def test_schema_lookup_helpers():
-    s = CollectionSchema(
-        "lk",
+    s = CollectionSchema("col_lk",
         fields=[FieldSchema("a", DataType.INT32)],
         vectors=[VectorSchema("v", DataType.VECTOR_FP32, 4)],
     )

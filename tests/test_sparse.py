@@ -67,8 +67,7 @@ def test_sparse_flat_engine_exact(rng):
 
 
 def test_sparse_through_collection(tmp_path, rng):
-    schema = CollectionSchema(
-        "sp",
+    schema = CollectionSchema("col_sp",
         fields=[FieldSchema("tag", DataType.STRING)],
         vectors=[VectorSchema("sv", DataType.SPARSE_VECTOR_FP32, 0, FlatIndexParam(MetricType.IP))],
     )
@@ -102,8 +101,7 @@ def test_sparse_through_collection(tmp_path, rng):
 def test_dense_sparse_fusion_rrf(tmp_path, rng):
     """BASELINE config #5: dense+sparse multi-vector single-call fusion."""
     dim = 16
-    schema = CollectionSchema(
-        "fu",
+    schema = CollectionSchema("col_fu",
         vectors=[
             VectorSchema("dense", DataType.VECTOR_FP32, dim, FlatIndexParam(MetricType.L2)),
             VectorSchema("sparse", DataType.SPARSE_VECTOR_FP32, 0, FlatIndexParam(MetricType.IP)),

@@ -26,8 +26,7 @@ from zvec_tpu import (
 )
 def test_float_vector_dtypes_end_to_end(tmp_path, rng, dtype, np_dtype):
     d = 8
-    schema = CollectionSchema(
-        "vt",
+    schema = CollectionSchema("col_vt",
         vectors=[VectorSchema("v", dtype, d, FlatIndexParam(MetricType.L2))],
     )
     c = zvec_tpu.create_and_open(str(tmp_path / "vt"), schema)
@@ -52,8 +51,7 @@ def test_float_vector_dtypes_end_to_end(tmp_path, rng, dtype, np_dtype):
 
 def test_int8_vector_field(tmp_path, rng):
     d = 8
-    schema = CollectionSchema(
-        "vi",
+    schema = CollectionSchema("col_vi",
         vectors=[
             VectorSchema("v", DataType.VECTOR_INT8, d, FlatIndexParam(MetricType.IP))
         ],
@@ -80,8 +78,7 @@ def test_int8_vector_field(tmp_path, rng):
 )
 def test_int_vector_dtypes_end_to_end(tmp_path, rng, dtype, np_dtype, lo, hi):
     d = 8
-    schema = CollectionSchema(
-        "vi",
+    schema = CollectionSchema("col_vi",
         vectors=[VectorSchema("v", dtype, d, FlatIndexParam(MetricType.L2))],
     )
     c = zvec_tpu.create_and_open(str(tmp_path / "vi"), schema)
@@ -104,8 +101,7 @@ def test_int4_vector_end_to_end(tmp_path, rng):
     """VECTOR_INT4: nibble-packed storage (2 elems/byte,
     reference `type_helper.cc:32` DT_INT4), unpacked scoring + fetch."""
     d = 9  # odd dimension exercises the padded last nibble
-    schema = CollectionSchema(
-        "v4",
+    schema = CollectionSchema("col_v4",
         vectors=[VectorSchema("v", DataType.VECTOR_INT4, d, FlatIndexParam(MetricType.L2))],
     )
     c = zvec_tpu.create_and_open(str(tmp_path / "v4"), schema)

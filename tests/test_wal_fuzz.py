@@ -179,8 +179,7 @@ def test_executor_concurrency_env(tmp_path, rng, monkeypatch):
     )
 
     monkeypatch.setenv("ZVEC_QUERY_CONCURRENCY", "4")
-    schema = CollectionSchema(
-        "mc",
+    schema = CollectionSchema("col_mc",
         vectors=[
             VectorSchema("a", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.L2)),
             VectorSchema("b", DataType.VECTOR_FP32, 8, FlatIndexParam(MetricType.IP)),

@@ -240,14 +240,18 @@ class HnswEngine(VectorIndexEngine):
             rc = codes_host.astype(ml_dtypes.bfloat16)
             rn = (rc.astype(np.float32) ** 2).sum(1)
             return (jnp.asarray(rc), jnp.asarray(rn), None)
-        qp = train_quantizer(codes_host[: self._n], QuantizeType.INT8)
-        rc = encode(codes_host, QuantizeType.INT8, qp)
-        # norms of the DEQUANTIZED codes (ordering consistency with the
-        # routed sims); chunked so no second full fp32 copy materializes
+        # train on a bounded subsample (np.quantile sorts a full copy — at
+        # 10M x 128 that is a 5GB sort on the single host core) and encode
+        # in chunks so no full-size fp32 temporary materializes
+        step = max(1, self._n // 1_000_000)
+        qp = train_quantizer(codes_host[: self._n : step], QuantizeType.INT8)
+        rc = np.empty(codes_host.shape, np.int8)
         rn = np.empty(rc.shape[0], np.float32)
         for lo in range(0, rc.shape[0], 1 << 20):
-            blk = rc[lo : lo + (1 << 20)].astype(np.float32) * qp.scale + qp.bias
-            rn[lo : lo + (1 << 20)] = np.einsum("ij,ij->i", blk, blk)
+            hi = lo + (1 << 20)
+            rc[lo:hi] = encode(codes_host[lo:hi], QuantizeType.INT8, qp)
+            blk = rc[lo:hi].astype(np.float32) * qp.scale + qp.bias
+            rn[lo:hi] = np.einsum("ij,ij->i", blk, blk)
         return (
             jnp.asarray(rc),
             jnp.asarray(rn),

@@ -33,7 +33,7 @@ from .delete_store import DeleteStore
 from .forward_store import ForwardStore
 from .idmap import IdMap
 from .segment import FORWARD_FILE, Segment
-from .validate import validate_doc
+from .validate import validate_collection_path, validate_doc
 from .version import SegmentMeta, Version, VersionManager
 __all__ = ["CollectionImpl", "MAX_WRITE_BATCH_SIZE"]
 
@@ -86,6 +86,8 @@ class CollectionImpl:
         read_only: bool = False,
         enable_mmap: bool = True,
     ) -> "CollectionImpl":
+        validate_collection_path(path)
+        schema.validate_for_create()
         path = os.path.abspath(path)
         if os.path.exists(path) and os.listdir(path):
             raise ZvecError(

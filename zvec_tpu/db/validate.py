@@ -6,6 +6,8 @@ Mirrors the reference's write-time validation (`collection.cc:1434`
 
 from __future__ import annotations
 
+import re
+
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -15,7 +17,7 @@ from ..model.schema import CollectionSchema
 from ..typing.enum import DataType, StatusCode
 from ..typing.status import Status
 
-__all__ = ["validate_doc", "coerce_scalar"]
+__all__ = ["validate_doc", "coerce_scalar", "validate_collection_path"]
 
 _INT_RANGES = {
     DataType.INT32: (-(2**31), 2**31 - 1),
@@ -305,3 +307,19 @@ def validate_doc(
                 )
 
     return fields, vectors, Status.ok_status()
+
+
+# create-time path rule (reference COLLECTION_PATH_REGEX, `constants.h:49`;
+# enforced at `collection.cc:1719`): optional leading '/', then
+# [a-zA-Z0-9_.-] path segments — rejects empty paths, spaces, specials.
+_PATH_RE = re.compile(r"^/?(?:[a-zA-Z0-9_.\-]+/)*[a-zA-Z0-9_.\-]+$")
+
+
+def validate_collection_path(path) -> None:
+    from ..typing.status import invalid_argument
+
+    if not isinstance(path, str) or not _PATH_RE.match(path or ""):
+        raise invalid_argument(
+            f"invalid collection path {path!r}: must match "
+            "optional-'/' + [a-zA-Z0-9_.-] segments"
+        )

@@ -10,6 +10,7 @@ must be unique across both; vector fields default to `FlatIndexParam()`
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Dict, List, Optional, Union
 
 from ..typing.enum import DataType
@@ -310,6 +311,53 @@ class CollectionSchema:
                 )
             seen.add(v.name)
             self._vectors.append(v)
+
+    # create-time validation rules (reference `constants.h:43-47` regexes +
+    # size caps, enforced by C++ create — the python CollectionSchema object
+    # itself stays permissive, matching the reference's layering)
+    _NAME_RE = re.compile(r"^[a-zA-Z0-9_-]{3,64}$")
+    _FIELD_RE = re.compile(r"^[a-zA-Z0-9_-]{1,32}$")
+    MAX_DENSE_DIM = 20000  # kMaxDenseDimSize
+    MAX_FIELDS = 1024  # kMaxScalarFieldSize
+    MAX_VECTORS = 5  # kMaxVectorFieldSize
+
+    def validate_for_create(self) -> None:
+        """Strict schema validation applied by `create_and_open` (reference
+        `schema.cc` validate + `constants.h:43-47`). Divergence from the
+        reference: zero-vector (scalar-only) collections are ALLOWED here —
+        a deliberate superset (NoVectorQueryExecutor serves them)."""
+        if not self._NAME_RE.match(self._name):
+            raise ValueError(
+                f"schema validate failed: collection name '{self._name}' must "
+                "match [a-zA-Z0-9_-]{3,64}"
+            )
+        if len(self._fields) > self.MAX_FIELDS:
+            raise ValueError(
+                f"schema validate failed: at most {self.MAX_FIELDS} scalar "
+                f"fields, got {len(self._fields)}"
+            )
+        if len(self._vectors) > self.MAX_VECTORS:
+            raise ValueError(
+                f"schema validate failed: at most {self.MAX_VECTORS} vector "
+                f"fields, got {len(self._vectors)}"
+            )
+        for f in self._fields:
+            if not self._FIELD_RE.match(f.name):
+                raise ValueError(
+                    f"schema validate failed: field name '{f.name}' must "
+                    "match [a-zA-Z0-9_-]{1,32}"
+                )
+        for v in self._vectors:
+            if not self._FIELD_RE.match(v.name):
+                raise ValueError(
+                    f"schema validate failed: vector name '{v.name}' must "
+                    "match [a-zA-Z0-9_-]{1,32}"
+                )
+            if not v.is_sparse and v.dimension > self.MAX_DENSE_DIM:
+                raise ValueError(
+                    f"schema validate failed: dense vector [{v.name}] "
+                    f"dimension {v.dimension} exceeds {self.MAX_DENSE_DIM}"
+                )
 
     @property
     def name(self) -> str:
