@@ -244,7 +244,14 @@ def cmd_tpu_recall(args):
     engine = HnswEngine(
         MetricType.L2,
         X.shape[1],
-        HnswIndexParam(MetricType.L2, m=args.m, ef_construction=args.efc),
+        HnswIndexParam(
+            MetricType.L2,
+            m=args.m,
+            ef_construction=args.efc,
+            knn_k=args.knn_k,
+            prune_alpha=args.prune_alpha,
+            backfill_alpha=args.backfill_alpha,
+        ),
     )
     engine.bind_data(lambda: X, lambda: 1)
     t0 = time.time()
@@ -288,6 +295,11 @@ def main():
         sp.add_argument("--topk", type=int, default=10)
         sp.add_argument("--topk_list", default="1,10")
         sp.add_argument("--ef-sweep", default="", dest="ef_sweep")
+        sp.add_argument("--knn-k", type=int, default=None, dest="knn_k")
+        sp.add_argument("--prune-alpha", type=float, default=1.0, dest="prune_alpha")
+        sp.add_argument(
+            "--backfill-alpha", type=float, default=0.0, dest="backfill_alpha"
+        )
         sp.add_argument("--threads", type=int, default=1)
         sp.add_argument("--secs", type=int, default=20)
         sp.add_argument("--cpu", action="store_true")

@@ -35,7 +35,8 @@ D = 8
 
 def _schema(n_vec_fields: int, name: str) -> CollectionSchema:
     return CollectionSchema(
-        name,
+        # create-time rule: collection names are [a-zA-Z0-9_-]{3,64}
+        f"qe_{name}",
         fields=[FieldSchema("tag", DataType.STRING)],
         vectors=[
             VectorSchema(

@@ -20,7 +20,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..model.param.param import QueryParam
+from ..model.param.param import FlatQueryParam, QueryParam
 from ..ops.quantize import QuantParams, decode, encode, train_quantizer
 from ..ops.runtime import bucket_queries as _bucket_queries
 from ..ops.runtime import round_up
@@ -60,6 +60,8 @@ _EMPTY = _State(None, None, 0, 0, None, False)
 
 @register_engine(IndexType.FLAT)
 class FlatEngine(VectorIndexEngine):
+    query_param_class = FlatQueryParam
+
     def __init__(self, metric: MetricType, dimension: int, params=None):
         super().__init__(metric, dimension, params)
         self.quantize = (

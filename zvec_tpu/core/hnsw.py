@@ -76,6 +76,8 @@ class _Graph:
 
 @register_engine(IndexType.HNSW)
 class HnswEngine(VectorIndexEngine):
+    query_param_class = HnswQueryParam
+
     def __init__(self, metric: MetricType, dimension: int, params=None):
         super().__init__(metric, dimension, params)
         self.m = params.m if params is not None else 50

@@ -69,6 +69,8 @@ class SparseHnswEngine(SparseFlatEngine):
     """Sparse graph engine; falls back to the exact scan below the brute-force
     threshold (inherited from SparseFlatEngine)."""
 
+    query_param_class = HnswQueryParam
+
     def __init__(self, metric: MetricType = MetricType.IP, dimension: int = 0, params=None):
         super().__init__(metric, dimension, params)
         self.m = getattr(params, "m", 16) if params is not None else 16

@@ -103,6 +103,13 @@ class VectorIndexEngine:
     """
 
     index_type: IndexType = IndexType.UNDEFINED
+    # QueryParam subclass this engine understands. The bare base class is
+    # accepted by every engine (is_linear / is_using_refiner are universal);
+    # a mismatched subclass (e.g. IVFQueryParam on an HNSW field) or an
+    # IndexParam passed as a query param is rejected instead of silently
+    # falling back to defaults (reference: INCOMPATIBLE_FUNCTION_ERROR_MSG,
+    # `python/tests/detail/test_collection_dql.py:990-1021`).
+    query_param_class: type = QueryParam
 
     def __init__(
         self,
@@ -269,6 +276,14 @@ class VectorIndexEngine:
 
 
 _REGISTRY: Dict[IndexType, type] = {}
+
+
+def expected_query_param_class(index_type: IndexType) -> Optional[type]:
+    """QueryParam subclass the registered engine for `index_type` accepts
+    (None when the index type has no registered engine). Dense and sparse
+    engines of one index type share the same param class."""
+    cls = _REGISTRY.get(IndexType(index_type))
+    return getattr(cls, "query_param_class", None) if cls is not None else None
 
 
 def register_engine(index_type: IndexType):

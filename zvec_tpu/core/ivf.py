@@ -155,6 +155,8 @@ def _dedupe_topk(sims: np.ndarray, idx: np.ndarray, topk: int):
 
 @register_engine(IndexType.IVF)
 class IvfEngine(VectorIndexEngine):
+    query_param_class = IVFQueryParam
+
     def __init__(self, metric: MetricType, dimension: int, params=None):
         super().__init__(metric, dimension, params)
         self.n_list = params.n_list if params is not None else 0

@@ -19,6 +19,7 @@ from ..ops.runtime import round_up
 from ..ops.sparse import pad_sparse_rows, prune_sparse_query, sparse_ip_topk
 from ..typing.enum import MetricType
 from .interface import VectorIndexEngine
+from ..model.param.param import FlatQueryParam
 
 __all__ = ["SparseFlatEngine"]
 
@@ -28,6 +29,8 @@ _QUERY_NNZ_PAD = 64
 
 class SparseFlatEngine(VectorIndexEngine):
     """Engine over one segment's sparse vector column."""
+
+    query_param_class = FlatQueryParam
 
     def __init__(self, metric: MetricType = MetricType.IP, dimension: int = 0, params=None):
         super().__init__(MetricType.IP, dimension, params)

@@ -665,6 +665,28 @@ class CollectionImpl:
             raise ZvecError(
                 StatusCode.INVALID_ARGUMENT, f"unknown vector field '{field_name}'"
             )
+        if param is not None:
+            # Reject an IndexParam (or any non-QueryParam) passed as a query
+            # param, and a QueryParam subclass for a different index type —
+            # silently falling back to engine defaults hides the mistake
+            # (reference: INCOMPATIBLE_FUNCTION_ERROR_MSG,
+            # `python/tests/detail/test_collection_dql.py:990-1021`). The bare
+            # QueryParam base (is_linear / is_using_refiner) works everywhere.
+            from ..core.interface import expected_query_param_class
+
+            expected = expected_query_param_class(vs.index_param.index_type)
+            if not isinstance(param, QueryParam) or (
+                type(param) is not QueryParam
+                and expected is not None
+                and not isinstance(param, expected)
+            ):
+                raise ZvecError(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"incompatible query param {type(param).__name__} for "
+                    f"field '{field_name}' "
+                    f"({vs.index_param.index_type.name} index): expected "
+                    f"{expected.__name__ if expected else 'QueryParam'}",
+                )
         if vs.data_type.is_sparse_vector:
             if isinstance(queries, dict):
                 queries = [queries]
@@ -1585,6 +1607,15 @@ class CollectionImpl:
             if self._lock_fh is not None:
                 self._lock_fh.close()
                 self._lock_fh = None
+
+    def __del__(self):
+        # dropping the last reference releases the writer flock, like the
+        # reference's C++ destructor closing the collection — `del col`
+        # followed by `zvec.open(path)` must work in one process
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def destroy(self) -> None:
         import shutil

@@ -100,15 +100,35 @@ class GlobalConfig:
         with cls._init_lock:
             cls._instance = None
 
+    # int-typed knobs (bool and float rejected with TypeError — reference
+    # semantics, `python/tests/detail/test_db_config.py:139-151,288-310`)
+    _INT_KEYS = (
+        "log_file_size",
+        "log_overdue_days",
+        "query_threads",
+        "optimize_threads",
+        "memory_limit_mb",
+        "mesh_devices",
+    )
+    _FLOAT_KEYS = ("invert_to_forward_scan_ratio", "brute_force_by_keys_ratio")
+
     def initialize(self, **kwargs) -> None:
         with self._init_lock:
             if self.initialized:
-                raise RuntimeError("zvec_tpu is already initialized")
+                # repeated init() succeeds as a no-op after the first
+                # successful call (reference `test_db_config.py:125-131`)
+                return
             for key, value in kwargs.items():
                 if value is None:
                     continue
                 if not hasattr(self, key):
                     raise ValueError(f"unknown config key '{key}'")
+                if key in self._INT_KEYS and (
+                    isinstance(value, bool) or not isinstance(value, int)
+                ):
+                    raise TypeError(f"config key '{key}' must be an int")
+                if key in self._FLOAT_KEYS and not isinstance(value, (int, float)):
+                    raise TypeError(f"config key '{key}' must be a number")
                 setattr(self, key, value)
             self._validate()
             self._init_logging()
@@ -125,6 +145,14 @@ class GlobalConfig:
             raise ValueError("brute_force_by_keys_ratio must be in [0, 1]")
         if self.memory_limit_mb <= 0:
             raise ValueError("memory_limit_mb must be > 0")
+        if self.memory_limit_mb < 100:
+            # reference MIN_MEMORY_LIMIT_BYTES = 100MB (RuntimeError there,
+            # `test_db_config.py:133-137`)
+            raise RuntimeError("memory_limit_mb must be >= 100 (MB)")
+        if self.log_file_size <= 0:
+            raise ValueError("log_file_size must be > 0")
+        if self.log_overdue_days <= 0:
+            raise ValueError("log_overdue_days must be > 0")
         if self.forward_file_format not in ("ipc", "parquet"):
             raise ValueError("forward_file_format must be 'ipc' or 'parquet'")
         if self.mesh_devices < 0:
@@ -144,18 +172,27 @@ class GlobalConfig:
             LogLevel.FATAL: logging.CRITICAL,
         }[self.log_level]
         logger.setLevel(level)
-        if logger.handlers:
-            return
         if self.log_type == LogType.FILE:
             from logging.handlers import RotatingFileHandler
 
+            # the FILE sink always materializes log_dir (reference
+            # `test_init_file_logger`), even when another handler already
+            # exists on the logger (e.g. fresh GlobalConfig instances in
+            # tests); dedup is by target file, not handler presence
             os.makedirs(self.log_dir, exist_ok=True)
+            path = os.path.abspath(os.path.join(self.log_dir, self.log_basename))
+            if any(
+                getattr(h, "baseFilename", None) == path for h in logger.handlers
+            ):
+                return
             handler = RotatingFileHandler(
-                os.path.join(self.log_dir, self.log_basename),
+                path,
                 maxBytes=self.log_file_size * (1 << 20),
                 backupCount=max(1, self.log_overdue_days),
             )
         else:
+            if logger.handlers:
+                return
             handler = logging.StreamHandler()
         handler.setFormatter(
             logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
