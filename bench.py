@@ -117,7 +117,14 @@ def _device_phase(name, fn, detail, attempts=3):
     last = None
     for a in range(attempts):
         try:
-            return fn()
+            val = fn()
+            if os.environ.get("BENCH_CRASH_AFTER") == name:
+                # test hook (tests/test_bench_capture.py): simulate a hard
+                # mid-run death right after this phase. KeyboardInterrupt is
+                # a BaseException, so the retry logic below does NOT catch
+                # it — it rides up to the __main__ guard like a real kill.
+                raise KeyboardInterrupt(f"injected crash after phase {name}")
+            return val
         except Exception as e:  # noqa: BLE001 — tunnel errors are untyped
             last = e
             sys.stderr.write(f"[bench] phase {name} attempt {a + 1} failed: {e!r}\n")
