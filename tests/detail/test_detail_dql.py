@@ -317,3 +317,106 @@ class TestFetchMatrix:
                 assert list(g) == val
             else:
                 assert g == val
+
+
+class TestFilterOnlyQuery:
+    """query() with NO VectorQuery on a vector-bearing collection: a pure
+    filter scan (reference `test_collection_dql.py:283-308` + executor
+    `query_executor.py:267-272` builds a query-without-vector)."""
+
+    @pytest.mark.parametrize("sealed", [False, True], ids=["writing", "sealed"])
+    def test_no_condition_returns_all(self, tmp_path, sealed):
+        col, docs = _mk(tmp_path, n=25, sealed=sealed)
+        res = col.query(topk=1000)
+        assert {d.id for d in res} == {d.id for d in docs}
+        # insertion-ordered (reference consistency test sorts by int id)
+        assert [d.id for d in res] == [f"pk{i}" for i in range(25)]
+
+    def test_empty_and_none_filter_equivalent(self, tmp_path):
+        col, docs = _mk(tmp_path, n=15)
+        r_none = col.query(topk=100)
+        r_empty = col.query(filter="", topk=100)
+        assert [d.id for d in r_none] == [d.id for d in r_empty]
+
+    @pytest.mark.parametrize("sealed", [False, True], ids=["writing", "sealed"])
+    def test_filter_matches_oracle(self, tmp_path, sealed):
+        col, docs = _mk(tmp_path, n=80, sealed=sealed)
+        res = col.query(filter=f"{F_I32} >= 40", topk=1000)
+        oracle = _oracle_ids(docs, lambda f: f.get(F_I32) is not None and f[F_I32] >= 40)
+        assert {d.id for d in res} == oracle
+
+    def test_topk_bounds_scan(self, tmp_path):
+        col, docs = _mk(tmp_path, n=50)
+        assert len(col.query(topk=7)) == 7
+        assert len(col.query(topk=50)) == 50
+        assert len(col.query(topk=500)) == 50
+
+    def test_excludes_deleted(self, tmp_path):
+        col, docs = _mk(tmp_path, n=30)
+        col.delete([f"pk{i}" for i in range(0, 30, 3)])
+        res = col.query(topk=100)
+        assert {d.id for d in res} == {
+            f"pk{i}" for i in range(30) if i % 3 != 0
+        }
+
+    def test_output_fields_respected(self, tmp_path):
+        col, docs = _mk(tmp_path, n=10)
+        res = col.query(topk=3, output_fields=[F_I32])
+        for d in res:
+            assert set(d.fields) <= {F_I32}
+
+    def test_multivector_schema_filter_only(self, tmp_path):
+        """The same fallback must work through MultiVectorQueryExecutor."""
+        from zvec_tpu import (
+            CollectionSchema,
+            FieldSchema,
+            FlatIndexParam,
+            MetricType,
+            VectorSchema,
+        )
+
+        schema = CollectionSchema(
+            "mvq",
+            fields=[FieldSchema("k", DataType.INT64)],
+            vectors=[
+                VectorSchema("a", DataType.VECTOR_FP32, 8,
+                             FlatIndexParam(MetricType.L2)),
+                VectorSchema("b", DataType.VECTOR_FP32, 8,
+                             FlatIndexParam(MetricType.IP)),
+            ],
+        )
+        col = zvec_tpu.create_and_open(str(tmp_path / "mvq"), schema)
+        rng = np.random.default_rng(5)
+        col.insert(
+            [
+                Doc(id=str(i), fields={"k": i},
+                    vectors={"a": rng.standard_normal(8).astype(np.float32),
+                             "b": rng.standard_normal(8).astype(np.float32)})
+                for i in range(12)
+            ]
+        )
+        res = col.query(filter="k >= 6", topk=100)
+        assert {d.id for d in res} == {str(i) for i in range(6, 12)}
+
+
+class TestQueryConsistency:
+    """Repeated identical queries return identical results (reference
+    `test_collection_dql.py:819-846`)."""
+
+    def test_repeated_filter_scan_stable(self, tmp_path):
+        col, docs = _mk(tmp_path, n=40, sealed=True)
+        runs = [col.query(filter=f"{F_I32} >= 10", topk=100) for _ in range(5)]
+        first = [d.id for d in runs[0]]
+        for r in runs[1:]:
+            assert [d.id for d in r] == first
+
+    def test_repeated_vector_query_stable(self, tmp_path, rng):
+        col, docs = _mk(tmp_path, n=60, sealed=True)
+        q = rng.standard_normal(DIM).astype(np.float32)
+        runs = [
+            col.query(VectorQuery("dense", vector=q), topk=10)
+            for _ in range(5)
+        ]
+        first = [(d.id, round(d.score, 5)) for d in runs[0]]
+        for r in runs[1:]:
+            assert [(d.id, round(d.score, 5)) for d in r] == first

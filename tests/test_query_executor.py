@@ -93,8 +93,9 @@ def test_single_vector_validation(tmp_path, rng):
     q = rng.standard_normal(D).astype(np.float32)
     with pytest.raises(ValueError):
         col.query([VectorQuery("v0", vector=q), VectorQuery("v0", vector=q)])
-    with pytest.raises(ValueError):
-        col.query([])
+    # zero queries = filter-only scan, NOT an error (reference
+    # `query_executor.py:267-272` builds a query-without-vector)
+    assert len(col.query([], topk=1000)) == 40
     with pytest.raises(ValueError):  # unknown field
         col.query(VectorQuery("nope", vector=q))
     with pytest.raises(ValueError):  # wrong dimension

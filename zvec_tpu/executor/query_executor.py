@@ -196,12 +196,34 @@ class QueryExecutor(ABC):
     def execute(self, ctx: QueryContext, impl: CollectionImpl) -> List[Doc]:
         self._do_validate(ctx)
         built = self._do_build(ctx, impl)
-        if not built and not isinstance(self, NoVectorQueryExecutor):
-            raise ValueError("No query to execute")
-        if isinstance(self, NoVectorQueryExecutor):
+        if not built:
+            # filter-only query (no VectorQuery): the reference builds a
+            # query-without-vector and scans (`query_executor.py:134-142`,
+            # `:267-272`) — valid on vector-bearing collections too
             return self._execute_scan(ctx, impl)
         docs = self._do_execute(ctx, built, impl)
         return self._do_merge_rerank_results(ctx, docs)
+
+    def _execute_scan(self, ctx: QueryContext, impl: CollectionImpl) -> List[Doc]:
+        """Filter-only scan: up to topk alive docs matching the filter, in
+        doc order (reference `test_collection_dql.py:283-308` expects
+        insertion-ordered results for vector-less queries)."""
+        if ctx.filter:
+            doc_ids = impl._filter_only_doc_ids(ctx.filter)
+        else:
+            doc_ids = []
+            with impl._lock:
+                segs = list(impl.segments) + ([impl.writing] if impl.writing else [])
+            for seg in segs:
+                alive = impl.deletes.alive_mask(seg.doc_id_start, seg.doc_count)
+                doc_ids.extend(
+                    (np.nonzero(alive)[0] + seg.doc_id_start).tolist()
+                )
+        doc_ids = doc_ids[: ctx.topk]
+        return [
+            impl._materialize_doc(d, None, ctx.include_vector, ctx.output_fields)
+            for d in doc_ids
+        ]
 
     def execute_batch(
         self, ctxs: List[QueryContext], impl: CollectionImpl
@@ -286,33 +308,17 @@ class NoVectorQueryExecutor(QueryExecutor):
         # no device program to batch: filter-only scans run sequentially
         return [self.execute(ctx, impl) for ctx in ctxs]
 
-    def _execute_scan(self, ctx: QueryContext, impl: CollectionImpl) -> List[Doc]:
-        if ctx.filter:
-            doc_ids = impl._filter_only_doc_ids(ctx.filter)
-        else:
-            doc_ids = []
-            with impl._lock:
-                segs = list(impl.segments) + ([impl.writing] if impl.writing else [])
-            for seg in segs:
-                alive = impl.deletes.alive_mask(seg.doc_id_start, seg.doc_count)
-                doc_ids.extend(
-                    (np.nonzero(alive)[0] + seg.doc_id_start).tolist()
-                )
-        doc_ids = doc_ids[: ctx.topk]
-        return [
-            impl._materialize_doc(d, None, ctx.include_vector, ctx.output_fields)
-            for d in doc_ids
-        ]
-
 
 class SingleVectorQueryExecutor(QueryExecutor):
     def _do_validate(self, ctx: QueryContext) -> None:
-        if not ctx.queries:
-            raise ValueError("at least one VectorQuery is required")
+        # zero queries is valid: filter-only scan (reference
+        # `query_executor.py:267-272`)
         if len(ctx.queries) > 1:
             raise ValueError(
                 "multiple VectorQuery on a single-vector collection"
             )
+        for query in ctx.queries:
+            query._validate()
 
     def _do_build(self, ctx, impl):
         return [self._build_one(ctx, q, impl) for q in ctx.queries]
@@ -320,8 +326,7 @@ class SingleVectorQueryExecutor(QueryExecutor):
 
 class MultiVectorQueryExecutor(QueryExecutor):
     def _do_validate(self, ctx: QueryContext) -> None:
-        if not ctx.queries:
-            raise ValueError("at least one VectorQuery is required")
+        # zero queries is valid: filter-only scan (reference behavior)
         names = [q.field_name for q in ctx.queries]
         if len(set(names)) != len(names):
             raise ValueError("duplicate vector fields in query")
