@@ -1,0 +1,90 @@
+"""Query-knob A/B at 10M on the PERSISTED collection from bench_10m_hnsw.py.
+
+Isolates the search-side levers on identical graph + data (no rebuild):
+  - route tier: ZVEC_HNSW_ROUTE in {off, int8, bf16} (process env — the
+    routing codes are staged at open; run one process per setting),
+  - visited set: hashed bitset scatter-add vs bytemap scatter-max
+    (HnswQueryParam.visited_bytes — per-query, swept in-process).
+
+The VERDICT r3 item-2 ablation: push qps_pipelined past 1,000 at
+recall@10 >= 0.95, or record a measured negative per lever.
+
+Usage:  ZVEC_HNSW_ROUTE=off python benchmarks/measure_10m_knobs.py
+Output: one JSON line per (config, ef); merged into
+        /tmp/knobs10m_<route>.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = os.environ.get("H2H10M_DIR", "/tmp/h2h10m")
+COL_DIR = os.path.join(WORK, "col")
+ROUTE = os.environ.get("ZVEC_HNSW_ROUTE", "auto")
+GT_Q, K = 256, 10
+EFS = tuple(int(x) for x in os.environ.get("KNOBS_EFS", "64,96,128").split(","))
+
+
+def log(msg: str) -> None:
+    print(f"[knobs {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    import zvec_tpu
+    from zvec_tpu import HnswQueryParam
+
+    zvec_tpu.init()
+    t0 = time.time()
+    col = zvec_tpu.open(COL_DIR)
+    log(f"open() in {time.time() - t0:.1f}s (route={ROUTE})")
+    Q = np.load(os.path.join(WORK, "query.npy"))
+    gt = np.load(os.path.join(WORK, "gt.npy"))
+    NQ = Q.shape[0]
+
+    configs = [
+        ("bitset", {}),
+        ("bytemap", {"visited_bits": 21, "visited_bytes": True}),
+    ]
+    out = {"route": ROUTE, "configs": {}}
+    for name, kw in configs:
+        rows = {}
+        for ef in EFS:
+            p = HnswQueryParam(ef=ef, **kw)
+            # warm with the SAME batch shape we time
+            docs = col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+            col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+            t0 = time.perf_counter()
+            docs = col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+            dt = time.perf_counter() - t0
+            blocks = 4
+            col.batch_query_many("vec", [Q] * 2, topk=K, output_fields=[], param=p)
+            t0 = time.perf_counter()
+            col.batch_query_many("vec", [Q] * blocks, topk=K,
+                                 output_fields=[], param=p)
+            dt_p = (time.perf_counter() - t0) / blocks
+            hits = 0
+            for i in range(GT_Q):
+                got = {int(d.id) for d in docs[i]}
+                hits += len(got & set(gt[i].tolist()))
+            row = {
+                "recall_at_10": round(hits / (GT_Q * K), 4),
+                "qps": round(NQ / dt, 1),
+                "qps_pipelined": round(NQ / dt_p, 1),
+            }
+            rows[ef] = row
+            print(json.dumps({"route": ROUTE, "config": name, "ef": ef, **row}),
+                  flush=True)
+        out["configs"][name] = rows
+    with open(f"/tmp/knobs10m_{ROUTE}.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
