@@ -317,3 +317,107 @@ class TestOptimize:
         col.insert(make_doc(0))
         col.destroy()
         assert not os.path.exists(p)
+
+
+class TestColumnNameRules:
+    """Column-DDL name validation parity: add/alter enforce the same
+    [a-zA-Z0-9_-]{1,32} rule as create time (reference
+    `test_collection_ddl.py:1256-1273`, `:1442-1462`)."""
+
+    @pytest.mark.parametrize(
+        "bad", ["", "has space", "semi;colon", "x" * 33, "dot.name", "unié"]
+    )
+    def test_add_column_invalid_names(self, tmp_path, bad):
+        col = zvec_tpu.create_and_open(
+            str(tmp_path / "c"), full_width_schema("addname")
+        )
+        with pytest.raises((ValueError, ZvecError)):
+            col.add_column(FieldSchema(bad, DataType.INT64))
+
+    @pytest.mark.parametrize("good", ["a", "A-1_b", "x" * 32])
+    def test_add_column_valid_names(self, tmp_path, good):
+        col = zvec_tpu.create_and_open(
+            str(tmp_path / "c"), full_width_schema("addok")
+        )
+        col.add_column(FieldSchema(good, DataType.INT64))
+        assert col.schema.field(good) is not None
+
+    # "" is excluded: empty new_name means "keep the old name" (rename no-op)
+    @pytest.mark.parametrize("bad", ["has space", "x" * 33, "dot.name"])
+    def test_alter_column_invalid_target_names(self, tmp_path, bad):
+        col = zvec_tpu.create_and_open(
+            str(tmp_path / "c"), full_width_schema("altname")
+        )
+        src = FIELD_NAME[DataType.INT64]
+        with pytest.raises((ValueError, ZvecError)):
+            col.alter_column(src, bad)
+        # source untouched on failure
+        assert col.schema.field(src) is not None
+
+
+class TestIndexDdlIdempotence:
+    def test_duplicate_create_index_is_idempotent(self, tmp_path, rng):
+        """Re-creating the same scalar index succeeds and filtered results
+        are unchanged (reference `test_collection_ddl.py:195-262`)."""
+        col = zvec_tpu.create_and_open(
+            str(tmp_path / "c"), full_width_schema("dupidx")
+        )
+        f = FIELD_NAME[DataType.INT64]
+        docs = [make_doc(i, np.random.default_rng(i)) for i in range(40)]
+        col.insert(docs)
+        flt = f"{f} >= 20"
+        before = {d.id for d in col.query(filter=flt, topk=100)}
+        col.create_index(f, InvertIndexParam())
+        mid = {d.id for d in col.query(filter=flt, topk=100)}
+        col.create_index(f, InvertIndexParam())  # duplicate: must not raise
+        after = {d.id for d in col.query(filter=flt, topk=100)}
+        assert before == mid == after and before
+
+
+class TestComplicatedWorkflow:
+    def test_interleaved_ddl_dml_dql(self, tmp_path, rng):
+        """The reference's end-to-end DDL walk
+        (`test_collection_ddl.py:594-781`): create -> insert -> scalar
+        index -> query -> add_column -> update -> alter_column -> query ->
+        drop_column -> optimize -> query -> drop_index, checking
+        consistency at every step."""
+        col = zvec_tpu.create_and_open(
+            str(tmp_path / "c"), full_width_schema("flow")
+        )
+        f = FIELD_NAME[DataType.INT64]
+        docs = [make_doc(i, np.random.default_rng(100 + i)) for i in range(30)]
+        col.insert(docs)
+        col.create_index(f, InvertIndexParam())
+        q = rng.standard_normal(DIM).astype(np.float32)
+        base = col.query(VectorQuery("dense", vector=q), topk=5)
+        assert len(base) == 5
+
+        col.add_column(FieldSchema("stage", DataType.INT64), expression="7")
+        got = col.fetch(docs[3].id)[docs[3].id]
+        assert got.fields["stage"] == 7
+
+        col.upsert(
+            Doc(id=docs[3].id, fields={**docs[3].fields, "stage": 99},
+                vectors=docs[3].vectors)
+        )
+        assert col.fetch(docs[3].id)[docs[3].id].fields["stage"] == 99
+
+        col.alter_column("stage", "phase")
+        assert col.schema.field("stage") is None
+        assert col.fetch(docs[3].id)[docs[3].id].fields["phase"] == 99
+        assert {d.id for d in col.query(filter="phase = 99", topk=10)} == {
+            docs[3].id
+        }
+
+        col.drop_column("phase")
+        assert "phase" not in col.fetch(docs[3].id)[docs[3].id].fields
+
+        col.optimize()
+        col.flush()
+        sealed = col.query(VectorQuery("dense", vector=q), topk=5)
+        assert [d.id for d in sealed] == [d.id for d in base]
+
+        col.drop_index(f)
+        assert {d.id for d in col.query(filter=f"{f} >= 0", topk=100)} == {
+            d.id for d in col.query(filter=f"{f} >= 0", topk=100)
+        }

@@ -1551,6 +1551,11 @@ class CollectionImpl:
                     StatusCode.INVALID_ARGUMENT,
                     f"field '{target_name}' already exists",
                 )
+            if not type(self.schema)._FIELD_RE.match(target_name):
+                raise ZvecError(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"field name [{target_name}] must match [a-zA-Z0-9_-]{{1,32}}",
+                )
             target_dt = field_schema.data_type if field_schema else fs.data_type
             new_fs = FieldSchema(target_name, target_dt, fs.nullable, fs.index_param)
             self.schema._replace_field(old_name, new_fs)

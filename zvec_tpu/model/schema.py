@@ -393,6 +393,14 @@ class CollectionSchema:
     def _add_field(self, f: FieldSchema) -> None:
         if self.field(f.name) or self.vector(f.name):
             raise ValueError(f"duplicate field name '{f.name}'")
+        # column DDL enters here post-create: enforce the same name rule
+        # as create time (reference add_column name matrix,
+        # `test_collection_ddl.py:1256-1273`)
+        if not self._FIELD_RE.match(f.name):
+            raise ValueError(
+                f"schema validate failed: field name [{f.name}] must "
+                "match [a-zA-Z0-9_-]{1,32}"
+            )
         self._fields.append(f)
 
     def _drop_field(self, name: str) -> None:
