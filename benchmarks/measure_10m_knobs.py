@@ -51,7 +51,13 @@ def main():
     configs = [
         ("bitset", {}),
         ("bytemap", {"visited_bits": 21, "visited_bytes": True}),
+        # frontier 2/3 measured slower than 4 at 10M (r2); 6/8 untested —
+        # wider steps mean fewer sequential iterations per query
+        ("f6", {"frontier": 6}),
+        ("f8", {"frontier": 8}),
     ]
+    if os.environ.get("KNOBS_MINIMAL") == "1":
+        configs = configs[:1]
     out = {"route": ROUTE, "configs": {}}
     for name, kw in configs:
         rows = {}
