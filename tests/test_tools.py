@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from zvec_tpu.tools.io import read_vecs, write_vecs
 from zvec_tpu.tools.recall import compute_recall
@@ -76,3 +77,49 @@ def test_build_bench_recall_cli(tmp_path, rng, capsys):
     )
     out = json.loads(capsys.readouterr().out)
     assert out["qps"] > 0 and "p99" in out
+
+
+def test_parquet_dataset_prep(tmp_path):
+    """Cohere-parquet prep parity (`convert_cohere_parquet.py`): list<float>
+    embedding column -> vector matrix (+ neighbors file)."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from zvec_tpu.tools.io import (
+        convert_parquet_dataset,
+        load_vectors,
+        read_parquet_vectors,
+    )
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((37, 8)).astype(np.float32)
+    G = rng.integers(0, 37, (37, 5)).astype(np.int64)
+    tbl = pa.table(
+        {
+            "id": pa.array(range(37)),
+            "emb": pa.array(X.tolist(), pa.list_(pa.float32())),
+            "neighbors_id": pa.array(G.tolist(), pa.list_(pa.int64())),
+        }
+    )
+    p = str(tmp_path / "shard.parquet")
+    pq.write_table(tbl, p)
+
+    assert np.allclose(read_parquet_vectors(p), X)
+    assert read_parquet_vectors(p, limit=10).shape == (10, 8)
+    assert np.allclose(load_vectors(p, limit=5), X[:5])
+    with pytest.raises(ValueError):
+        read_parquet_vectors(p, column="nope")
+
+    out_v = str(tmp_path / "v.npy")
+    out_g = str(tmp_path / "g.npy")
+    n = convert_parquet_dataset(
+        [p], out_v, neighbors_column="neighbors_id", out_neighbors=out_g
+    )
+    assert n == 37
+    assert np.allclose(np.load(out_v), X)
+    assert np.array_equal(np.load(out_g), G)
+
+    # fvecs round trip of the converted output
+    out_f = str(tmp_path / "v.fvecs")
+    convert_parquet_dataset([p], out_f, limit=12)
+    assert np.allclose(load_vectors(out_f), X[:12])
