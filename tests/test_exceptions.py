@@ -123,8 +123,9 @@ def test_query_empty_collection(tmp_path):
 
 
 def test_query_requires_vector(coll):
-    with pytest.raises(ValueError):
-        coll.query(None, topk=5)
+    # no VectorQuery = filter-only scan, NOT an error (reference
+    # `query_executor.py:267-272`)
+    assert len(coll.query(None, topk=5)) == 5
     with pytest.raises(ValueError):
         coll.query(VectorQuery("e"), topk=5)  # neither id nor vector
 

@@ -500,3 +500,59 @@ def test_hnsw_route_param_roundtrip(tmp_path, rng):
     )
     assert docs and all(doc.field("num") >= 1000 for doc in docs)
     col._impl.close()
+
+
+def test_approx_merge_and_done_frac_knobs(tmp_path):
+    """approx_merge swaps per-step merges to lax.approx_max_k (exact on the
+    CPU backend, so results match the default path bit-for-bit here);
+    done_frac < 1 stops the batch loop early but every returned row must
+    still be a valid scored doc. TPU recall/qps impact measured separately
+    (benchmarks/measure_10m_knobs.py)."""
+    import zvec_tpu
+    from zvec_tpu import (
+        CollectionSchema,
+        DataType,
+        Doc,
+        HnswIndexParam,
+        HnswQueryParam,
+        MetricType,
+        VectorSchema,
+    )
+
+    rng = np.random.default_rng(42)
+    n, d = 3000, 32
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    schema = CollectionSchema(
+        "approxmerge",
+        vectors=[VectorSchema("v", DataType.VECTOR_FP32, d,
+                              HnswIndexParam(MetricType.L2, m=16,
+                                             ef_construction=100))],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "c"), schema)
+    for lo in range(0, n, 1024):
+        col.insert([Doc(id=str(i), vectors={"v": X[i]})
+                    for i in range(lo, min(lo + 1024, n))])
+    col.optimize()
+    Q = rng.standard_normal((16, d)).astype(np.float32)
+
+    base = col.batch_query("v", Q, topk=10, output_fields=[],
+                           param=HnswQueryParam(ef=64))
+    apx = col.batch_query("v", Q, topk=10, output_fields=[],
+                          param=HnswQueryParam(ef=64, approx_merge=True))
+    overlap = np.mean([
+        len({d.id for d in a} & {d.id for d in b}) / 10
+        for a, b in zip(base, apx)
+    ])
+    assert overlap >= 0.95  # exact fallback on CPU -> expected 1.0
+
+    cut = col.batch_query("v", Q, topk=10, output_fields=[],
+                          param=HnswQueryParam(ef=64, done_frac=0.9))
+    for row in cut:
+        assert 0 < len(row) <= 10
+        for doc in row:
+            assert 0 <= int(doc.id) < n
+
+    with pytest.raises(ValueError):
+        HnswQueryParam(ef=64, done_frac=0.3)
+    with pytest.raises(ValueError):
+        HnswQueryParam(ef=64, done_frac=1.5)

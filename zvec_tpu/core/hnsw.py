@@ -1704,6 +1704,8 @@ class HnswEngine(VectorIndexEngine):
                 if knobs["visited_bits"]
                 else (0 if self._codes.shape[0] <= (1 << 21) else 21),
                 visited_bytes=knobs["visited_bytes"],
+                approx_merge=knobs["approx_merge"],
+                done_frac=knobs["done_frac"],
             )
 
             def collect():
@@ -1832,12 +1834,22 @@ class HnswEngine(VectorIndexEngine):
             or self.max_scan_ratio_cfg
             or _MAX_SCAN_RATIO
         )
+        approx_merge = bool(
+            env.get("ZVEC_HNSW_APPROX_MERGE") == "1"
+            or (getattr(qp, "approx_merge", False) if qp is not None else False)
+        )
+        done_frac = float(
+            env.get("ZVEC_HNSW_DONE_FRAC")
+            or (getattr(qp, "done_frac", 1.0) if qp is not None else 1.0)
+        )
         return {
             "frontier": frontier,
             "steps_slack": steps_slack,
             "visited_bits": visited_bits,
             "visited_bytes": visited_bytes,
             "scan_ratio": scan_ratio,
+            "approx_merge": approx_merge,
+            "done_frac": done_frac,
         }
 
     def _search_sharded(self, qpad, k: int, mask, ef: int, param=None):

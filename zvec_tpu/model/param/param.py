@@ -272,6 +272,14 @@ class HnswQueryParam(QueryParam):
       Requires visited_bits > 0.
     - ``max_scan_ratio``: per-query override of the scan-budget fraction;
       0 = index/engine default.
+    - ``approx_merge``: use the hardware pooled top-k (lax.approx_max_k,
+      recall_target 0.98) for the beam's per-step candidate/result merges
+      instead of exact lax.top_k — trades a bounded chance of dropping a
+      borderline candidate for fewer VPU sort passes per step.
+    - ``done_frac``: stop the batched traversal once this fraction of the
+      query batch has terminated (default 1.0 = exact). Step counts are
+      skewed across queries; the last stragglers otherwise tax every
+      query in the lockstep batch.
     """
 
     def __init__(
@@ -286,6 +294,8 @@ class HnswQueryParam(QueryParam):
         visited_bits: int = 0,
         visited_bytes: bool = False,
         max_scan_ratio: float = 0.0,
+        approx_merge: bool = False,
+        done_frac: float = 1.0,
     ):
         super().__init__(is_linear, is_using_refiner)
         if ef <= 0:
@@ -300,6 +310,10 @@ class HnswQueryParam(QueryParam):
             raise ValueError(
                 f"HNSW max_scan_ratio must be in [0, 1], got {max_scan_ratio}"
             )
+        if not (0.5 <= done_frac <= 1.0):
+            raise ValueError(
+                f"HNSW done_frac must be in [0.5, 1], got {done_frac}"
+            )
         self.ef = int(ef)
         self.radius = float(radius)
         self.frontier = int(frontier)
@@ -307,6 +321,8 @@ class HnswQueryParam(QueryParam):
         self.visited_bits = int(visited_bits)
         self.visited_bytes = bool(visited_bytes)
         self.max_scan_ratio = float(max_scan_ratio)
+        self.approx_merge = bool(approx_merge)
+        self.done_frac = float(done_frac)
 
 
 class IVFQueryParam(QueryParam):

@@ -22,6 +22,7 @@ Graph layout (device arrays):
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -159,6 +160,8 @@ def _beam_core(
     int4_packed: bool = False,
     visited_bits: int = 0,
     visited_bytes: bool = False,
+    approx_merge: bool = False,
+    done_frac: float = 1.0,
 ):
     """Batched HNSW search core (traced inline by its jitted callers).
     Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad).
@@ -167,7 +170,21 @@ def _beam_core(
     instead of a bitset: set(1) is duplicate-safe, so the per-step
     2-operand dedup sort (the bitset's scatter-add uniqueness requirement)
     is elided entirely — 8x the HBM per slot, zero sort cost. Requires
-    visited_bits > 0 (an exact byte map at 10M rows is 10GB/batch)."""
+    visited_bits > 0 (an exact byte map at 10M rows is 10GB/batch).
+
+    approx_merge=True swaps the exact per-step `lax.top_k` candidate/result
+    merges for `lax.approx_max_k` (the hardware pooled top-k,
+    `aggregate_to_topk=True` so outputs stay sorted — the order invariants
+    downstream hold; only merge completeness becomes approximate). The
+    per-step lane sorts are the beam's serial VPU cost at scale; the pooled
+    reduction trades a bounded chance of dropping a borderline candidate
+    for fewer sort passes (exact fallback on CPU).
+
+    done_frac<1.0 stops the batch while_loop once that fraction of queries
+    has terminated: per-query step counts are skewed, and the last few
+    stragglers otherwise tax the whole batch (every step is lockstep
+    across Q). A cut-off query still returns the best results found so
+    far — the working set is always a valid top-ef of what it scanned."""
     nq, d = q.shape
     q = q.astype(jnp.float32)
 
@@ -264,10 +281,16 @@ def _beam_core(
     scanned = jnp.ones((nq,), jnp.int32)
     done = jnp.zeros((nq,), bool)
 
+    # done_frac: stop once ceil(done_frac * Q) queries have terminated
+    # (1.0 = exact: all queries). Static, so it keys the jit cache.
+    min_done = nq if done_frac >= 1.0 else min(nq, int(math.ceil(done_frac * nq)))
+
     def cond(state):
         step = state[-1]
         done = state[-2]
-        return jnp.logical_and(step < max_steps, ~jnp.all(done))
+        return jnp.logical_and(
+            step < max_steps, done.sum(dtype=jnp.int32) < min_done
+        )
 
     def body(state):
         res_s, res_i, cand_s, cand_i, cand_x, visited, scanned, done, step = state
@@ -374,7 +397,12 @@ def _beam_core(
         all_x = jnp.concatenate(
             [cand_x, jnp.zeros_like(sims, dtype=bool)], axis=1
         )
-        new_s, sel = jax.lax.top_k(all_s, ef)
+        if approx_merge:
+            # pooled top-k; aggregate_to_topk keeps output sorted desc so
+            # cand_s[:, -1] (worst-kept) and slicing invariants still hold
+            new_s, sel = jax.lax.approx_max_k(all_s, ef, recall_target=0.98)
+        else:
+            new_s, sel = jax.lax.top_k(all_s, ef)
         new_i = jnp.take_along_axis(all_i, sel, 1)
         new_x = jnp.take_along_axis(all_x, sel, 1)
         if use_bytes:
@@ -406,7 +434,12 @@ def _beam_core(
             rids = jnp.where(rsims > NEG_INF / 2, nbrs_safe, -1)
             r_all_s = jnp.concatenate([res_s, rsims], axis=1)
             r_all_i = jnp.concatenate([res_i, rids], axis=1)
-            nr_s, rsel = jax.lax.top_k(r_all_s, res_s.shape[1])
+            if approx_merge:
+                nr_s, rsel = jax.lax.approx_max_k(
+                    r_all_s, res_s.shape[1], recall_target=0.98
+                )
+            else:
+                nr_s, rsel = jax.lax.top_k(r_all_s, res_s.shape[1])
             nr_i = jnp.take_along_axis(r_all_i, rsel, 1)
             if use_bytes:  # same within-step duplicate handling as cand
                 rdup = jnp.concatenate(
@@ -450,7 +483,8 @@ def _beam_core(
     jax.jit,
     static_argnames=(
         "metric", "ef", "topk", "max_steps", "num_levels", "frontier",
-        "int4_packed", "visited_bits", "visited_bytes",
+        "int4_packed", "visited_bits", "visited_bytes", "approx_merge",
+        "done_frac",
     ),
 )
 def hnsw_search(
@@ -458,7 +492,8 @@ def hnsw_search(
     mask, scan_budget, dequant=None, refine_codes=None, refine_norms=None, *,
     metric: MetricType, ef: int, topk: int, max_steps: int, num_levels: int,
     frontier: int = 1, int4_packed: bool = False, visited_bits: int = 0,
-    visited_bytes: bool = False,
+    visited_bytes: bool = False, approx_merge: bool = False,
+    done_frac: float = 1.0,
 ):
     """Batched HNSW search. Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad).
 
@@ -471,6 +506,7 @@ def hnsw_search(
         metric=metric, ef=ef, topk=topk, max_steps=max_steps,
         num_levels=num_levels, frontier=frontier, int4_packed=int4_packed,
         visited_bits=visited_bits, visited_bytes=visited_bytes,
+        approx_merge=approx_merge, done_frac=done_frac,
     )
 
 
