@@ -119,7 +119,8 @@ def main():
             f_ids, acc = carry
             nbrs = l0[jnp.clip(f_ids, 0)].reshape(Q_BATCH, W)
             nbrs = jnp.clip(nbrs, 0)
-            sims = (nbrs * 2654435761 % 65537).astype(jnp.float32)
+            sims = (nbrs.astype(jnp.uint32) * jnp.uint32(2654435761)
+                    % jnp.uint32(65537)).astype(jnp.float32)
             _, pos = jax.lax.top_k(sims, F)
             f_ids = jnp.take_along_axis(nbrs, pos, 1)
             return (f_ids, acc + sims[:, 0].sum()), None
@@ -173,6 +174,26 @@ def main():
     results["D_merge_topk"] = timed(merge_topk, cand0)
     log(f"D merge top_k: {results['D_merge_topk']*1e3:.1f} ms")
 
+    # ---- D2. same merge via approx_max_k (the approx_merge knob) ----
+    @jax.jit
+    def merge_approx(cand):
+        def body(carry, _):
+            cand, acc = carry
+            sims = jnp.roll(cand, 1, axis=1)
+            all_s = jnp.concatenate(
+                [cand, jnp.tile(sims, (1, W // EF + 1))[:, :W]], axis=1
+            )
+            new, _ = jax.lax.approx_max_k(all_s, EF, recall_target=0.98)
+            return (new, acc + new[:, 0].sum()), None
+
+        (cand, acc), _ = jax.lax.scan(
+            body, (cand, jnp.float32(0)), None, length=STEPS
+        )
+        return acc
+
+    results["D2_merge_approx"] = timed(merge_approx, cand0)
+    log(f"D2 merge approx_max_k: {results['D2_merge_approx']*1e3:.1f} ms")
+
     # ---- E. visited bitset ops (hashed 2^21, take_along + scatter-add) ----
     words = (1 << 21) // 32
 
@@ -182,7 +203,8 @@ def main():
 
         def body(carry, _):
             visited, nbrs, acc = carry
-            vix = (nbrs * 2654435761 % (1 << 21)).astype(jnp.int32)
+            vix = (nbrs.astype(jnp.uint32) * jnp.uint32(2654435761)
+                   % jnp.uint32(1 << 21)).astype(jnp.int32)
             word_idx = vix // 32
             bit = jnp.uint32(1) << (vix % 32).astype(jnp.uint32)
             word_val = jnp.take_along_axis(visited, word_idx, axis=1)
