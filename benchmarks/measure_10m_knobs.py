@@ -55,9 +55,21 @@ def main():
         # wider steps mean fewer sequential iterations per query
         ("f6", {"frontier": 6}),
         ("f8", {"frontier": 8}),
+        # pooled-top-k merges + straggler cutoff (step sorts dominate the
+        # per-step cost — profile_step.py attribution)
+        ("approx", {"approx_merge": True}),
+        ("approx_bytemap", {"approx_merge": True, "visited_bits": 21,
+                            "visited_bytes": True}),
+        ("donef99", {"done_frac": 0.99}),
+        ("combo", {"approx_merge": True, "visited_bits": 21,
+                   "visited_bytes": True, "done_frac": 0.99}),
     ]
     if os.environ.get("KNOBS_MINIMAL") == "1":
         configs = configs[:1]
+    sel = os.environ.get("KNOBS_CONFIGS")
+    if sel:
+        names = set(sel.split(","))
+        configs = [c for c in configs if c[0] in names]
     out = {"route": ROUTE, "configs": {}}
     for name, kw in configs:
         rows = {}
