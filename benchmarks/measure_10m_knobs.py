@@ -63,6 +63,9 @@ def main():
         ("donef99", {"done_frac": 0.99}),
         ("combo", {"approx_merge": True, "visited_bits": 21,
                    "visited_bytes": True, "done_frac": 0.99}),
+        # 23-bit hash quarters false-"already visited" collisions vs the
+        # 21-bit default (10M rows into 2M slots) — a recall lever
+        ("vb23", {"visited_bits": 23}),
     ]
     if os.environ.get("KNOBS_MINIMAL") == "1":
         configs = configs[:1]
