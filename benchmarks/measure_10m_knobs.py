@@ -78,33 +78,44 @@ def main():
         rows = {}
         for ef in EFS:
             p = HnswQueryParam(ef=ef, **kw)
-            # warm with the SAME batch shape we time
-            docs = col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
-            col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
-            t0 = time.perf_counter()
-            docs = col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
-            dt = time.perf_counter() - t0
-            blocks = 4
-            col.batch_query_many("vec", [Q] * 2, topk=K, output_fields=[], param=p)
-            t0 = time.perf_counter()
-            col.batch_query_many("vec", [Q] * blocks, topk=K,
-                                 output_fields=[], param=p)
-            dt_p = (time.perf_counter() - t0) / blocks
-            hits = 0
-            for i in range(GT_Q):
-                got = {int(d.id) for d in docs[i]}
-                hits += len(got & set(gt[i].tolist()))
-            row = {
-                "recall_at_10": round(hits / (GT_Q * K), 4),
-                "qps": round(NQ / dt, 1),
-                "qps_pipelined": round(NQ / dt_p, 1),
-            }
-            rows[ef] = row
-            print(json.dumps({"route": ROUTE, "config": name, "ef": ef, **row}),
-                  flush=True)
+            try:
+                _measure_one(col, Q, gt, p, name, ef, rows)
+            except Exception as e:  # one bad config must not kill the sweep
+                # (the axon remote-compile helper 500s on some big programs)
+                row = {"error": f"{type(e).__name__}: {e}"[:200]}
+                rows[ef] = row
+                print(json.dumps({"route": ROUTE, "config": name, "ef": ef,
+                                  **row}), flush=True)
         out["configs"][name] = rows
     with open(f"/tmp/knobs10m_{ROUTE}.json", "w") as fh:
         json.dump(out, fh, indent=1)
+
+
+def _measure_one(col, Q, gt, p, name, ef, rows):
+    NQ = Q.shape[0]
+    # warm with the SAME batch shape we time
+    docs = col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+    col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+    t0 = time.perf_counter()
+    docs = col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+    dt = time.perf_counter() - t0
+    blocks = 4
+    col.batch_query_many("vec", [Q] * 2, topk=K, output_fields=[], param=p)
+    t0 = time.perf_counter()
+    col.batch_query_many("vec", [Q] * blocks, topk=K, output_fields=[], param=p)
+    dt_p = (time.perf_counter() - t0) / blocks
+    hits = 0
+    for i in range(GT_Q):
+        got = {int(d.id) for d in docs[i]}
+        hits += len(got & set(gt[i].tolist()))
+    row = {
+        "recall_at_10": round(hits / (GT_Q * K), 4),
+        "qps": round(NQ / dt, 1),
+        "qps_pipelined": round(NQ / dt_p, 1),
+    }
+    rows[ef] = row
+    print(json.dumps({"route": ROUTE, "config": name, "ef": ef, **row}),
+          flush=True)
 
 
 if __name__ == "__main__":
