@@ -231,9 +231,15 @@ class HnswEngine(VectorIndexEngine):
         ):
             return None
         if mode == "auto":
-            # below ~2M rows the fp32 gather fits comfortably in the step
-            # budget; the extra tier only pays at scale
-            mode = "int8" if self._n >= (1 << 21) else "off"
+            # MEASURED NEGATIVE at 10M (2026-08-19, knobs10m A/B on the
+            # identical persisted graph): int8 routing 0.9469 recall@10 /
+            # 707.7 qps pipelined at ef=96 vs fp32 0.9508 / 733.4 — the
+            # beam's neighbor-row gather is per-row LATENCY-bound, not
+            # byte-bound (profile_step.py: fp32 and int8 gather+score both
+            # 5.3 ms/step at Q=1024), so the 4x byte saving buys nothing
+            # and quantized traversal ordering costs recall. auto = off;
+            # routing stays available as an explicit opt-in.
+            mode = "off"
         if mode == "off":
             return None
         if mode == "bf16":
