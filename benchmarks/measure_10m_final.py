@@ -1,0 +1,93 @@
+"""Official 10M north-star sweep on the persisted collection with a chosen
+knob configuration — writes results in the bench_10m_hnsw.py format so
+bench.py and the committed h2h10m_results.json pick it up.
+
+Usage:
+  ZVEC_HNSW_ROUTE=off FINAL_KNOBS='{"visited_bits": 23}' \
+    python benchmarks/measure_10m_final.py
+Writes /tmp/h2h10m/results.json (+ prints each row). The `knobs` and
+`route` provenance fields are recorded in the summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = os.environ.get("H2H10M_DIR", "/tmp/h2h10m")
+COL_DIR = os.path.join(WORK, "col")
+GT_Q, K = 256, 10
+EFS = tuple(int(x) for x in os.environ.get("FINAL_EFS", "32,64,96,128,256").split(","))
+KNOBS = json.loads(os.environ.get("FINAL_KNOBS", "{}"))
+
+
+def log(msg: str) -> None:
+    print(f"[final {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def read_mark(name: str) -> dict:
+    try:
+        with open(os.path.join(WORK, f"DONE_{name}")) as fh:
+            return json.load(fh)
+    except OSError:
+        return {}
+
+
+def main():
+    import zvec_tpu
+    from zvec_tpu import HnswQueryParam
+
+    zvec_tpu.init()
+    t0 = time.time()
+    col = zvec_tpu.open(COL_DIR)
+    log(f"open() in {time.time() - t0:.1f}s knobs={KNOBS}")
+    Q = np.load(os.path.join(WORK, "query.npy"))
+    gt = np.load(os.path.join(WORK, "gt.npy"))
+    NQ = Q.shape[0]
+    results = {
+        "n": 10_000_000,
+        "dim": Q.shape[1],
+        "kind": "clustered",
+        "insert_secs": read_mark("insert").get("secs"),
+        "build_secs": read_mark("build").get("secs"),
+        "route": os.environ.get("ZVEC_HNSW_ROUTE", "auto"),
+        "knobs": KNOBS,
+        "ef": {},
+    }
+    for ef in EFS:
+        p = HnswQueryParam(ef=ef, **KNOBS)
+        col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+        col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+        t0 = time.perf_counter()
+        docs = col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+        dt = time.perf_counter() - t0
+        blocks = 4
+        col.batch_query_many("vec", [Q] * 2, topk=K, output_fields=[], param=p)
+        t0 = time.perf_counter()
+        col.batch_query_many("vec", [Q] * blocks, topk=K, output_fields=[],
+                             param=p)
+        dt_p = (time.perf_counter() - t0) / blocks
+        hits = 0
+        for i in range(GT_Q):
+            got = {int(d.id) for d in docs[i]}
+            hits += len(got & set(gt[i].tolist()))
+        row = {
+            "recall_at_10": round(hits / (GT_Q * K), 4),
+            "qps": round(NQ / dt, 1),
+            "qps_pipelined": round(NQ / dt_p, 1),
+        }
+        results["ef"][ef] = row
+        print(json.dumps({"ef": ef, **row}), flush=True)
+    with open(os.path.join(WORK, "results.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps({"summary": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
