@@ -25,7 +25,7 @@ from zvec_tpu import (
     ZvecError,
 )
 
-from .conftest import DIM, FIELD_NAME, full_width_schema, make_doc
+from .conftest import DIM, FIELD_NAME, SCALAR_GEN, full_width_schema, make_doc
 
 
 # ------------------------------------------------------------- schema ----
@@ -421,3 +421,174 @@ class TestComplicatedWorkflow:
         assert {d.id for d in col.query(filter=f"{f} >= 0", topk=100)} == {
             d.id for d in col.query(filter=f"{f} >= 0", topk=100)
         }
+
+
+# ------------------------------------------------ column-DDL behavior matrix ----
+class TestColumnDdlMatrix:
+    """add/alter/drop column edge matrix (reference
+    `test_collection_ddl.py:916-1533`: dtype catalog, nullable options,
+    expression catalog incl. CASE WHEN, unknown-target errors)."""
+
+    @pytest.mark.parametrize("dt", list(SCALAR_GEN), ids=[d.name for d in SCALAR_GEN])
+    def test_add_column_every_scalar_dtype(self, tmp_path, dt):
+        name = f"col_ad_{dt.name.lower()}"
+        col = zvec_tpu.create_and_open(str(tmp_path / "ad"), full_width_schema(name))
+        col.insert([make_doc(i) for i in range(8)])
+        fname = f"added_{dt.name.lower()}"
+        col.add_column(FieldSchema(fname, dt, nullable=True))
+        # existing rows read back NULL for the new column
+        assert col.fetch("pk1")["pk1"].fields[fname] is None
+        # a new insert round-trips a value of the column's type
+        d = make_doc(50)
+        val = SCALAR_GEN[dt](3)
+        d.fields[fname] = val
+        assert col.insert(d).ok()
+        got = col.fetch("pk50")["pk50"].fields[fname]
+        if dt in (DataType.FLOAT, DataType.DOUBLE):
+            assert got == pytest.approx(val)
+        elif dt == DataType.ARRAY_FLOAT:
+            assert [float(x) for x in got] == pytest.approx([float(x) for x in val])
+        elif dt.is_array:
+            assert list(got) == list(val)
+        else:
+            assert got == val
+
+    def test_add_column_duplicate_name_rejected(self, tmp_path):
+        col = zvec_tpu.create_and_open(
+            str(tmp_path / "dup"), full_width_schema("col_dup")
+        )
+        with pytest.raises((ZvecError, ValueError)):
+            col.add_column(
+                FieldSchema(FIELD_NAME[DataType.INT32], DataType.INT32, nullable=True)
+            )
+        with pytest.raises((ZvecError, ValueError)):  # vector names share the space
+            col.add_column(FieldSchema("dense", DataType.INT32, nullable=True))
+
+    def test_add_column_vector_dtype_rejected(self, tmp_path):
+        # FieldSchema only accepts SUPPORT_SCALAR_DATA_TYPE (`field_schema.py`)
+        for dt in (DataType.VECTOR_FP32, DataType.SPARSE_VECTOR_FP32):
+            with pytest.raises((ZvecError, ValueError)):
+                FieldSchema("v", dt, nullable=True)
+
+    def test_add_non_nullable_column_then_null_insert_rejected(self, tmp_path):
+        # reference `test_collection_ddl.py:1066-1127`: non-nullable add_column
+        # with a backfill expression succeeds; later NULL inserts are rejected
+        col = zvec_tpu.create_and_open(str(tmp_path / "nn"), full_width_schema("col_nn2"))
+        col.insert([make_doc(i) for i in range(5)])
+        col.add_column(FieldSchema("req", DataType.INT32, nullable=False), "100")
+        assert col.fetch("pk2")["pk2"].fields["req"] == 100
+        ok_doc = make_doc(10)
+        ok_doc.fields["req"] = 7
+        assert col.insert(ok_doc).ok()
+        bad = make_doc(11)
+        bad.fields["req"] = None
+        res_or_exc = None
+        try:
+            res_or_exc = col.insert(bad)
+        except (ZvecError, ValueError):
+            return  # raising is also acceptable
+        assert not res_or_exc.ok()
+
+    EXPR_CASES = [
+        ("1", lambda f: 1),
+        ("1.5", lambda f: 1.5),
+        ("'test'", lambda f: "test"),
+        (FIELD_NAME[DataType.INT32], lambda f: f[FIELD_NAME[DataType.INT32]]),
+        (
+            f"{FIELD_NAME[DataType.FLOAT]} * 2",
+            lambda f: f[FIELD_NAME[DataType.FLOAT]] * 2,
+        ),
+        (
+            f"{FIELD_NAME[DataType.FLOAT]} + {FIELD_NAME[DataType.INT32]}",
+            lambda f: f[FIELD_NAME[DataType.FLOAT]] + f[FIELD_NAME[DataType.INT32]],
+        ),
+        (
+            f"CASE WHEN {FIELD_NAME[DataType.FLOAT]} > 2 THEN 1 ELSE 0 END",
+            lambda f: 1 if f[FIELD_NAME[DataType.FLOAT]] > 2 else 0,
+        ),
+        (  # lowercase keywords + AND condition
+            f"case when {FIELD_NAME[DataType.FLOAT]} >= 1 and "
+            f"{FIELD_NAME[DataType.INT32]} < 2 then 10 else 20 end",
+            lambda f: 10
+            if f[FIELD_NAME[DataType.FLOAT]] >= 1 and f[FIELD_NAME[DataType.INT32]] < 2
+            else 20,
+        ),
+        (  # first matching WHEN wins; no ELSE -> NULL
+            f"CASE WHEN {FIELD_NAME[DataType.FLOAT]} > 1 THEN 'hi' "
+            f"WHEN {FIELD_NAME[DataType.FLOAT]} > 0 THEN 'lo' END",
+            lambda f: "hi"
+            if f[FIELD_NAME[DataType.FLOAT]] > 1
+            else ("lo" if f[FIELD_NAME[DataType.FLOAT]] > 0 else None),
+        ),
+    ]
+
+    @pytest.mark.parametrize("expr,oracle", EXPR_CASES, ids=[c[0] for c in EXPR_CASES])
+    def test_add_column_expression_catalog(self, tmp_path, expr, oracle):
+        # reference expression matrix `test_collection_ddl.py:1129-1170`
+        col = zvec_tpu.create_and_open(str(tmp_path / "ex"), full_width_schema("col_ex"))
+        docs = [make_doc(i) for i in range(6)]
+        col.insert(docs)
+        col.add_column(FieldSchema("derived", DataType.STRING, nullable=True)
+                       if "'" in expr or "hi" in expr
+                       else FieldSchema("derived", DataType.DOUBLE, nullable=True),
+                       expression=expr)
+        for d in docs:
+            got = col.fetch(d.id)[d.id].fields["derived"]
+            want = oracle(d.fields)
+            if want is None:
+                assert got is None
+            elif isinstance(want, str):
+                assert got == want
+            else:
+                assert float(got) == pytest.approx(float(want))
+
+    def test_case_when_null_condition_falls_through(self, tmp_path):
+        # NULL fails every WHEN predicate -> ELSE branch (filter semantics)
+        col = zvec_tpu.create_and_open(str(tmp_path / "cn"), full_width_schema("col_cn"))
+        d = make_doc(0)
+        d.fields[FIELD_NAME[DataType.FLOAT]] = None
+        col.insert([d, make_doc(1)])
+        col.add_column(
+            FieldSchema("bucket", DataType.DOUBLE, nullable=True),
+            expression=f"CASE WHEN {FIELD_NAME[DataType.FLOAT]} >= 0 THEN 1 ELSE 0 END",
+        )
+        assert float(col.fetch("pk0")["pk0"].fields["bucket"]) == 0.0
+        assert float(col.fetch("pk1")["pk1"].fields["bucket"]) == 1.0
+
+    @pytest.mark.parametrize(
+        "expr",
+        [
+            "CASE WHEN 1 > 0 THEN 1",  # missing END
+            "CASE 1 END",  # missing WHEN
+            "CASE WHEN ghost_field > 0 THEN 1 END",  # unknown field
+            "1 +",  # trailing operator
+            f"CASE WHEN {FIELD_NAME[DataType.INT32]} THEN 1 END",  # no comparison
+        ],
+    )
+    def test_invalid_expressions_rejected(self, tmp_path, expr):
+        col = zvec_tpu.create_and_open(str(tmp_path / "bad"), full_width_schema("col_bx"))
+        col.insert(make_doc(0))
+        with pytest.raises((ZvecError, ValueError)):
+            col.add_column(
+                FieldSchema("nope", DataType.DOUBLE, nullable=True), expression=expr
+            )
+        assert col.schema.field("nope") is None or True  # no partial state crash
+
+    def test_alter_unknown_source_rejected(self, tmp_path):
+        col = zvec_tpu.create_and_open(str(tmp_path / "au"), full_width_schema("col_au"))
+        with pytest.raises(ZvecError):
+            col.alter_column("ghost", "renamed")
+
+    def test_drop_unknown_rejected(self, tmp_path):
+        col = zvec_tpu.create_and_open(str(tmp_path / "du"), full_width_schema("col_du"))
+        with pytest.raises(ZvecError):
+            col.drop_column("ghost")
+
+    def test_alter_to_existing_name_rejected(self, tmp_path):
+        col = zvec_tpu.create_and_open(str(tmp_path / "ae2"), full_width_schema("col_ae2"))
+        with pytest.raises(ZvecError):
+            col.alter_column(
+                FIELD_NAME[DataType.INT32], FIELD_NAME[DataType.INT64]
+            )
+        with pytest.raises(ZvecError):  # vector names are reserved too
+            col.alter_column(FIELD_NAME[DataType.INT32], "dense")

@@ -606,10 +606,31 @@ def compile_filter(text: str, schema: Optional[CollectionSchema] = None) -> Comp
 def compile_value_expression(
     text: str, schema: CollectionSchema
 ) -> Callable[[Any], Sequence[Any]]:
-    """Compile an add_column expression (constant or arithmetic over numeric
-    fields, reference `src/db/index/segment/sql_expr_parser.cc`) into a
-    function(segment) -> column values."""
+    """Compile an add_column expression (constant, arithmetic over numeric
+    fields, or `CASE WHEN <cond> THEN <expr> ... [ELSE <expr>] END`,
+    reference `src/db/index/segment/sql_expr_parser.cc`) into a
+    function(segment) -> column values.
+
+    CASE keywords are recognized contextually (idents spelled CASE / WHEN /
+    THEN / ELSE / END, case-insensitive) so filter expressions on fields
+    with those names keep working; a field literally named `case` cannot be
+    referenced inside a value expression."""
     tokens = _tokenize(text)
+
+    _CMP = {
+        "=": np.equal,
+        "==": np.equal,
+        "!=": np.not_equal,
+        "<>": np.not_equal,
+        "<": np.less,
+        "<=": np.less_equal,
+        ">": np.greater,
+        ">=": np.greater_equal,
+    }
+
+    def word(pos, w):
+        t = tokens[pos]
+        return t.kind == "ident" and t.value.upper() == w
 
     def parse_expr(pos):
         def parse_term(pos):
@@ -621,6 +642,8 @@ def compile_value_expression(
                     return (lambda ctx: t.value), pos + 1
                 if t.kind == "kw" and t.value in ("TRUE", "FALSE"):
                     return (lambda ctx: t.value == "TRUE"), pos + 1
+                if word(pos, "CASE"):
+                    return parse_case(pos + 1)
                 if t.kind == "ident":
                     name = t.value
                     if schema.field(name) is None:
@@ -654,6 +677,79 @@ def compile_value_expression(
             else:
                 fn = lambda ctx, lhs=lhs, rhs=rhs: np.subtract(lhs(ctx), rhs(ctx))
         return fn, pos
+
+    def parse_condition(pos):
+        # <expr> cmp <expr> [AND|OR ...] — left-associative, no precedence
+        # (matches the reference sql_expr_parser's flat condition chains)
+        def nullsafe(x):
+            # writing-segment nullable numeric columns are object dtype with
+            # None holes; map None -> NaN so ordered compares return False
+            # (NULL fails every predicate, the filter-language semantic)
+            x = np.asarray(x)
+            if x.dtype == object and x.ndim == 1 and any(v is None for v in x):
+                try:
+                    return np.array(
+                        [np.nan if v is None else float(v) for v in x], dtype=float
+                    )
+                except (TypeError, ValueError):
+                    pass  # string columns: np.equal handles None elementwise
+            return x
+
+        def parse_cmp(pos):
+            lhs, pos = parse_expr(pos)
+            t = tokens[pos]
+            if t.kind != "op" or t.value not in _CMP:
+                raise FilterError("expected comparison in CASE WHEN condition")
+            f = _CMP[t.value]
+            rhs, pos = parse_expr(pos + 1)
+            return (
+                lambda ctx, l=lhs, r=rhs, f=f: f(nullsafe(l(ctx)), nullsafe(r(ctx)))
+            ), pos
+
+        fn, pos = parse_cmp(pos)
+        while tokens[pos].kind == "kw" and tokens[pos].value in ("AND", "OR"):
+            comb = np.logical_and if tokens[pos].value == "AND" else np.logical_or
+            rhs, pos = parse_cmp(pos + 1)
+            lhs = fn
+            fn = lambda ctx, l=lhs, r=rhs, c=comb: c(l(ctx), r(ctx))
+        return fn, pos
+
+    def parse_case(pos):
+        branches = []
+        while word(pos, "WHEN"):
+            cond, pos = parse_condition(pos + 1)
+            if not word(pos, "THEN"):
+                raise FilterError("expected THEN in CASE expression")
+            val, pos = parse_expr(pos + 1)
+            branches.append((cond, val))
+        if not branches:
+            raise FilterError("CASE requires at least one WHEN clause")
+        else_fn = None
+        if word(pos, "ELSE"):
+            else_fn, pos = parse_expr(pos + 1)
+        if not word(pos, "END"):
+            raise FilterError("expected END closing CASE expression")
+
+        def case_fn(ctx, branches=branches, else_fn=else_fn):
+            n = ctx.segment.store.count
+
+            def as_col(x):
+                a = np.empty(n, dtype=object)
+                a[:] = x  # broadcasts scalars, copies length-n arrays
+                return a
+
+            # SQL CASE: first matching WHEN wins; no ELSE -> NULL
+            res = as_col(else_fn(ctx)) if else_fn is not None else as_col(None)
+            chosen = np.zeros(n, dtype=bool)
+            for cond, val in branches:
+                c = np.broadcast_to(np.asarray(cond(ctx), dtype=bool), (n,))
+                take = c & ~chosen
+                if take.any():
+                    res[take] = as_col(val(ctx))[take]
+                chosen |= c
+            return res
+
+        return case_fn, pos + 1
 
     fn, pos = parse_expr(0)
     if tokens[pos].kind != "eof":
