@@ -60,6 +60,10 @@ def main():
         "knobs": KNOBS,
         "ef": {},
     }
+    qblock = int(os.environ.get("FINAL_QBLOCK", str(NQ)))
+    results["qblock"] = qblock
+    reps = max(1, qblock // NQ)
+    QB = np.concatenate([Q] * reps, axis=0)[:qblock]
     for ef in EFS:
         p = HnswQueryParam(ef=ef, **KNOBS)
         col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
@@ -67,12 +71,12 @@ def main():
         t0 = time.perf_counter()
         docs = col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
         dt = time.perf_counter() - t0
-        blocks = 4
-        col.batch_query_many("vec", [Q] * 2, topk=K, output_fields=[], param=p)
+        blocks = max(2, 8192 // qblock)
+        col.batch_query_many("vec", [QB] * 2, topk=K, output_fields=[], param=p)
         t0 = time.perf_counter()
-        col.batch_query_many("vec", [Q] * blocks, topk=K, output_fields=[],
+        col.batch_query_many("vec", [QB] * blocks, topk=K, output_fields=[],
                              param=p)
-        dt_p = (time.perf_counter() - t0) / blocks
+        dt_p = (time.perf_counter() - t0) / (blocks * qblock / NQ)
         hits = 0
         for i in range(GT_Q):
             got = {int(d.id) for d in docs[i]}
