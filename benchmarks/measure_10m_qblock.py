@@ -20,6 +20,11 @@ import os
 import sys
 import time
 
+if os.environ.get("H2H10M_CPU") == "1":  # small-N smoke runs off-TPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
