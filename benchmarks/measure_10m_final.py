@@ -62,7 +62,7 @@ def main():
     }
     qblock = int(os.environ.get("FINAL_QBLOCK", str(NQ)))
     results["qblock"] = qblock
-    reps = max(1, qblock // NQ)
+    reps = -(-qblock // NQ)  # ceil: a non-multiple qblock must still be full
     QB = np.concatenate([Q] * reps, axis=0)[:qblock]
     for ef in EFS:
         p = HnswQueryParam(ef=ef, **KNOBS)

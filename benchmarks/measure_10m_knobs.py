@@ -30,6 +30,9 @@ COL_DIR = os.path.join(WORK, "col")
 ROUTE = os.environ.get("ZVEC_HNSW_ROUTE", "auto")
 GT_Q, K = 256, 10
 EFS = tuple(int(x) for x in os.environ.get("KNOBS_EFS", "64,96,128").split(","))
+OUT_PATH = os.environ.get(
+    "KNOBS_OUT", f"/tmp/knobs10m_{os.environ.get('ZVEC_HNSW_ROUTE', 'auto')}.json"
+)
 
 
 def log(msg: str) -> None:
@@ -60,7 +63,11 @@ def main():
         ("approx", {"approx_merge": True}),
         ("approx_bytemap", {"approx_merge": True, "visited_bits": 21,
                             "visited_bytes": True}),
+        ("donef97", {"done_frac": 0.97}),
         ("donef99", {"done_frac": 0.99}),
+        # donef99 measured +22% at equal batch recall (r3); pair it with the
+        # pooled merges for the 1,000-qps crossing (VERDICT r4 item 2)
+        ("donef99_approx", {"approx_merge": True, "done_frac": 0.99}),
         ("combo", {"approx_merge": True, "visited_bits": 21,
                    "visited_bytes": True, "done_frac": 0.99}),
         # 23-bit hash quarters false-"already visited" collisions vs the
@@ -73,7 +80,19 @@ def main():
     if sel:
         names = set(sel.split(","))
         configs = [c for c in configs if c[0] in names]
-    out = {"route": ROUTE, "configs": {}}
+    import platform as _plat
+
+    import jax
+
+    out = {
+        "route": ROUTE,
+        "efs": list(EFS),
+        "gt_queries": GT_Q,
+        "platform": jax.devices()[0].platform,
+        "host": _plat.node(),
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "configs": {},
+    }
     for name, kw in configs:
         rows = {}
         for ef in EFS:
@@ -87,8 +106,8 @@ def main():
                 print(json.dumps({"route": ROUTE, "config": name, "ef": ef,
                                   **row}), flush=True)
         out["configs"][name] = rows
-    with open(f"/tmp/knobs10m_{ROUTE}.json", "w") as fh:
-        json.dump(out, fh, indent=1)
+        with open(OUT_PATH, "w") as fh:  # checkpoint after every config —
+            json.dump(out, fh, indent=1)  # a crash must not lose measured rows
 
 
 def _measure_one(col, Q, gt, p, name, ef, rows):
@@ -104,12 +123,19 @@ def _measure_one(col, Q, gt, p, name, ef, rows):
     t0 = time.perf_counter()
     col.batch_query_many("vec", [Q] * blocks, topk=K, output_fields=[], param=p)
     dt_p = (time.perf_counter() - t0) / blocks
-    hits = 0
+    # per-query recall distribution — done_frac cuts stragglers off at
+    # "best found so far", so the batch MEAN can hide unbounded per-query
+    # damage (VERDICT r4 item 3: bound the worst decile before promoting)
+    per_q = np.empty(GT_Q, dtype=np.float64)
     for i in range(GT_Q):
         got = {int(d.id) for d in docs[i]}
-        hits += len(got & set(gt[i].tolist()))
+        per_q[i] = len(got & set(gt[i].tolist())) / K
+    worst = np.sort(per_q)[: max(1, GT_Q // 10)]
     row = {
-        "recall_at_10": round(hits / (GT_Q * K), 4),
+        "recall_at_10": round(float(per_q.mean()), 4),
+        "recall_p10": round(float(np.percentile(per_q, 10)), 4),
+        "recall_worst_decile_mean": round(float(worst.mean()), 4),
+        "recall_min": round(float(per_q.min()), 4),
         "qps": round(NQ / dt, 1),
         "qps_pipelined": round(NQ / dt_p, 1),
     }

@@ -54,12 +54,19 @@ def main():
     gt = np.load(os.path.join(WORK, "gt.npy"))
     p = HnswQueryParam(ef=EF, **KNOBS)
 
-    out = {"ef": EF, "knobs": KNOBS, "blocks": {}}
+    # rows are keyed by (ef, knobs, qb) so merged files never mix runs
+    # measured under different headers (ADVICE r3: the old single-header
+    # merge overwrote ef/knobs and mixed CPU smoke rows with TPU rows)
+    cfg_key = f"ef={EF} knobs={json.dumps(KNOBS, sort_keys=True)}"
+    out = {"blocks": {}}
     if os.path.exists("/tmp/qblock10m.json"):
-        out = json.load(open("/tmp/qblock10m.json"))
-        out.setdefault("blocks", {})
+        prev = json.load(open("/tmp/qblock10m.json"))
+        if "ef" not in prev:  # old single-header files are unmergeable
+            out = prev
+            out.setdefault("blocks", {})
+    platform = "cpu" if os.environ.get("H2H10M_CPU") == "1" else "tpu"
     for qb in BLOCKS:
-        reps = max(1, qb // Q.shape[0])
+        reps = -(-qb // Q.shape[0])  # ceil: non-multiple blocks must be full
         block = np.concatenate([Q] * reps, axis=0)[:qb]
         nblocks = max(1, TOTAL // qb)
         try:
@@ -83,7 +90,8 @@ def main():
             }
         except Exception as e:  # OOM / compile-helper 500: record, keep going
             row = {"error": f"{type(e).__name__}: {e}"[:200]}
-        out["blocks"][str(qb)] = row
+        row["platform"] = platform
+        out["blocks"][f"{cfg_key} qb={qb}"] = row
         log(f"qb={qb}: {row}")
         with open("/tmp/qblock10m.json", "w") as fh:
             json.dump(out, fh, indent=1)

@@ -555,6 +555,42 @@ class TestColumnDdlMatrix:
         assert float(col.fetch("pk0")["pk0"].fields["bucket"]) == 0.0
         assert float(col.fetch("pk1")["pk1"].fields["bucket"]) == 1.0
 
+    def test_case_when_null_fails_not_equal_too(self, tmp_path):
+        # NULL fails EVERY predicate including != and = (ADVICE r3: the old
+        # None->NaN mapping made np.not_equal(NaN, x) True, so NULL rows
+        # wrongly took the THEN branch of a != condition)
+        col = zvec_tpu.create_and_open(str(tmp_path / "cne"), full_width_schema("col_cne"))
+        d = make_doc(0)
+        d.fields[FIELD_NAME[DataType.FLOAT]] = None
+        col.insert([d, make_doc(1), make_doc(4)])  # f_float: None, 0.5, 2.0
+        col.add_column(
+            FieldSchema("b_ne", DataType.DOUBLE, nullable=True),
+            expression=f"CASE WHEN {FIELD_NAME[DataType.FLOAT]} != 0.5 THEN 1 ELSE 0 END",
+        )
+        assert float(col.fetch("pk0")["pk0"].fields["b_ne"]) == 0.0  # NULL -> ELSE
+        assert float(col.fetch("pk1")["pk1"].fields["b_ne"]) == 0.0  # 0.5 == 0.5
+        assert float(col.fetch("pk4")["pk4"].fields["b_ne"]) == 1.0  # 2.0 != 0.5
+
+    def test_case_when_null_string_ordered_compare(self, tmp_path):
+        # ordered compares on string columns with NULL holes must treat NULL
+        # as non-matching, not crash (ADVICE r3: np.less raised TypeError on
+        # the object array, aborting add_column)
+        col = zvec_tpu.create_and_open(str(tmp_path / "cns"), full_width_schema("col_cns"))
+        d = make_doc(0)
+        d.fields[FIELD_NAME[DataType.STRING]] = None
+        col.insert([d, make_doc(1)])  # f_string: None, 'str_1'
+        for op, null_val, v1 in (("<", 0.0, 1.0), ("!=", 0.0, 1.0), ("=", 0.0, 0.0)):
+            name = f"b_s_{'lt' if op == '<' else 'ne' if op == '!=' else 'eq'}"
+            col.add_column(
+                FieldSchema(name, DataType.DOUBLE, nullable=True),
+                expression=(
+                    f"CASE WHEN {FIELD_NAME[DataType.STRING]} {op} 'str_9'"
+                    " THEN 1 ELSE 0 END"
+                ),
+            )
+            assert float(col.fetch("pk0")["pk0"].fields[name]) == null_val, op
+            assert float(col.fetch("pk1")["pk1"].fields[name]) == v1, op
+
     @pytest.mark.parametrize(
         "expr",
         [
@@ -572,7 +608,12 @@ class TestColumnDdlMatrix:
             col.add_column(
                 FieldSchema("nope", DataType.DOUBLE, nullable=True), expression=expr
             )
-        assert col.schema.field("nope") is None or True  # no partial state crash
+        # the failed DDL must not leave a phantom field in the schema
+        # (add_column validates the expression BEFORE mutating the schema)
+        assert col.schema.field("nope") is None
+        # and the collection stays fully usable: insert + fetch still work
+        col.insert(make_doc(1))
+        assert col.fetch("pk1")
 
     def test_alter_unknown_source_rejected(self, tmp_path):
         col = zvec_tpu.create_and_open(str(tmp_path / "au"), full_width_schema("col_au"))

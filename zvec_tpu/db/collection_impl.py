@@ -1504,13 +1504,17 @@ class CollectionImpl:
     def add_column(self, field_schema, expression: str = "") -> None:
         self._check_writable()
         with self._lock:
-            self.schema._add_field(field_schema)
-            # existing rows get the expression value (constant or derived)
+            # compile/validate the expression BEFORE mutating the schema —
+            # an invalid expression must not leave a phantom field behind
+            # (it would be visible to inserts/queries with no backing
+            # column). Compiling against the pre-add schema also rejects
+            # self-referential expressions.
             default_fn = None
             if expression:
                 from .filter.expression import compile_value_expression
 
                 default_fn = compile_value_expression(expression, self.schema)
+            self.schema._add_field(field_schema)
             for seg in [*self.segments, self.writing]:
                 _add_column_to_segment(seg, field_schema, default_fn)
                 seg._write_version += 1

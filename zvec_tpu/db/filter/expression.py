@@ -683,8 +683,9 @@ def compile_value_expression(
         # (matches the reference sql_expr_parser's flat condition chains)
         def nullsafe(x):
             # writing-segment nullable numeric columns are object dtype with
-            # None holes; map None -> NaN so ordered compares return False
-            # (NULL fails every predicate, the filter-language semantic)
+            # None holes; convert to float (None -> NaN) so compares run
+            # vectorized. String object columns stay object — their None
+            # holes are masked out in cmp_nonnull below.
             x = np.asarray(x)
             if x.dtype == object and x.ndim == 1 and any(v is None for v in x):
                 try:
@@ -692,8 +693,33 @@ def compile_value_expression(
                         [np.nan if v is None else float(v) for v in x], dtype=float
                     )
                 except (TypeError, ValueError):
-                    pass  # string columns: np.equal handles None elementwise
+                    pass
             return x
+
+        def null_mask(x):
+            if x.dtype == object:
+                return np.fromiter(
+                    (v is None for v in x.flat), dtype=bool, count=x.size
+                ).reshape(x.shape)
+            if np.issubdtype(x.dtype, np.floating):
+                return np.isnan(x)
+            return np.zeros(x.shape, dtype=bool)
+
+        def cmp_nonnull(f, l, r):
+            # NULL fails EVERY predicate — including != and = (the filter
+            # path likewise ANDs ~nulls into every CompareOp's mask). The
+            # comparison itself runs only over non-null rows, so ordered
+            # compares on string columns with None holes cannot crash.
+            l, r = nullsafe(l), nullsafe(r)
+            nulls = null_mask(l) | null_mask(r)
+            shape = np.broadcast_shapes(l.shape, r.shape)
+            out = np.zeros(shape, dtype=bool)
+            ok = ~np.broadcast_to(nulls, shape)
+            if ok.any():
+                lv = np.broadcast_to(l, shape)[ok]
+                rv = np.broadcast_to(r, shape)[ok]
+                out[ok] = f(lv, rv)
+            return out
 
         def parse_cmp(pos):
             lhs, pos = parse_expr(pos)
@@ -703,7 +729,7 @@ def compile_value_expression(
             f = _CMP[t.value]
             rhs, pos = parse_expr(pos + 1)
             return (
-                lambda ctx, l=lhs, r=rhs, f=f: f(nullsafe(l(ctx)), nullsafe(r(ctx)))
+                lambda ctx, l=lhs, r=rhs, f=f: cmp_nonnull(f, l(ctx), r(ctx))
             ), pos
 
         fn, pos = parse_cmp(pos)
