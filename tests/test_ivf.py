@@ -280,3 +280,87 @@ def test_ivf_filtered_cross_cluster_safety_net(rng):
     exp = {str(i) for i in ok[np.argsort(d2)[:k]]}
     assert {h.id for h in hits} == exp
     col._impl.close()
+
+
+def test_ivf_probe_max_scan_oracle():
+    """Scan-budget parity vs a hand-computed oracle (`ivf_searcher.cc:222-237`:
+    probe centroids in proximity order WHILE total_scan < max_scan_count; a
+    list that starts under budget is scanned in full)."""
+    from zvec_tpu.core.ivf import ivf_probe_core
+
+    d, L = 4, 3
+    # 4 well-separated centroids on an axis; the query at origin probes them
+    # in order 0, 1, 2, 3 unambiguously
+    cents = np.array([[1, 0, 0, 0], [2, 0, 0, 0], [3, 0, 0, 0], [4, 0, 0, 0]],
+                     dtype=np.float32)
+    # rows near their centroid; occupancy 3/2/3/3 (list 1 has one -1 pad)
+    codes = np.stack([
+        np.array([[1.0, i * 0.01, 0, 0] for i in range(L)], np.float32) * (c + 1)
+        for c in range(4)
+    ])
+    ids = np.arange(12, dtype=np.int32).reshape(4, L)
+    ids[1, 2] = -1  # occupancy: [3, 2, 3, 3]
+    norms = (codes ** 2).sum(-1)
+    norms[1, 2] = 0.0
+    q = np.zeros((1, d), np.float32)
+
+    def probe(max_scan):
+        s, i = ivf_probe_core(
+            jnp.asarray(q), jnp.asarray(cents), jnp.asarray(codes),
+            jnp.asarray(norms), jnp.asarray(ids), None, None,
+            metric=MetricType.L2, nprobe=4, topk=12, max_scan=max_scan,
+        )
+        return set(np.asarray(i)[0][np.asarray(i)[0] >= 0].tolist())
+
+    all_ids = {int(v) for v in ids.ravel() if v >= 0}
+    assert probe(0) == all_ids  # unbounded
+    assert probe(100) == all_ids  # non-binding
+    # budget 4: list0 starts at 0 < 4 -> scan 3; list1 starts at 3 < 4 ->
+    # scan 2 (finishes over budget, still full); list2 starts at 5 >= 4 ->
+    # stop. Oracle set = lists 0 and 1.
+    assert probe(4) == {0, 1, 2, 3, 4}
+    # budget 3: list0 (0 < 3) fully scanned; list1 starts at 3 >= 3 -> stop
+    assert probe(3) == {0, 1, 2}
+    # budget 1: the first list is always scanned (loop-head check at total=0)
+    assert probe(1) == {0, 1, 2}
+
+
+def test_ivf_max_scan_count_engine(rng):
+    n, d, k = 4000, 16, 10
+    xs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((16, d)).astype(np.float32)
+    engine = IvfEngine(MetricType.L2, d, IVFIndexParam(MetricType.L2, n_list=64))
+    engine.bind_data(lambda: xs, lambda: 1)
+    _, full = engine.search(qs, k, param=IVFQueryParam(nprobe=64))
+    # a budget of the whole corpus changes nothing
+    _, same = engine.search(
+        qs, k, param=IVFQueryParam(nprobe=64, max_scan_count=n)
+    )
+    assert np.array_equal(full, same)
+    # a binding budget (clamped floor is 1000 rows = ~25% of corpus) must
+    # cut recall vs the unbounded probe, but still return valid rows
+    _, cut = engine.search(
+        qs, k, param=IVFQueryParam(nprobe=64, max_scan_count=1)
+    )
+    assert (cut >= 0).any()
+    dmat = ((qs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    expect = np.argsort(dmat, axis=1)[:, :k]
+
+    def recall(idx):
+        return sum(
+            len(set(idx[i][idx[i] >= 0]) & set(expect[i])) for i in range(len(qs))
+        ) / (len(qs) * k)
+
+    assert recall(cut) < recall(full) - 0.05
+    # ratio form derives the same cap: ceil(4000 * 0.0001) -> clamped to 1000
+    _, cut_r = engine.search(
+        qs, k, param=IVFQueryParam(nprobe=64, max_scan_ratio=0.0001)
+    )
+    assert np.array_equal(cut, cut_r)
+
+
+def test_ivf_max_scan_param_validation():
+    with pytest.raises(ValueError):
+        IVFQueryParam(max_scan_count=-1)
+    with pytest.raises(ValueError):
+        IVFQueryParam(max_scan_ratio=1.5)

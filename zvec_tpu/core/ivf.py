@@ -50,6 +50,7 @@ def ivf_probe_core(
     topk: int,
     int4_packed: bool = False,
     cent_valid: Optional[jax.Array] = None,  # (K,) bool: dummy-list mask
+    max_scan: int = 0,  # cap on scanned rows per query; 0 = unbounded
 ):
     """Unjitted probe core, reused by the single-device jit wrapper below
     and by the mesh-sharded path (`parallel/mesh.py::sharded_ivf_probe`,
@@ -71,7 +72,7 @@ def ivf_probe_core(
     # HBM-safe at large K x L (the reference scans nprobe lists sequentially
     # per query too, `ivf_searcher.cc:183-250`)
     def step(carry, p):
-        cs, ci = carry
+        cs, ci, scanned = carry
         lst = sel[:, p]  # (Q,)
         codes = lists_codes[lst]  # (Q, L, D) or (Q, L, D/2) packed
         norms = lists_norms[lst]  # (Q, L)
@@ -109,6 +110,16 @@ def ivf_probe_core(
             denom = q_n * jnp.sqrt(norms)
             sims = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 1.0)
         valid = ids >= 0
+        if max_scan > 0:
+            # per-query scan budget across probed lists: the reference stops
+            # probing FURTHER centroids once the scanned-row total crosses
+            # max_scan_count, but a list that STARTS under budget is scanned
+            # in full (`ivf_searcher.cc:222-237` checks at the loop head)
+            active = scanned < max_scan  # (Q,)
+            scanned = scanned + jnp.where(
+                active, jnp.sum(valid, axis=1, dtype=jnp.int32), 0
+            )
+            valid = valid & active[:, None]
         if mask is not None:
             valid = valid & mask[jnp.clip(ids, 0)]
         sims = jnp.where(valid, sims, NEG_INF)
@@ -116,20 +127,22 @@ def ivf_probe_core(
         all_i = jnp.concatenate([ci, ids], axis=1)
         ns, pos = jax.lax.top_k(all_s, k)
         ni = jnp.take_along_axis(all_i, pos, 1)
-        return (ns, ni), None
+        return (ns, ni, scanned), None
 
     init = (
         jnp.full((nq, k), NEG_INF, jnp.float32),
         jnp.full((nq, k), -1, jnp.int32),
+        jnp.zeros((nq,), jnp.int32),
     )
-    (out_s, out_i), _ = jax.lax.scan(step, init, jnp.arange(nprobe))
+    (out_s, out_i, _), _ = jax.lax.scan(step, init, jnp.arange(nprobe))
     out_i = jnp.where(out_s > NEG_INF / 2, out_i, -1)
     return out_s, out_i
 
 
 # jitted single-device entry point
 _ivf_probe = partial(
-    jax.jit, static_argnames=("metric", "nprobe", "topk", "int4_packed")
+    jax.jit,
+    static_argnames=("metric", "nprobe", "topk", "int4_packed", "max_scan"),
 )(ivf_probe_core)
 
 
@@ -413,6 +426,16 @@ class IvfEngine(VectorIndexEngine):
         nprobe = (
             param.nprobe if isinstance(param, IVFQueryParam) else _DEFAULT_NPROBE
         )
+        # per-query scanned-row budget (`ivf_searcher_context.h:75-77`:
+        # max_scan_count = ceil(N * scan_ratio), floored by the brute-force
+        # threshold so a bounded probe never returns less than the bf path)
+        max_scan = 0
+        if isinstance(param, IVFQueryParam):
+            max_scan = int(param.max_scan_count)
+            if not max_scan and param.max_scan_ratio:
+                max_scan = int(np.ceil(self._n * param.max_scan_ratio))
+            if max_scan:
+                max_scan = max(max_scan, _BRUTE_FORCE_THRESHOLD)
         quantized = self.quantize != QuantizeType.UNDEFINED
         # refine-by-default on quantized indexes (reference full-precision
         # refine block pairing, `segment.cc:1591-1700`); opt out with
@@ -466,6 +489,7 @@ class IvfEngine(VectorIndexEngine):
                 nprobe=nprobe,
                 topk=scan_k,
                 int4_packed=getattr(self, "_int4_packed", False),
+                max_scan=max_scan,
             )
         else:
             sims, idx = _ivf_probe(
@@ -480,6 +504,7 @@ class IvfEngine(VectorIndexEngine):
                 nprobe=nprobe,
                 topk=scan_k,
                 int4_packed=getattr(self, "_int4_packed", False),
+                max_scan=max_scan,
             )
         sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
         if self.use_soar:

@@ -326,11 +326,38 @@ class HnswQueryParam(QueryParam):
 
 
 class IVFQueryParam(QueryParam):
-    def __init__(self, nprobe: int = DEFAULT_IVF_NPROBE, is_using_refiner=None):
+    """IVF probe knobs.
+
+    - ``nprobe``: closest inverted lists to visit (reference default 10).
+    - ``max_scan_count``: cap on scanned rows per query across probed
+      lists; probing stops at the first list that STARTS over budget
+      (`ivf_searcher.cc:222-237` loop-head check). 0 = unbounded.
+    - ``max_scan_ratio``: alternative cap as a fraction of the corpus,
+      `max_scan_count = ceil(N * ratio)` (`ivf_searcher_context.h:75-77`).
+      Ignored when ``max_scan_count`` is set. 0 = unbounded.
+    """
+
+    def __init__(
+        self,
+        nprobe: int = DEFAULT_IVF_NPROBE,
+        is_using_refiner=None,
+        max_scan_count: int = 0,
+        max_scan_ratio: float = 0.0,
+    ):
         super().__init__(is_using_refiner=is_using_refiner)
         if nprobe <= 0:
             raise ValueError(f"IVF nprobe must be positive, got {nprobe}")
+        if max_scan_count < 0:
+            raise ValueError(
+                f"IVF max_scan_count must be >= 0, got {max_scan_count}"
+            )
+        if not (0.0 <= max_scan_ratio <= 1.0):
+            raise ValueError(
+                f"IVF max_scan_ratio must be in [0, 1], got {max_scan_ratio}"
+            )
         self.nprobe = int(nprobe)
+        self.max_scan_count = int(max_scan_count)
+        self.max_scan_ratio = float(max_scan_ratio)
 
 
 class FlatQueryParam(QueryParam):

@@ -243,6 +243,7 @@ def sharded_ivf_probe(
     nprobe: int,
     topk: int,
     int4_packed: bool = False,
+    max_scan: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Corpus-sharded IVF probe: virtual lists shard over the 'corpus' axis;
     every shard probes its local top-nprobe lists (union over shards ⊇ the
@@ -279,6 +280,9 @@ def sharded_ivf_probe(
             q_blk, cents_blk, codes_blk, norms_blk, ids_blk, mask_blk, dequant,
             metric=metric, nprobe=np_local, topk=topk,
             int4_packed=int4_packed, cent_valid=valid_blk,
+            # per-SHARD budget: each shard scans its local nearest lists
+            # under the same cap (union bounded by shards * cap)
+            max_scan=max_scan,
         )
         all_s = jax.lax.all_gather(loc_s, "corpus", axis=1, tiled=True)
         all_i = jax.lax.all_gather(loc_i, "corpus", axis=1, tiled=True)
