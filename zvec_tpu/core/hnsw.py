@@ -1788,6 +1788,119 @@ class HnswEngine(VectorIndexEngine):
 
         return finish
 
+    # ------------- in-beam group-by search -------------
+    def search_grouped(
+        self,
+        queries: np.ndarray,
+        mask: Optional[np.ndarray],
+        param,
+        group_codes: np.ndarray,  # (n,) int32 dense group code per row
+        group_topk: int,
+        group_cap: int,
+        group_key=None,  # cache key for the device-staged code column
+    ):
+        """In-beam group-by (reference `expand_neighbors_by_group`,
+        `hnsw_algorithm.cc:102-104`; per-group heaps `hnsw_context.h:25-230`).
+
+        Runs the standard beam at the param's ef while harvesting a
+        per-group-capped buffer from EVERYTHING the beam scores — traversal
+        cost stays independent of the requested group count, unlike
+        widening topk to group_count*group_topk. Returns (grp_sims (Q, R)
+        desc, grp_rows (Q, R) local indices, grp_codes (Q, R)), -1 padded,
+        or None when this engine/config takes a path without the grouped
+        beam (tiny corpus, linear, mesh-sharded, routed tier, quantized,
+        MIPS/Hamming transform) — callers fall back to iterative-deepening
+        group-by."""
+        if self._n == 0:
+            return None
+        self._ensure_fresh()
+        queries, mask = self._normalize_query_args(queries, mask)
+        if (
+            self._mips
+            or self._hamming
+            or self.quantize != QuantizeType.UNDEFINED
+            or self._route is not None
+            or (self._dev is not None and self._dev.get("sharded"))
+            or self._n < self.brute_force_threshold
+            or (isinstance(param, QueryParam) and param.is_linear)
+        ):
+            return None
+        from ..ops.hnsw import hnsw_search_grouped
+        from ..ops.runtime import bucket_queries
+
+        nq = queries.shape[0]
+        ef = param.ef if isinstance(param, HnswQueryParam) else 500
+        knobs = self._query_knobs(param)
+        budget = jnp.int32(
+            min(
+                max(_MIN_SCAN_LIMIT, int(knobs["scan_ratio"] * self._n)),
+                self._n,
+            )
+        )
+        dmask = None
+        if mask is not None:
+            fm = np.zeros(self._codes.shape[0], dtype=bool)
+            fm[: self._n] = mask
+            dmask = jnp.asarray(fm)
+        nq_pad = bucket_queries(nq)
+        if nq_pad != nq:
+            qpad = np.zeros((nq_pad, queries.shape[1]), np.float32)
+            qpad[:nq] = queries
+        else:
+            qpad = np.asarray(queries, dtype=np.float32)
+        out = hnsw_search_grouped(
+            jnp.asarray(qpad),
+            self._codes,
+            self._norms,
+            self._dev["l0"],
+            self._dev["upper_ids"],
+            self._dev["upper_nbrs"],
+            self._dev["upper_down"],
+            self._dev["entry_rows"],
+            dmask,
+            budget,
+            self._group_codes_dev(group_codes, group_key),
+            self._dequant,
+            metric=self._search_metric,
+            ef=ef,
+            topk=1,  # the harvest buffer IS the result; res is unused
+            max_steps=ef + knobs["steps_slack"],
+            num_levels=self._dev["num_levels"],
+            frontier=knobs["frontier"],
+            visited_bits=knobs["visited_bits"]
+            if knobs["visited_bits"]
+            else (0 if self._codes.shape[0] <= (1 << 21) else 21),
+            visited_bytes=knobs["visited_bytes"],
+            approx_merge=knobs["approx_merge"],
+            done_frac=knobs["done_frac"],
+            group_cap=group_cap,
+            group_topk=group_topk,
+        )
+        grp_s = np.asarray(out[2])[:nq]
+        grp_i = np.asarray(out[3])[:nq].astype(np.int64)
+        grp_g = np.asarray(out[4])[:nq]
+        return grp_s, grp_i, grp_g
+
+    def _group_codes_dev(self, codes_np: np.ndarray, key):
+        """Stage the factorized group-code column on device, padded to the
+        engine's row padding; cached by `key` (field, write-version) so
+        repeated group-by queries pay the H2D upload once."""
+        cache = getattr(self, "_group_dev_cache", None)
+        n_pad = self._codes.shape[0]
+        if (
+            cache is not None
+            and key is not None
+            and cache[0] == key
+            and cache[1].shape[0] == n_pad
+        ):
+            return cache[1]
+        padded = np.full(n_pad, -1, np.int32)
+        padded[: len(codes_np)] = codes_np
+        dev = jnp.asarray(padded)
+        if key is not None:
+            self._group_dev_cache = (key, dev)
+        return dev
+
     # ------------- mesh-sharded search -------------
     def _sharded_flat(self, qpad, full_mask: np.ndarray, k: int):
         """Exact corpus-sharded scan over the mesh (brute-force threshold /
@@ -1844,9 +1957,12 @@ class HnswEngine(VectorIndexEngine):
             env.get("ZVEC_HNSW_APPROX_MERGE") == "1"
             or (getattr(qp, "approx_merge", False) if qp is not None else False)
         )
+        # default 0.97: measured zero tail damage at 10M (worst-decile mean
+        # matches exact traversal) for +75% pipelined qps — see
+        # benchmarks/knobs10m_r4.json and the HnswQueryParam docstring
         done_frac = float(
             env.get("ZVEC_HNSW_DONE_FRAC")
-            or (getattr(qp, "done_frac", 1.0) if qp is not None else 1.0)
+            or (getattr(qp, "done_frac", 0.97) if qp is not None else 0.97)
         )
         return {
             "frontier": frontier,

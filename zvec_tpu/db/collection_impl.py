@@ -1088,7 +1088,50 @@ class CollectionImpl:
         group_order: List[Any] = []
         seen_ids: set = set()
         satisfied = 0
-        while True:
+
+        def fold(sim: float, doc_id: int, key) -> None:
+            nonlocal satisfied
+            seen_ids.add(doc_id)
+            lst = groups.get(key)
+            if lst is None:
+                lst = groups[key] = []
+                group_order.append(key)
+            was_full = len(lst) >= group_topk
+            # best-group_topk merge (the reference's per-group heap,
+            # `hnsw_context.h:25-230`): a later round's better hit
+            # displaces a carried weaker member
+            lst.append((sim, doc_id))
+            if len(lst) > group_topk:
+                lst.sort(key=lambda t: -t[0])
+                del lst[group_topk:]
+            if not was_full and len(lst) >= group_topk:
+                satisfied += 1
+
+        # ---- in-beam fast path: ONE grouped beam per segment harvests the
+        # per-group bests from everything the beam scores (reference
+        # in-traversal grouping, `hnsw_algorithm.cc:102-104`), so the cost
+        # is independent of group_count. Shortfall (skewed tails, tiny
+        # groups, engines without the grouped beam) falls back to the
+        # iterative-deepening loop below, which keeps the guarantees.
+        fast_done = False
+        beam_rows = self._grouped_beam_pass(
+            query, gq, group_by_field, group_count, group_topk, filter_str, segs
+        )
+        if beam_rows is not None:
+            for sim, doc_id, key in beam_rows:
+                fold(sim, doc_id, key)
+            # accept on the SAME condition the deepening loop breaks on —
+            # group_count quota-full groups exist (partially-filled groups
+            # may still rank into the answer by best member; the reference
+            # likewise returns up to group_topk docs per group)
+            if satisfied >= group_count:
+                fast_done = True
+            else:
+                groups.clear()
+                group_order.clear()
+                seen_ids.clear()
+                satisfied = 0
+        while not fast_done:
             qparam = query.param
             if use_linear:
                 from ..model.param.param import QueryParam as _QP
@@ -1114,22 +1157,8 @@ class CollectionImpl:
                 segs, f_ids, group_by_field
             )
             for sim, doc_id, gval in zip(f_sims, f_ids, gvals):
-                seen_ids.add(int(doc_id))
                 key = gval if not isinstance(gval, (list, np.ndarray)) else str(gval)
-                lst = groups.get(key)
-                if lst is None:
-                    lst = groups[key] = []
-                    group_order.append(key)
-                was_full = len(lst) >= group_topk
-                # best-group_topk merge (the reference's per-group heap,
-                # `hnsw_context.h:25-230`): a later round's better hit
-                # displaces a carried weaker member
-                lst.append((float(sim), int(doc_id)))
-                if len(lst) > group_topk:
-                    lst.sort(key=lambda t: -t[0])
-                    del lst[group_topk:]
-                if not was_full and len(lst) >= group_topk:
-                    satisfied += 1
+                fold(float(sim), int(doc_id), key)
             if satisfied >= group_count:
                 break
             if use_linear and (n_hits < overscan or overscan >= total):
@@ -1242,6 +1271,95 @@ class CollectionImpl:
     def _segments_snapshot(self) -> List[Segment]:
         with self._lock:
             return list(self.segments) + ([self.writing] if self.writing else [])
+
+    def _grouped_beam_pass(
+        self, query, gq, group_by_field, group_count, group_topk, filter_str, segs
+    ):
+        """One in-beam grouped search per segment (see
+        `HnswEngine.search_grouped`). Returns [(sim, doc_id, group_key), ...]
+        across segments, or None when any populated segment lacks the
+        grouped beam (flat/IVF engines, writing segments, routed/quantized
+        configs) — the caller then runs iterative deepening."""
+        if isinstance(gq, list):  # sparse query: no grouped beam
+            return None
+        import math as _math
+
+        want = max(group_count * group_topk * 2, 64)
+        group_cap = 1 << max(6, _math.ceil(_math.log2(want)))
+        group_cap = min(group_cap, 1024)
+        rows: List[Tuple[float, int, Any]] = []
+        for seg in segs:
+            if seg.doc_count == 0:
+                continue
+            engine = seg.engine_for(query.field_name)
+            search_grouped = getattr(engine, "search_grouped", None)
+            if search_grouped is None:
+                return None
+            n_rows = seg.doc_count
+            alive = self.deletes.alive_mask(seg.doc_id_start, n_rows)
+            if filter_str:
+                fmask = self._filter_mask_for_segment(seg, filter_str)
+                alive = alive & _fit_mask(fmask, n_rows)
+            codes, uniques = self._group_codes_for_segment(seg, group_by_field)
+            out = search_grouped(
+                gq,
+                None if (not filter_str and alive.all()) else alive,
+                query.param,
+                codes,
+                group_topk,
+                group_cap,
+                group_key=(group_by_field, seg._write_version),
+            )
+            if out is None:
+                return None
+            grp_s, grp_i, grp_g = out
+            ok = grp_i[0] >= 0
+            for sim, row, code in zip(grp_s[0][ok], grp_i[0][ok], grp_g[0][ok]):
+                rows.append(
+                    (float(sim), int(row) + seg.doc_id_start, uniques[int(code)])
+                )
+        return rows
+
+    def _group_codes_for_segment(self, seg, field: str):
+        """Factorize a segment's group column into dense int32 codes (one
+        code per distinct value; NULL gets its own code — it is a group key
+        in the deepening path too). Cached on the segment per
+        (field, write_version); the engine caches the device staging."""
+        key = (field, seg._write_version)
+        cache = getattr(seg, "_groupby_factorized", None)
+        if cache is not None and cache[0] == key:
+            return cache[1], cache[2]
+        arr = np.asarray(seg.store.scalar_column(field))
+        n = len(arr)
+        if arr.dtype == object:
+            nulls = np.fromiter((v is None for v in arr), bool, n)
+        else:
+            nulls = np.zeros(n, bool)
+        codes = np.full(n, -1, np.int32)
+        uniques: List[Any] = []
+        if (~nulls).any():
+            vals = arr[~nulls]
+            try:
+                uniq, inv = np.unique(vals, return_inverse=True)
+                uniques = list(uniq)
+            except TypeError:
+                # unorderable object values (array columns): dict factorize
+                # on the deepening path's stringified keys
+                mapping: Dict[Any, int] = {}
+                inv = np.empty(len(vals), np.int64)
+                for j, v in enumerate(vals):
+                    k2 = v if not isinstance(v, (list, np.ndarray)) else str(v)
+                    c = mapping.get(k2)
+                    if c is None:
+                        c = mapping[k2] = len(uniques)
+                        uniques.append(k2)
+                    inv[j] = c
+            codes[~nulls] = inv.astype(np.int32)
+        if nulls.any():
+            codes[nulls] = len(uniques)
+            uniques.append(None)
+        seg._groupby_factorized = (key, codes, uniques)
+        return codes, uniques
 
     def _scalar_values_for_doc_ids(
         self, segs: List[Segment], doc_ids: np.ndarray, field: str

@@ -136,6 +136,63 @@ def _visit_index(ids, visited_bits: int):
     return h.astype(jnp.int32)
 
 
+def _grouped_merge(grp_s, grp_i, grp_g, add_s, add_i, add_g, group_topk: int):
+    """Merge scored rows into a per-group-capped result buffer.
+
+    The TPU analog of the reference's in-traversal per-group heaps
+    (`hnsw_context.h:25-230`, `hnsw_algorithm.cc:102-104`
+    `expand_neighbors_by_group`): keep at most `group_topk` best rows per
+    group code, then the best R rows overall (R = buffer width). One
+    2-key lexicographic sort groups rows and orders them best-first
+    within each group; rank-within-group comes from a running-max scan
+    over segment starts — no per-group loop, group-count-independent.
+    """
+    r = grp_s.shape[1]
+    s = jnp.concatenate([grp_s, add_s], axis=1)
+    i = jnp.concatenate([grp_i, add_i], axis=1)
+    g = jnp.concatenate([grp_g, add_g], axis=1)
+    nq, w = s.shape
+    invalid = (i < 0) | (g < 0)
+    gkey = jnp.where(invalid, jnp.int32(2**30), g)
+    neg_s = jnp.where(invalid, jnp.float32(jnp.inf), -s)  # invalids sink last
+    gk_srt, ns_srt, id_srt = jax.lax.sort(
+        (gkey, neg_s, i), dimension=1, num_keys=2
+    )
+    s_srt = -ns_srt
+    boundary = jnp.concatenate(
+        [jnp.ones((nq, 1), bool), gk_srt[:, 1:] != gk_srt[:, :-1]], axis=1
+    )
+    # visited-set semantics score each id once per query, so duplicate ids
+    # cannot normally reach this merge; bytemap mode may score a within-step
+    # duplicate twice — equal (group, sim, id) rows sort adjacently, null
+    # the repeats so a group cannot fill its quota with copies
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((nq, 1), bool),
+            (id_srt[:, 1:] == id_srt[:, :-1]) & (id_srt[:, 1:] >= 0),
+        ],
+        axis=1,
+    )
+    counted = (gk_srt < 2**30) & ~dup
+    # rank within group over COUNTED rows only (a nulled duplicate must not
+    # consume its group's quota): segmented cumsum via a global cumsum minus
+    # the group's base, propagated from each group start by a running max
+    # (cumsum is non-decreasing, so later groups' bases always dominate)
+    c = jnp.cumsum(counted.astype(jnp.int32), axis=1)
+    base = jax.lax.associative_scan(
+        jnp.maximum,
+        jnp.where(boundary, c - counted.astype(jnp.int32), 0),
+        axis=1,
+    )
+    rank = c - counted.astype(jnp.int32) - base
+    keep = counted & (rank < group_topk)
+    new_s, sel = jax.lax.top_k(jnp.where(keep, s_srt, NEG_INF), r)
+    new_i = jnp.take_along_axis(id_srt, sel, 1)
+    new_g = jnp.take_along_axis(gk_srt, sel, 1)
+    ok = new_s > NEG_INF / 2
+    return new_s, jnp.where(ok, new_i, -1), jnp.where(ok, new_g, -1)
+
+
 def _beam_core(
     q: jax.Array,  # (Q, D) f32
     codes: jax.Array,  # (N_pad, D)
@@ -162,9 +219,20 @@ def _beam_core(
     visited_bytes: bool = False,
     approx_merge: bool = False,
     done_frac: float = 1.0,
+    group_codes: Optional[jax.Array] = None,  # (N_pad,) int32 codes, -1 n/a
+    group_cap: int = 0,  # per-group result buffer width R (0 = off)
+    group_topk: int = 0,  # per-group quota T
 ):
     """Batched HNSW search core (traced inline by its jitted callers).
     Returns (sims (Q, topk) desc, ids (Q, topk), -1 pad).
+
+    group_cap>0 additionally harvests a per-group-capped result buffer
+    while the beam runs (reference in-traversal grouping,
+    `hnsw_algorithm.cc:102-104`): every scored row also merges into a
+    (Q, R) buffer keeping at most `group_topk` best rows per group code —
+    traversal cost stays independent of the requested group count, unlike
+    widening ef to group_count*group_topk. Adds (grp_s, grp_i, grp_g) to
+    the return tuple.
 
     visited_bytes=True stores the (hashed) visited set as a BYTE map
     instead of a bitset: set(1) is duplicate-safe, so the per-step
@@ -267,6 +335,29 @@ def _beam_core(
     cand_i = jnp.full((nq, ef), -1, jnp.int32).at[:, 0].set(entry_ids)
     cand_x = jnp.zeros((nq, ef), bool)  # expanded flags
 
+    grouped = group_cap > 0 and group_codes is not None
+    if grouped:
+        g_entry_ok = mask[entry_ids] if mask is not None else jnp.ones((nq,), bool)
+        grp_s = (
+            jnp.full((nq, group_cap), NEG_INF, jnp.float32)
+            .at[:, 0]
+            .set(jnp.where(g_entry_ok, entry_sim, NEG_INF))
+        )
+        grp_i = (
+            jnp.full((nq, group_cap), -1, jnp.int32)
+            .at[:, 0]
+            .set(jnp.where(g_entry_ok, entry_ids, -1))
+        )
+        grp_g = (
+            jnp.full((nq, group_cap), -1, jnp.int32)
+            .at[:, 0]
+            .set(jnp.where(g_entry_ok, group_codes[entry_ids], -1))
+        )
+    else:
+        grp_s = jnp.zeros((nq, 0), jnp.float32)
+        grp_i = jnp.zeros((nq, 0), jnp.int32)
+        grp_g = jnp.zeros((nq, 0), jnp.int32)
+
     use_bytes = visited_bytes and visited_bits > 0
     qidx = jnp.arange(nq)
     entry_vix = _visit_index(entry_ids, visited_bits)
@@ -293,7 +384,8 @@ def _beam_core(
         )
 
     def body(state):
-        res_s, res_i, cand_s, cand_i, cand_x, visited, scanned, done, step = state
+        (res_s, res_i, cand_s, cand_i, cand_x, grp_s, grp_i, grp_g,
+         visited, scanned, done, step) = state
 
         # 1. pick the F best unexpanded candidates per query (F-way beam:
         #    F nodes expand per step, cutting the sequential step count ~Fx)
@@ -454,10 +546,32 @@ def _beam_core(
             res_s = jnp.where(active[:, None], nr_s, res_s)
             res_i = jnp.where(active[:, None], nr_i, res_i)
 
-        return (res_s, res_i, cand_s, cand_i, cand_x, visited, scanned, done, step + 1)
+        # 9. per-group harvest: every scored (mask-passing) row competes for
+        #    its group's quota — the group buffer is pure harvest, it never
+        #    influences traversal or termination
+        if grouped:
+            g_ok = (mask[nbrs_safe] & fresh) if mask is not None else fresh
+            ng_s, ng_i, ng_g = _grouped_merge(
+                grp_s,
+                grp_i,
+                grp_g,
+                jnp.where(g_ok, sims, NEG_INF),
+                jnp.where(g_ok, nbrs_safe, -1),
+                jnp.where(g_ok, group_codes[nbrs_safe], -1),
+                group_topk,
+            )
+            grp_s = jnp.where(active[:, None], ng_s, grp_s)
+            grp_i = jnp.where(active[:, None], ng_i, grp_i)
+            grp_g = jnp.where(active[:, None], ng_g, grp_g)
 
-    state = (res_s, res_i, cand_s, cand_i, cand_x, visited, scanned, done, jnp.int32(0))
-    res_s, res_i, cand_s, cand_i, *_ = jax.lax.while_loop(cond, body, state)
+        return (res_s, res_i, cand_s, cand_i, cand_x, grp_s, grp_i, grp_g,
+                visited, scanned, done, step + 1)
+
+    state = (res_s, res_i, cand_s, cand_i, cand_x, grp_s, grp_i, grp_g,
+             visited, scanned, done, jnp.int32(0))
+    res_s, res_i, cand_s, cand_i, _, grp_s, grp_i, grp_g, *_ = (
+        jax.lax.while_loop(cond, body, state)
+    )
     if not track_res:
         res_s, res_i = cand_s, cand_i
     if refine_codes is not None:
@@ -476,6 +590,8 @@ def _beam_core(
     else:
         res_s, res_i = res_s[:, :topk], res_i[:, :topk]
     res_i = jnp.where(res_s > NEG_INF / 2, res_i, -1)
+    if grouped:
+        return res_s, res_i, grp_s, grp_i, grp_g
     return res_s, res_i
 
 
@@ -507,6 +623,42 @@ def hnsw_search(
         num_levels=num_levels, frontier=frontier, int4_packed=int4_packed,
         visited_bits=visited_bits, visited_bytes=visited_bytes,
         approx_merge=approx_merge, done_frac=done_frac,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "ef", "topk", "max_steps", "num_levels", "frontier",
+        "int4_packed", "visited_bits", "visited_bytes", "approx_merge",
+        "done_frac", "group_cap", "group_topk",
+    ),
+)
+def hnsw_search_grouped(
+    q, codes, norms, l0_nbrs, upper_ids, upper_nbrs, upper_down, entry_rows,
+    mask, scan_budget, group_codes, dequant=None, *,
+    metric: MetricType, ef: int, topk: int, max_steps: int, num_levels: int,
+    frontier: int = 1, int4_packed: bool = False, visited_bits: int = 0,
+    visited_bytes: bool = False, approx_merge: bool = False,
+    done_frac: float = 1.0, group_cap: int, group_topk: int,
+):
+    """Group-by HNSW search: the standard beam PLUS an in-traversal
+    per-group-capped harvest buffer (reference `expand_neighbors_by_group`,
+    `hnsw_algorithm.cc:102-104`; per-group heaps `hnsw_context.h:25-230`).
+
+    Returns (sims (Q, topk), ids (Q, topk), grp_s (Q, R), grp_i (Q, R),
+    grp_g (Q, R)) — grp rows hold the best `group_topk` scored rows per
+    group code over EVERYTHING the beam scored, not just the top-ef, so
+    one normal-ef search typically satisfies many more groups than its
+    result width."""
+    return _beam_core(
+        q, codes, norms, l0_nbrs, upper_ids, upper_nbrs, upper_down,
+        entry_rows, mask, scan_budget, dequant, None, None,
+        metric=metric, ef=ef, topk=topk, max_steps=max_steps,
+        num_levels=num_levels, frontier=frontier, int4_packed=int4_packed,
+        visited_bits=visited_bits, visited_bytes=visited_bytes,
+        approx_merge=approx_merge, done_frac=done_frac,
+        group_codes=group_codes, group_cap=group_cap, group_topk=group_topk,
     )
 
 
