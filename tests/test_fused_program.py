@@ -1,0 +1,154 @@
+"""One-program dense+sparse fusion (`ops/fused.py`).
+
+The reference runs per-field searches in-process (microsecond hops,
+`query_executor.py:196-211`); through the axon tunnel each per-field
+program is a full round trip, so both fields compile into ONE XLA program
+per segment (VERDICT r3 missing #2 / r4 item 6). Semantics must be
+identical to the overlapped per-field path."""
+
+import numpy as np
+import pytest
+
+import zvec_tpu
+from zvec_tpu import (
+    CollectionSchema,
+    DataType,
+    Doc,
+    FieldSchema,
+    FlatIndexParam,
+    HnswIndexParam,
+    MetricType,
+    VectorQuery,
+    VectorSchema,
+)
+from zvec_tpu.extension.multi_vector_reranker import RrfReRanker
+
+N, D, V = 3000, 24, 500
+
+
+def _mk(tmp_path, dense_param=None):
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((N, D)).astype(np.float32)
+    SV = []
+    for i in range(N):
+        dims = rng.choice(V, 5, replace=False)
+        SV.append({int(t): float(rng.random() + 0.1) for t in dims})
+    schema = CollectionSchema(
+        "fusecol",
+        fields=[FieldSchema("price", DataType.FLOAT)],
+        vectors=[
+            VectorSchema(
+                "dense", DataType.VECTOR_FP32, D,
+                dense_param or FlatIndexParam(MetricType.L2),
+            ),
+            VectorSchema(
+                "sparse", DataType.SPARSE_VECTOR_FP32, 0,
+                FlatIndexParam(MetricType.IP),
+            ),
+        ],
+    )
+    col = zvec_tpu.create_and_open(str(tmp_path / "c"), schema)
+    for lo in range(0, N, 1000):
+        col.insert(
+            [
+                Doc(id=str(i), fields={"price": float(i)},
+                    vectors={"dense": X[i], "sparse": SV[i]})
+                for i in range(lo, lo + 1000)
+            ]
+        )
+    col.optimize()
+    return col, X, SV
+
+
+def _spy(col):
+    impl = col._impl
+    calls = {"n": 0}
+    orig = impl.fused_pair_dispatch
+
+    def wrapper(*a, **kw):
+        fin = orig(*a, **kw)
+        if fin is not None:
+            calls["n"] += 1
+        return fin
+
+    impl.fused_pair_dispatch = wrapper
+    return calls
+
+
+def test_fused_single_call_matches_per_field_oracle(tmp_path):
+    col, X, SV = _mk(tmp_path)
+    calls = _spy(col)
+    rng = np.random.default_rng(9)
+    qd = rng.standard_normal(D).astype(np.float32)
+    qs = {int(t): 1.0 for t in rng.choice(V, 5, replace=False)}
+    res = col.query(
+        [VectorQuery("dense", vector=qd), VectorQuery("sparse", vector=qs)],
+        topk=10, reranker=RrfReRanker(),
+    )
+    assert calls["n"] == 1, "fused program must engage on flat+sparse pair"
+    # RRF oracle from exact per-field top-10
+    d2 = ((X - qd) ** 2).sum(1)
+    dense_top = [str(i) for i in np.argsort(d2)[:10]]
+    sp = np.array(
+        [sum(SV[i].get(t, 0.0) * w for t, w in qs.items()) for i in range(N)]
+    )
+    sparse_top = [str(i) for i in np.argsort(-sp)[:10]]
+    rrf = {}
+    for rank, i in enumerate(dense_top):
+        rrf[i] = rrf.get(i, 0) + 1 / (60 + rank + 1)
+    for rank, i in enumerate(sparse_top):
+        rrf[i] = rrf.get(i, 0) + 1 / (60 + rank + 1)
+    want = sorted(rrf, key=lambda k: -rrf[k])[:10]
+    assert [h.id for h in res] == want
+
+
+def test_fused_filtered_matches_oracle(tmp_path):
+    col, X, SV = _mk(tmp_path)
+    calls = _spy(col)
+    rng = np.random.default_rng(4)
+    qd = rng.standard_normal(D).astype(np.float32)
+    qs = {int(t): 1.0 for t in rng.choice(V, 5, replace=False)}
+    res = col.query(
+        [VectorQuery("dense", vector=qd), VectorQuery("sparse", vector=qs)],
+        topk=5, filter="price < 1000", reranker=RrfReRanker(),
+        output_fields=["price"],
+    )
+    assert calls["n"] == 1
+    assert res and all(d.fields["price"] < 1000 for d in res)
+    sub = np.arange(N) < 1000
+    d2 = ((X - qd) ** 2).sum(1)
+    dense_top = [str(i) for i in np.argsort(np.where(sub, d2, np.inf))[:5]]
+    assert {h.id for h in res} >= set(dense_top[:2])
+
+
+def test_fused_batch_engages_once(tmp_path):
+    col, X, SV = _mk(tmp_path)
+    calls = _spy(col)
+    pairs = [
+        [VectorQuery("dense", vector=X[i] + 0.01),
+         VectorQuery("sparse", vector=SV[i])]
+        for i in range(6)
+    ]
+    out = col.batch_fused_query(pairs, topk=5, reranker=RrfReRanker())
+    assert calls["n"] == 1  # ONE fused dispatch for the whole batch
+    assert len(out) == 6
+    # self-queries: the doc itself must rank first in each fused answer
+    for i, docs in enumerate(out):
+        assert docs[0].id == str(i)
+
+
+def test_fused_falls_back_on_hnsw_dense(tmp_path):
+    col, X, SV = _mk(
+        tmp_path, dense_param=HnswIndexParam(MetricType.L2, m=8,
+                                             ef_construction=40)
+    )
+    calls = _spy(col)
+    rng = np.random.default_rng(4)
+    qd = rng.standard_normal(D).astype(np.float32)
+    qs = {int(t): 1.0 for t in rng.choice(V, 5, replace=False)}
+    res = col.query(
+        [VectorQuery("dense", vector=qd), VectorQuery("sparse", vector=qs)],
+        topk=5, reranker=RrfReRanker(),
+    )
+    assert calls["n"] == 0  # HNSW dense: overlapped per-field path
+    assert res

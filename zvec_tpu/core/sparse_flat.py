@@ -75,6 +75,26 @@ class SparseFlatEngine(VectorIndexEngine):
             self._doc_val = jnp.asarray(pval)
         self._vocab = int(round_up(max(vocab, 1), 128))
 
+    def _prep_query_arrays(self, queries, param=None):
+        """Prune + pad sparse dict queries to (nq_bucket, pq) int32/f32
+        arrays (shared by `search` and the one-program dense+sparse fused
+        path, `ops/fused.py`)."""
+        budget = getattr(param, "filtering_budget", 0.0) if param else 0.0
+        pruned = [prune_sparse_query(q or {}, budget) for q in queries]
+        pq = max(max((len(q) for q in pruned), default=1), 1)
+        pq = min(round_up(pq, 8), _QUERY_NNZ_PAD * 8)
+        from ..ops.runtime import bucket_queries
+
+        nq_pad = bucket_queries(len(queries))  # stable compile shapes
+        q_idx = np.full((nq_pad, pq), -1, dtype=np.int32)
+        q_val = np.zeros((nq_pad, pq), dtype=np.float32)
+        for i, q in enumerate(pruned):
+            items = sorted(q.items(), key=lambda kv: -abs(kv[1]))[:pq]
+            for j, (k, v) in enumerate(sorted(items)):
+                q_idx[i, j] = k
+                q_val[i, j] = v
+        return q_idx, q_val
+
     def search(
         self,
         queries,  # list of {dim: value} dicts
@@ -94,21 +114,7 @@ class SparseFlatEngine(VectorIndexEngine):
                 np.full((nq, topk), -1, np.int64),
             )
         t0 = time.perf_counter()
-        budget = getattr(param, "filtering_budget", 0.0) if param else 0.0
-        pruned = [prune_sparse_query(q or {}, budget) for q in queries]
-        pq = max(max((len(q) for q in pruned), default=1), 1)
-        pq = min(round_up(pq, 8), _QUERY_NNZ_PAD * 8)
-        from ..ops.runtime import bucket_queries
-
-        nq_pad = bucket_queries(nq)  # stable compile shapes per bucket
-        q_idx = np.full((nq_pad, pq), -1, dtype=np.int32)
-        q_val = np.zeros((nq_pad, pq), dtype=np.float32)
-        for i, q in enumerate(pruned):
-            items = sorted(q.items(), key=lambda kv: -abs(kv[1]))[:pq]
-            for j, (k, v) in enumerate(sorted(items)):
-                q_idx[i, j] = k
-                q_val[i, j] = v
-
+        q_idx, q_val = self._prep_query_arrays(queries, param)
         n_pad = self._doc_idx.shape[0]
         full_mask = np.zeros(n_pad, dtype=bool)
         full_mask[: self._n] = True if mask is None else mask

@@ -26,7 +26,7 @@ from ..model.param.param import (
 )
 from ..model.schema import CollectionSchema, CollectionStats
 from ..ops.distance import similarity_to_score
-from ..typing.enum import DataType, StatusCode
+from ..typing.enum import DataType, MetricType, StatusCode
 from ..typing.status import Status, ZvecError
 from . import codec
 from .delete_store import DeleteStore
@@ -1271,6 +1271,126 @@ class CollectionImpl:
     def _segments_snapshot(self) -> List[Segment]:
         with self._lock:
             return list(self.segments) + ([self.writing] if self.writing else [])
+
+    def fused_pair_dispatch(
+        self,
+        dense_field: str,
+        dvecs: np.ndarray,  # (B, D) f32
+        sparse_field: str,
+        squeries: list,  # B sparse dict queries
+        topk: int,
+        filter_str: Optional[str] = None,
+        dparam=None,
+        sparam=None,
+        segs: Optional[List[Segment]] = None,
+    ):
+        """ONE device program per segment scoring BOTH a dense-flat and a
+        sparse-flat field for the batch (`ops/fused.py`): one tunnel round
+        trip instead of two overlapped ones (the reference pays microsecond
+        in-process hops per field, `query_executor.py:196-211`; through the
+        tunnel each per-field program costs a full round trip).
+
+        Returns finalize() -> {field: (sims (B, topk), doc_ids (B, topk))},
+        or None when any populated segment can't take the fused path
+        (non-flat engines, mesh-sharded residency, Hamming/binary metrics)
+        — callers fall back to overlapped per-field dispatch."""
+        import jax.numpy as jnp
+
+        from ..core.flat import FlatEngine
+        from ..core.sparse_flat import SparseFlatEngine
+        from ..ops.fused import fused_dense_sparse_topk
+        from ..ops.runtime import bucket_queries
+
+        if segs is None:
+            segs = self._segments_snapshot()
+        nq = dvecs.shape[0]
+        if len(squeries) != nq:
+            return None
+        nq_pad = bucket_queries(nq)
+        qpad = np.zeros((nq_pad, dvecs.shape[1]), np.float32)
+        qpad[:nq] = dvecs
+        dispatched = []  # (seg, k, device (scores, indices))
+        for seg in segs:
+            if seg.doc_count == 0:
+                continue
+            de = seg.engine_for(dense_field)
+            se = seg.engine_for(sparse_field)
+            if type(de) is not FlatEngine or type(se) is not SparseFlatEngine:
+                return None
+            if de.metric not in (MetricType.L2, MetricType.IP, MetricType.COSINE):
+                return None
+            de._ensure_fresh()
+            se._ensure_fresh()
+            if de._mesh() is not None or se._smesh is not None:
+                return None
+            st = de._st
+            if st.n == 0 or se._n == 0:
+                return None
+            n_rows = seg.doc_count
+            alive = self.deletes.alive_mask(seg.doc_id_start, n_rows)
+            if filter_str:
+                fmask = self._filter_mask_for_segment(seg, filter_str)
+                alive = alive & _fit_mask(fmask, n_rows)
+            dmask = np.zeros(st.codes.shape[0], dtype=bool)
+            dmask[: min(st.n, n_rows)] = alive[: st.n]
+            smask = np.zeros(se._doc_idx.shape[0], dtype=bool)
+            smask[: min(se._n, n_rows)] = alive[: se._n]
+            q_idx, q_val = se._prep_query_arrays(squeries, sparam)
+            k = min(topk, st.n, se._n)
+            out = fused_dense_sparse_topk(
+                jnp.asarray(qpad),
+                st.codes,
+                st.norms,
+                de._device_mask(st, dmask, as_int8=False),
+                jnp.asarray(q_idx),
+                jnp.asarray(q_val),
+                se._doc_idx,
+                se._doc_val,
+                jnp.asarray(smask),
+                st.dequant,
+                metric=de.metric,
+                topk=k,
+                vocab=se._vocab,
+                int4_packed=st.int4_packed,
+            )
+            dispatched.append((seg, k, out))
+
+        def _merge(parts, field_topk):
+            """Cross-segment top-k merge of (sims, doc_ids) pairs."""
+            if not parts:
+                return (
+                    np.full((nq, field_topk), -np.inf, np.float32),
+                    np.full((nq, field_topk), -1, np.int64),
+                )
+            sims = np.concatenate([p[0] for p in parts], axis=1)
+            ids = np.concatenate([p[1] for p in parts], axis=1)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :field_topk]
+            sims = np.take_along_axis(sims, order, 1)
+            ids = np.take_along_axis(ids, order, 1)
+            if sims.shape[1] < field_topk:
+                pad = field_topk - sims.shape[1]
+                sims = np.pad(sims, ((0, 0), (0, pad)), constant_values=-np.inf)
+                ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            return np.where(ids >= 0, sims, -np.inf), ids
+
+        def finalize():
+            d_parts, s_parts = [], []
+            for seg, k, out in dispatched:
+                scores = np.asarray(out[0])[:nq]
+                indices = np.asarray(out[1])[:nq].astype(np.int64)
+                d_i, s_i = indices[:, :k], indices[:, k:]
+                d_parts.append(
+                    (scores[:, :k], np.where(d_i >= 0, d_i + seg.doc_id_start, -1))
+                )
+                s_parts.append(
+                    (scores[:, k:], np.where(s_i >= 0, s_i + seg.doc_id_start, -1))
+                )
+            return {
+                dense_field: _merge(d_parts, topk),
+                sparse_field: _merge(s_parts, topk),
+            }
+
+        return finalize
 
     def _grouped_beam_pass(
         self, query, gq, group_by_field, group_count, group_topk, filter_str, segs

@@ -159,6 +159,12 @@ class QueryExecutor(ABC):
             # assemble in query order: reranker tie-breaks must not depend
             # on thread completion order (deterministic vs serial path)
             return {bq.field_name: done[bq.field_name] for bq in built}
+        # dense+sparse pair: ONE device program scoring both fields
+        # (`ops/fused.py`) — a single round trip instead of two overlapped
+        # ones; falls through to the overlapped path when unsupported
+        fused = self._fused_pair(ctx, built, impl)
+        if fused is not None:
+            return fused
         # default: dispatch/finalize split — every field's device program is
         # enqueued before the first result is fetched, overlapping H2D
         # upload + dispatch of field i+1 with device compute of field i
@@ -179,6 +185,52 @@ class QueryExecutor(ABC):
             for bq in built
         ]
         return {name: fin() for name, fin in fins}
+
+    def _split_dense_sparse_pair(self, built: List[_BuiltQuery]):
+        """(dense_bq, sparse_bq) when `built` is exactly one fp32-dense +
+        one sparse field, else None."""
+        if len(built) != 2:
+            return None
+        dense = sparse = None
+        for bq in built:
+            vs = self._schema.vector(bq.field_name)
+            if vs.data_type.is_sparse_vector:
+                sparse = bq
+            elif vs.data_type == DataType.VECTOR_FP32:
+                dense = bq
+        if dense is None or sparse is None:
+            return None
+        return dense, sparse
+
+    def _fused_pair(
+        self, ctx: QueryContext, built: List[_BuiltQuery], impl: CollectionImpl
+    ) -> Optional[Dict[str, List[Doc]]]:
+        pair = self._split_dense_sparse_pair(built)
+        if pair is None:
+            return None
+        dense, sparse = pair
+        segs = impl._segments_snapshot()
+        fin = impl.fused_pair_dispatch(
+            dense.field_name,
+            np.asarray(dense.vector, np.float32)[None, :],
+            sparse.field_name,
+            [sparse.vector],
+            ctx.topk,
+            ctx.filter,
+            dense.param,
+            sparse.param,
+            segs,
+        )
+        if fin is None:
+            return None
+        results = fin()
+        return {
+            field: impl._docs_from_results(
+                sims, ids, self._schema.vector(field), segs,
+                ctx.include_vector, ctx.output_fields,
+            )[0]
+            for field, (sims, ids) in results.items()
+        }
 
     def _do_merge_rerank_results(
         self, ctx: QueryContext, docs_map: Dict[str, List[Doc]]
@@ -266,24 +318,61 @@ class QueryExecutor(ABC):
                 field_rows.setdefault(bq.field_name, []).append((gi, bq.vector))
                 field_param.setdefault(bq.field_name, bq.param)
         segs = impl._segments_snapshot()
-        dispatches = {}
-        for field, rows in field_rows.items():
-            vs = self._schema.vector(field)
-            if vs.data_type.is_sparse_vector:
-                vecs = [v for _, v in rows]
-            else:
-                vecs = np.stack([v for _, v in rows], axis=0)
-            dispatches[field] = impl._query_field_dispatch(
-                field, vecs, head.topk, head.filter, field_param[field],
-                None, segs,
-            )
         per_field_docs: Dict[str, List[List[Doc]]] = {}
-        for field, finalize in dispatches.items():
-            sims, ids = finalize()
-            per_field_docs[field] = impl._docs_from_results(
-                sims, ids, self._schema.vector(field), segs,
-                head.include_vector, head.output_fields,
+        # dense+sparse pair with every query supplying both fields: ONE
+        # device program per segment for the whole batch (`ops/fused.py`)
+        fused_fin = None
+        if len(field_rows) == 2:
+            names = list(field_rows)
+            aligned = all(
+                [gi for gi, _ in field_rows[f]] == list(range(len(ctxs)))
+                for f in names
             )
+            sparse_names = [
+                f for f in names
+                if self._schema.vector(f).data_type.is_sparse_vector
+            ]
+            dense_names = [
+                f for f in names
+                if self._schema.vector(f).data_type == DataType.VECTOR_FP32
+            ]
+            if aligned and len(sparse_names) == 1 and len(dense_names) == 1:
+                df, sf = dense_names[0], sparse_names[0]
+                fused_fin = impl.fused_pair_dispatch(
+                    df,
+                    np.stack([v for _, v in field_rows[df]], axis=0),
+                    sf,
+                    [v for _, v in field_rows[sf]],
+                    head.topk,
+                    head.filter,
+                    field_param[df],
+                    field_param[sf],
+                    segs,
+                )
+        if fused_fin is not None:
+            for field, (sims, ids) in fused_fin().items():
+                per_field_docs[field] = impl._docs_from_results(
+                    sims, ids, self._schema.vector(field), segs,
+                    head.include_vector, head.output_fields,
+                )
+        else:
+            dispatches = {}
+            for field, rows in field_rows.items():
+                vs = self._schema.vector(field)
+                if vs.data_type.is_sparse_vector:
+                    vecs = [v for _, v in rows]
+                else:
+                    vecs = np.stack([v for _, v in rows], axis=0)
+                dispatches[field] = impl._query_field_dispatch(
+                    field, vecs, head.topk, head.filter, field_param[field],
+                    None, segs,
+                )
+            for field, finalize in dispatches.items():
+                sims, ids = finalize()
+                per_field_docs[field] = impl._docs_from_results(
+                    sims, ids, self._schema.vector(field), segs,
+                    head.include_vector, head.output_fields,
+                )
         maps: List[Dict[str, List[Doc]]] = [dict() for _ in ctxs]
         for field, rows in field_rows.items():
             for row_idx, (gi, _) in enumerate(rows):

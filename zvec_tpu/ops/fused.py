@@ -1,0 +1,73 @@
+"""One-program dense+sparse fused scoring.
+
+The reference answers a multi-vector query with in-process per-field
+searches (microsecond hops between them,
+`/root/reference/python/zvec/executor/query_executor.py:196-211`). Through
+the axon tunnel every dispatch costs a round trip, so per-field programs —
+even overlapped — pay twice. This module compiles BOTH fields' exact scans
+into ONE XLA program per (dense-shape, sparse-shape, topk) combination:
+one dispatch, and the four result arrays are packed into two transfers
+(scores f32, indices i32).
+
+Semantics are identical to running `blockwise_topk_search` (dense) and
+`sparse_ip_topk` (sparse) separately — both are traced inline into the
+same jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..typing.enum import MetricType
+from .sparse import sparse_ip_topk
+from .topk import blockwise_topk_search
+
+__all__ = ["fused_dense_sparse_topk"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "topk", "vocab", "int4_packed"),
+)
+def fused_dense_sparse_topk(
+    dq: jax.Array,  # (Q, D) f32 dense queries
+    codes: jax.Array,  # (N_pad, D) dense codes (storage dtype)
+    norms: Optional[jax.Array],  # (N_pad,) squared norms or None
+    dmask: jax.Array,  # (N_pad,) bool valid-row mask (dense)
+    q_idx: jax.Array,  # (Q, Pq) int32 sparse query indices, -1 pad
+    q_val: jax.Array,  # (Q, Pq) f32 sparse query values
+    doc_idx: jax.Array,  # (Ns_pad, P) int32 padded-CSR doc indices
+    doc_val: jax.Array,  # (Ns_pad, P) f32
+    smask: jax.Array,  # (Ns_pad,) bool valid-row mask (sparse)
+    dequant: Optional[Tuple[jax.Array, jax.Array]] = None,
+    *,
+    metric: MetricType,
+    topk: int,
+    vocab: int,
+    int4_packed: bool = False,
+):
+    """Returns (scores (Q, 2*topk) f32, indices (Q, 2*topk) i32): columns
+    [:topk] are the dense field's top-k (sims desc, -1 pad), [topk:] the
+    sparse field's — packed so the host fetches two arrays, not four."""
+    d_s, d_i = blockwise_topk_search(
+        dq,
+        codes,
+        metric,
+        topk,
+        mask=dmask,
+        x_sq_norms=norms,
+        dequant=dequant,
+        int4_packed=int4_packed,
+    )
+    s_s, s_i = sparse_ip_topk(
+        q_idx, q_val, doc_idx, doc_val, smask, topk=topk, vocab=vocab
+    )
+    scores = jnp.concatenate([d_s, s_s], axis=1)
+    indices = jnp.concatenate(
+        [d_i.astype(jnp.int32), s_i.astype(jnp.int32)], axis=1
+    )
+    return scores, indices
