@@ -137,18 +137,30 @@ def test_fused_batch_engages_once(tmp_path):
         assert docs[0].id == str(i)
 
 
-def test_fused_falls_back_on_hnsw_dense(tmp_path):
+def test_fused_hnsw_dense_engages_and_matches(tmp_path):
+    # HNSW dense + sparse also fuse into one program (the beam and the
+    # sparse scan share the dispatch, `ops/fused.py::fused_hnsw_sparse_topk`)
     col, X, SV = _mk(
-        tmp_path, dense_param=HnswIndexParam(MetricType.L2, m=8,
-                                             ef_construction=40)
+        tmp_path, dense_param=HnswIndexParam(MetricType.L2, m=16,
+                                             ef_construction=80)
     )
     calls = _spy(col)
-    rng = np.random.default_rng(4)
-    qd = rng.standard_normal(D).astype(np.float32)
-    qs = {int(t): 1.0 for t in rng.choice(V, 5, replace=False)}
+    qd = (X[77] + 0.005).astype(np.float32)
+    qs = SV[77]
     res = col.query(
         [VectorQuery("dense", vector=qd), VectorQuery("sparse", vector=qs)],
         topk=5, reranker=RrfReRanker(),
     )
-    assert calls["n"] == 0  # HNSW dense: overlapped per-field path
-    assert res
+    assert calls["n"] == 1
+    assert res[0].id == "77"  # self-query tops both fields
+    # filtered fused HNSW: rescan safety net keeps filtered recall exact
+    res_f = col.query(
+        [VectorQuery("dense", vector=qd), VectorQuery("sparse", vector=qs)],
+        topk=5, filter="price >= 1000", reranker=RrfReRanker(),
+        output_fields=["price"],
+    )
+    assert calls["n"] == 2
+    assert res_f and all(d.fields["price"] >= 1000 for d in res_f)
+    d2 = ((X - qd) ** 2).sum(1)
+    want = str(np.argsort(np.where(np.arange(N) >= 1000, d2, np.inf))[0])
+    assert any(d.id == want for d in res_f)

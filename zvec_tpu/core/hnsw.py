@@ -1881,6 +1881,94 @@ class HnswEngine(VectorIndexEngine):
         grp_g = np.asarray(out[4])[:nq]
         return grp_s, grp_i, grp_g
 
+    def fused_sparse_dispatch(
+        self,
+        queries: np.ndarray,
+        mask: Optional[np.ndarray],
+        param,
+        topk: int,
+        sparse_args: tuple,  # (q_idx, q_val, doc_idx, doc_val, smask, vocab)
+    ):
+        """Dispatch the HNSW beam AND a sparse padded-CSR top-k as ONE
+        device program (`ops/fused.py::fused_hnsw_sparse_topk`) — the
+        dense+sparse multi-vector fusion shape with an ANN dense index.
+        Returns (k, device (scores, indices)) or None when this config
+        takes a path without the plain beam (tiny corpus, linear, sharded,
+        routed, quantized, MIPS/Hamming)."""
+        if self._n == 0:
+            return None
+        self._ensure_fresh()
+        queries, mask = self._normalize_query_args(queries, mask)
+        if (
+            self._mips
+            or self._hamming
+            or self.quantize != QuantizeType.UNDEFINED
+            or self._route is not None
+            or (self._dev is not None and self._dev.get("sharded"))
+            or self._n < self.brute_force_threshold
+            or (isinstance(param, QueryParam) and param.is_linear)
+        ):
+            return None
+        from ..ops.fused import fused_hnsw_sparse_topk
+        from ..ops.runtime import bucket_queries
+
+        nq = queries.shape[0]
+        ef = param.ef if isinstance(param, HnswQueryParam) else 500
+        k = min(topk, self._n)
+        ef = max(ef, k)
+        knobs = self._query_knobs(param)
+        budget = jnp.int32(
+            min(
+                max(_MIN_SCAN_LIMIT, int(knobs["scan_ratio"] * self._n)),
+                self._n,
+            )
+        )
+        dmask = None
+        if mask is not None:
+            fm = np.zeros(self._codes.shape[0], dtype=bool)
+            fm[: self._n] = mask
+            dmask = jnp.asarray(fm)
+        nq_pad = bucket_queries(nq)
+        if nq_pad != nq:
+            qpad = np.zeros((nq_pad, queries.shape[1]), np.float32)
+            qpad[:nq] = queries
+        else:
+            qpad = np.asarray(queries, dtype=np.float32)
+        q_idx, q_val, doc_idx, doc_val, smask, vocab = sparse_args
+        out = fused_hnsw_sparse_topk(
+            jnp.asarray(qpad),
+            self._codes,
+            self._norms,
+            self._dev["l0"],
+            self._dev["upper_ids"],
+            self._dev["upper_nbrs"],
+            self._dev["upper_down"],
+            self._dev["entry_rows"],
+            dmask,
+            budget,
+            q_idx,
+            q_val,
+            doc_idx,
+            doc_val,
+            smask,
+            self._dequant,
+            metric=self._search_metric,
+            ef=ef,
+            topk=k,
+            max_steps=ef + knobs["steps_slack"],
+            num_levels=self._dev["num_levels"],
+            frontier=knobs["frontier"],
+            int4_packed=getattr(self, "_int4_packed", False),
+            visited_bits=knobs["visited_bits"]
+            if knobs["visited_bits"]
+            else (0 if self._codes.shape[0] <= (1 << 21) else 21),
+            visited_bytes=knobs["visited_bytes"],
+            approx_merge=knobs["approx_merge"],
+            done_frac=knobs["done_frac"],
+            vocab=vocab,
+        )
+        return k, out
+
     def _group_codes_dev(self, codes_np: np.ndarray, key):
         """Stage the factorized group-code column on device, padded to the
         engine's row padding; cached by `key` (field, write-version) so

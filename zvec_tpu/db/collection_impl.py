@@ -1297,6 +1297,8 @@ class CollectionImpl:
         import jax.numpy as jnp
 
         from ..core.flat import FlatEngine
+        from ..core.hnsw import HnswEngine
+        from ..core.interface import rescan_deficient
         from ..core.sparse_flat import SparseFlatEngine
         from ..ops.fused import fused_dense_sparse_topk
         from ..ops.runtime import bucket_queries
@@ -1315,45 +1317,80 @@ class CollectionImpl:
                 continue
             de = seg.engine_for(dense_field)
             se = seg.engine_for(sparse_field)
-            if type(de) is not FlatEngine or type(se) is not SparseFlatEngine:
+            if type(se) is not SparseFlatEngine:
                 return None
             if de.metric not in (MetricType.L2, MetricType.IP, MetricType.COSINE):
                 return None
-            de._ensure_fresh()
             se._ensure_fresh()
-            if de._mesh() is not None or se._smesh is not None:
-                return None
-            st = de._st
-            if st.n == 0 or se._n == 0:
+            if se._smesh is not None or se._n == 0:
                 return None
             n_rows = seg.doc_count
             alive = self.deletes.alive_mask(seg.doc_id_start, n_rows)
             if filter_str:
                 fmask = self._filter_mask_for_segment(seg, filter_str)
                 alive = alive & _fit_mask(fmask, n_rows)
-            dmask = np.zeros(st.codes.shape[0], dtype=bool)
-            dmask[: min(st.n, n_rows)] = alive[: st.n]
             smask = np.zeros(se._doc_idx.shape[0], dtype=bool)
             smask[: min(se._n, n_rows)] = alive[: se._n]
             q_idx, q_val = se._prep_query_arrays(squeries, sparam)
-            k = min(topk, st.n, se._n)
-            out = fused_dense_sparse_topk(
-                jnp.asarray(qpad),
-                st.codes,
-                st.norms,
-                de._device_mask(st, dmask, as_int8=False),
-                jnp.asarray(q_idx),
-                jnp.asarray(q_val),
-                se._doc_idx,
-                se._doc_val,
-                jnp.asarray(smask),
-                st.dequant,
-                metric=de.metric,
-                topk=k,
-                vocab=se._vocab,
-                int4_packed=st.int4_packed,
-            )
-            dispatched.append((seg, k, out))
+            if type(de) is FlatEngine:
+                de._ensure_fresh()
+                if de._mesh() is not None:
+                    return None
+                st = de._st
+                if st.n == 0:
+                    return None
+                dmask = np.zeros(st.codes.shape[0], dtype=bool)
+                dmask[: min(st.n, n_rows)] = alive[: st.n]
+                k = min(topk, st.n, se._n)
+                out = fused_dense_sparse_topk(
+                    jnp.asarray(qpad),
+                    st.codes,
+                    st.norms,
+                    de._device_mask(st, dmask, as_int8=False),
+                    jnp.asarray(q_idx),
+                    jnp.asarray(q_val),
+                    se._doc_idx,
+                    se._doc_val,
+                    jnp.asarray(smask),
+                    st.dequant,
+                    metric=de.metric,
+                    topk=k,
+                    vocab=se._vocab,
+                    int4_packed=st.int4_packed,
+                )
+                dispatched.append((seg, k, out, None))
+            elif isinstance(de, HnswEngine):
+                # the beam and the sparse scan ride the same program; the
+                # filtered-beam rescan safety net runs at finalize (extra
+                # dispatch only when a query comes back deficient)
+                masked = bool(filter_str) or not alive.all()
+                res = de.fused_sparse_dispatch(
+                    dvecs,
+                    alive if masked else None,
+                    dparam,
+                    min(topk, se._n),
+                    (
+                        jnp.asarray(q_idx),
+                        jnp.asarray(q_val),
+                        se._doc_idx,
+                        se._doc_val,
+                        jnp.asarray(smask),
+                        se._vocab,
+                    ),
+                )
+                if res is None:
+                    return None
+                k, out = res
+                rescan = None
+                if masked:
+                    import copy
+
+                    p_lin = copy.copy(dparam) if dparam is not None else QueryParam()
+                    p_lin.is_linear = True
+                    rescan = (de, alive, p_lin)
+                dispatched.append((seg, k, out, rescan))
+            else:
+                return None
 
         def _merge(parts, field_topk):
             """Cross-segment top-k merge of (sims, doc_ids) pairs."""
@@ -1375,12 +1412,21 @@ class CollectionImpl:
 
         def finalize():
             d_parts, s_parts = [], []
-            for seg, k, out in dispatched:
+            for seg, k, out, rescan in dispatched:
                 scores = np.asarray(out[0])[:nq]
                 indices = np.asarray(out[1])[:nq].astype(np.int64)
-                d_i, s_i = indices[:, :k], indices[:, k:]
+                d_s, d_i = scores[:, :k], indices[:, :k]
+                s_i = indices[:, k:]
+                if rescan is not None:
+                    de, alive, p_lin = rescan
+                    d_s, d_i = rescan_deficient(
+                        d_s, d_i, k, alive,
+                        lambda de=de, alive=alive, p_lin=p_lin: de.search(
+                            dvecs, k, alive, p_lin
+                        ),
+                    )
                 d_parts.append(
-                    (scores[:, :k], np.where(d_i >= 0, d_i + seg.doc_id_start, -1))
+                    (d_s, np.where(d_i >= 0, d_i + seg.doc_id_start, -1))
                 )
                 s_parts.append(
                     (scores[:, k:], np.where(s_i >= 0, s_i + seg.doc_id_start, -1))

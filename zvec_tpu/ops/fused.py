@@ -26,7 +26,59 @@ from ..typing.enum import MetricType
 from .sparse import sparse_ip_topk
 from .topk import blockwise_topk_search
 
-__all__ = ["fused_dense_sparse_topk"]
+__all__ = ["fused_dense_sparse_topk", "fused_hnsw_sparse_topk"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "ef", "topk", "max_steps", "num_levels", "frontier",
+        "int4_packed", "visited_bits", "visited_bytes", "approx_merge",
+        "done_frac", "vocab",
+    ),
+)
+def fused_hnsw_sparse_topk(
+    dq,  # (Q, D) f32 dense queries
+    codes, norms, l0_nbrs, upper_ids, upper_nbrs, upper_down, entry_rows,
+    dmask,  # (N_pad,) bool or None — dense result filter
+    scan_budget,
+    q_idx, q_val, doc_idx, doc_val, smask,
+    dequant=None,
+    *,
+    metric: MetricType,
+    ef: int,
+    topk: int,
+    max_steps: int,
+    num_levels: int,
+    frontier: int = 1,
+    int4_packed: bool = False,
+    visited_bits: int = 0,
+    visited_bytes: bool = False,
+    approx_merge: bool = False,
+    done_frac: float = 1.0,
+    vocab: int,
+):
+    """HNSW beam (dense field) + padded-CSR sparse top-k in ONE program —
+    the common production multi-vector shape (dense ANN index + sparse
+    lexical field). Same packing contract as `fused_dense_sparse_topk`."""
+    from .hnsw import _beam_core
+
+    d_s, d_i = _beam_core(
+        dq, codes, norms, l0_nbrs, upper_ids, upper_nbrs, upper_down,
+        entry_rows, dmask, scan_budget, dequant, None, None,
+        metric=metric, ef=ef, topk=topk, max_steps=max_steps,
+        num_levels=num_levels, frontier=frontier, int4_packed=int4_packed,
+        visited_bits=visited_bits, visited_bytes=visited_bytes,
+        approx_merge=approx_merge, done_frac=done_frac,
+    )
+    s_s, s_i = sparse_ip_topk(
+        q_idx, q_val, doc_idx, doc_val, smask, topk=topk, vocab=vocab
+    )
+    scores = jnp.concatenate([d_s, s_s], axis=1)
+    indices = jnp.concatenate(
+        [d_i.astype(jnp.int32), s_i.astype(jnp.int32)], axis=1
+    )
+    return scores, indices
 
 
 @partial(
