@@ -1411,12 +1411,13 @@ class CollectionImpl:
             return np.where(ids >= 0, sims, -np.inf), ids
 
         def finalize():
+            from ..ops.fused import unpack_fused
+
             d_parts, s_parts = [], []
             for seg, k, out, rescan in dispatched:
-                scores = np.asarray(out[0])[:nq]
-                indices = np.asarray(out[1])[:nq].astype(np.int64)
-                d_s, d_i = scores[:, :k], indices[:, :k]
-                s_i = indices[:, k:]
+                (d_s, d_i), (s_s, s_i) = unpack_fused(out, k)
+                d_s, d_i = d_s[:nq], d_i[:nq]
+                s_s, s_i = s_s[:nq], s_i[:nq]
                 if rescan is not None:
                     de, alive, p_lin = rescan
                     d_s, d_i = rescan_deficient(
@@ -1429,7 +1430,7 @@ class CollectionImpl:
                     (d_s, np.where(d_i >= 0, d_i + seg.doc_id_start, -1))
                 )
                 s_parts.append(
-                    (scores[:, k:], np.where(s_i >= 0, s_i + seg.doc_id_start, -1))
+                    (s_s, np.where(s_i >= 0, s_i + seg.doc_id_start, -1))
                 )
             return {
                 dense_field: _merge(d_parts, topk),

@@ -6,8 +6,10 @@ searches (microsecond hops between them,
 the axon tunnel every dispatch costs a round trip, so per-field programs —
 even overlapped — pay twice. This module compiles BOTH fields' exact scans
 into ONE XLA program per (dense-shape, sparse-shape, topk) combination:
-one dispatch, and the four result arrays are packed into two transfers
-(scores f32, indices i32).
+one dispatch, and the four result arrays are packed into a SINGLE
+transfer array (indices bitcast to f32 lanes) — each D2H fetch through
+the tunnel is its own round trip, so one packed array halves the
+finalize latency vs separate score/index fetches.
 
 Semantics are identical to running `blockwise_topk_search` (dense) and
 `sparse_ip_topk` (sparse) separately — both are traced inline into the
@@ -26,7 +28,35 @@ from ..typing.enum import MetricType
 from .sparse import sparse_ip_topk
 from .topk import blockwise_topk_search
 
-__all__ = ["fused_dense_sparse_topk", "fused_hnsw_sparse_topk"]
+__all__ = [
+    "fused_dense_sparse_topk",
+    "fused_hnsw_sparse_topk",
+    "unpack_fused",
+]
+
+
+def _pack(d_s, d_i, s_s, s_i):
+    """Pack both fields' (sims, ids) into ONE f32 array:
+    [d_s | s_s | bitcast(d_i) | bitcast(s_i)] along axis 1."""
+    ids = jnp.concatenate(
+        [d_i.astype(jnp.int32), s_i.astype(jnp.int32)], axis=1
+    )
+    return jnp.concatenate(
+        [d_s, s_s, jax.lax.bitcast_convert_type(ids, jnp.float32)], axis=1
+    )
+
+
+def unpack_fused(packed: "jax.Array", k: int):
+    """Host-side unpack of `_pack` output (one D2H fetch): returns
+    ((d_s, d_i), (s_s, s_i)) numpy arrays, ids int64."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    d_s, s_s = arr[:, :k], arr[:, k : 2 * k]
+    ids = np.ascontiguousarray(arr[:, 2 * k :]).view(np.int32)
+    d_i = ids[:, :k].astype(np.int64)
+    s_i = ids[:, k : 2 * k].astype(np.int64)
+    return (d_s, d_i), (s_s, s_i)
 
 
 @partial(
@@ -74,11 +104,7 @@ def fused_hnsw_sparse_topk(
     s_s, s_i = sparse_ip_topk(
         q_idx, q_val, doc_idx, doc_val, smask, topk=topk, vocab=vocab
     )
-    scores = jnp.concatenate([d_s, s_s], axis=1)
-    indices = jnp.concatenate(
-        [d_i.astype(jnp.int32), s_i.astype(jnp.int32)], axis=1
-    )
-    return scores, indices
+    return _pack(d_s, d_i, s_s, s_i)
 
 
 @partial(
@@ -102,9 +128,9 @@ def fused_dense_sparse_topk(
     vocab: int,
     int4_packed: bool = False,
 ):
-    """Returns (scores (Q, 2*topk) f32, indices (Q, 2*topk) i32): columns
-    [:topk] are the dense field's top-k (sims desc, -1 pad), [topk:] the
-    sparse field's — packed so the host fetches two arrays, not four."""
+    """Returns ONE packed (Q, 4*topk) f32 array (see `_pack`/`unpack_fused`):
+    dense sims | sparse sims | bitcast dense ids | bitcast sparse ids —
+    the host fetches a single array, one tunnel round trip."""
     d_s, d_i = blockwise_topk_search(
         dq,
         codes,
@@ -118,8 +144,4 @@ def fused_dense_sparse_topk(
     s_s, s_i = sparse_ip_topk(
         q_idx, q_val, doc_idx, doc_val, smask, topk=topk, vocab=vocab
     )
-    scores = jnp.concatenate([d_s, s_s], axis=1)
-    indices = jnp.concatenate(
-        [d_i.astype(jnp.int32), s_i.astype(jnp.int32)], axis=1
-    )
-    return scores, indices
+    return _pack(d_s, d_i, s_s, s_i)
