@@ -51,7 +51,7 @@ def build_and_measure(tag, X, Q, gt, backfill_alpha):
     else:
         shutil.rmtree(path, ignore_errors=True)
         schema = CollectionSchema(
-            f"ab_{tag}",
+            "ab_" + tag.replace(".", "_"),  # dots violate the name rule
             vectors=[
                 VectorSchema(
                     "vec", DataType.VECTOR_FP32, D,

@@ -304,36 +304,47 @@ class FlatEngine(VectorIndexEngine):
                 int4_packed=st.int4_packed,
             )
         elif self._use_pallas(st, k):
-            from ..ops.flat_pallas import flat_scan_topk
+            # packed single-output variants: sims and ids ride ONE device
+            # buffer, so finalize pays one D2H round trip instead of two
+            # (the host side of the pipeline is the throughput bound)
+            from ..ops.flat_pallas import flat_scan_topk_packed
 
             norms = st.norms
             if scan_metric == MetricType.COSINE:
                 norms = jnp.sqrt(st.norms)  # kernel wants ||x|| for cosine
-            sims, idx = flat_scan_topk(
-                jnp.asarray(q),
-                st.codes,
-                norms,
-                self._device_mask(st, full_mask, as_int8=True),
-                metric=scan_metric,
-                topk=k,
-                dequant=(
-                    None
-                    if st.dequant is None
-                    else (float(st.dequant[0]), float(st.dequant[1]))
+            sims, idx = (
+                flat_scan_topk_packed(
+                    jnp.asarray(q),
+                    st.codes,
+                    norms,
+                    self._device_mask(st, full_mask, as_int8=True),
+                    metric=scan_metric,
+                    topk=k,
+                    dequant=(
+                        None
+                        if st.dequant is None
+                        else (float(st.dequant[0]), float(st.dequant[1]))
+                    ),
+                    int4_dim=q.shape[1] if st.int4_packed else None,
                 ),
-                int4_dim=q.shape[1] if st.int4_packed else None,
+                None,
             )
         else:
-            sims, idx = blockwise_topk_search(
-                q,
-                st.codes,
-                scan_metric,
-                k,
-                mask=self._device_mask(st, full_mask, as_int8=False),
-                x_sq_norms=st.norms,
-                block_size=_BLOCK_SIZE,
-                dequant=st.dequant,
-                int4_packed=st.int4_packed,
+            from ..ops.topk import blockwise_topk_search_packed
+
+            sims, idx = (
+                blockwise_topk_search_packed(
+                    q,
+                    st.codes,
+                    scan_metric,
+                    k,
+                    mask=self._device_mask(st, full_mask, as_int8=False),
+                    x_sq_norms=st.norms,
+                    block_size=_BLOCK_SIZE,
+                    dequant=st.dequant,
+                    int4_packed=st.int4_packed,
+                ),
+                None,
             )
         return (
             "scan",
@@ -350,8 +361,13 @@ class FlatEngine(VectorIndexEngine):
         if handle[0] == "empty":
             return handle[1], handle[2]
         _, st, sims, idx, nq, topk, use_refiner, orig_queries = handle
-        sims = np.asarray(sims[:nq])
-        idx = np.asarray(idx[:nq]).astype(np.int64)
+        if idx is None:  # packed single-buffer fetch (see pack_topk)
+            from ..ops.topk import unpack_topk
+
+            sims, idx = unpack_topk(sims, nq)
+        else:
+            sims = np.asarray(sims[:nq])
+            idx = np.asarray(idx[:nq]).astype(np.int64)
         oob = idx >= st.n
         if oob.any():  # padded rows can only surface when fully unmasked
             idx = np.where(oob, -1, idx)

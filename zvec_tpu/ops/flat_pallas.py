@@ -299,3 +299,19 @@ def flat_scan_topk(
     out_i = jnp.take_along_axis(cand, sel2, axis=1).astype(jnp.int32)
     out_i = jnp.where(out_s > NEG_INF / 2, out_i, -1)
     return out_s, out_i
+
+
+@partial(jax.jit, static_argnames=("metric", "topk", "dequant", "int4_dim"))
+def flat_scan_topk_packed(
+    q, codes, norms, mask, *, metric, topk, dequant=None, int4_dim=None
+):
+    """`flat_scan_topk` with the two outputs packed into one transfer
+    array (`ops/topk.py::pack_topk` — one D2H round trip at finalize)."""
+    from .topk import pack_topk
+
+    return pack_topk(
+        *flat_scan_topk(
+            q, codes, norms, mask, metric=metric, topk=topk,
+            dequant=dequant, int4_dim=int4_dim,
+        )
+    )

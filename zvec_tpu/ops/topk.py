@@ -152,3 +152,49 @@ def merge_topk(sims_list, idx_list, topk: int):
         new_i = jnp.pad(new_i, ((0, 0), (0, pad)), constant_values=-1)
     new_i = jnp.where(new_s > NEG_INF / 2, new_i, -1)
     return new_s, new_i
+
+
+def pack_topk(sims: jax.Array, idx: jax.Array) -> jax.Array:
+    """Pack (sims f32, idx int) into ONE f32 array [sims | bitcast(idx)].
+
+    Each D2H fetch through the axon tunnel is its own round trip; fetching
+    one packed buffer instead of two halves the finalize latency on the
+    host-bound side of the pipeline. Unpack with `unpack_topk`. Must be
+    called INSIDE a jitted program (an eager call would itself cost
+    dispatches)."""
+    return jnp.concatenate(
+        [sims, jax.lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.float32)],
+        axis=1,
+    )
+
+
+def unpack_topk(packed, nq: int | None = None):
+    """Host-side inverse of `pack_topk` (one np.asarray = one fetch).
+    Returns (sims f32 (Q, k), idx int64 (Q, k))."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    if nq is not None:
+        arr = arr[:nq]
+    k = arr.shape[1] // 2
+    idx = np.ascontiguousarray(arr[:, k:]).view(np.int32).astype(np.int64)
+    return arr[:, :k], idx
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "topk", "block_size", "mode", "int4_packed"),
+)
+def blockwise_topk_search_packed(
+    q, codes, metric, topk, mask=None, x_sq_norms=None, block_size=65536,
+    dequant=None, mode="exact", int4_packed=False,
+):
+    """`blockwise_topk_search` with the two outputs packed into one
+    transfer array (see `pack_topk`)."""
+    return pack_topk(
+        *blockwise_topk_search(
+            q, codes, metric, topk, mask=mask, x_sq_norms=x_sq_norms,
+            block_size=block_size, dequant=dequant, mode=mode,
+            int4_packed=int4_packed,
+        )
+    )
