@@ -1680,7 +1680,9 @@ class HnswEngine(VectorIndexEngine):
                     self._codes, self._norms, self._dequant,
                 )
                 r_codes = r_norms = None
-            dev_out = hnsw_search(
+            from ..ops.hnsw import hnsw_search_packed
+
+            dev_out = hnsw_search_packed(
                 jnp.asarray(qpad),
                 t_codes,
                 t_norms,
@@ -1715,8 +1717,10 @@ class HnswEngine(VectorIndexEngine):
             )
 
             def collect():
-                sims = np.asarray(dev_out[0])[:nq]  # padding rows must not
-                idx = np.asarray(dev_out[1])[:nq].astype(np.int64)  # rescan
+                from ..ops.topk import unpack_topk
+
+                # one packed D2H fetch; padding rows must not rescan
+                sims, idx = unpack_topk(dev_out, nq)
                 if mask is not None:
                     # Filtered-beam safety net: the working candidate set is
                     # ef-capped, so on clustered data a filter excluding the

@@ -631,6 +631,40 @@ def hnsw_search(
     static_argnames=(
         "metric", "ef", "topk", "max_steps", "num_levels", "frontier",
         "int4_packed", "visited_bits", "visited_bytes", "approx_merge",
+        "done_frac",
+    ),
+)
+def hnsw_search_packed(
+    q, codes, norms, l0_nbrs, upper_ids, upper_nbrs, upper_down, entry_rows,
+    mask, scan_budget, dequant=None, refine_codes=None, refine_norms=None, *,
+    metric: MetricType, ef: int, topk: int, max_steps: int, num_levels: int,
+    frontier: int = 1, int4_packed: bool = False, visited_bits: int = 0,
+    visited_bytes: bool = False, approx_merge: bool = False,
+    done_frac: float = 1.0,
+):
+    """`hnsw_search` with (sims, ids) packed into ONE f32 transfer array
+    (`ops/topk.py::pack_topk`) — finalize pays one D2H round trip."""
+    from .topk import pack_topk
+
+    return pack_topk(
+        *_beam_core(
+            q, codes, norms, l0_nbrs, upper_ids, upper_nbrs, upper_down,
+            entry_rows, mask, scan_budget, dequant, refine_codes,
+            refine_norms,
+            metric=metric, ef=ef, topk=topk, max_steps=max_steps,
+            num_levels=num_levels, frontier=frontier,
+            int4_packed=int4_packed, visited_bits=visited_bits,
+            visited_bytes=visited_bytes, approx_merge=approx_merge,
+            done_frac=done_frac,
+        )
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "ef", "topk", "max_steps", "num_levels", "frontier",
+        "int4_packed", "visited_bits", "visited_bytes", "approx_merge",
         "done_frac", "group_cap", "group_topk",
     ),
 )
