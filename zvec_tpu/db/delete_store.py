@@ -50,11 +50,18 @@ class DeleteStore:
         return doc_id in self._deleted
 
     def alive_mask(self, start: int, count: int) -> np.ndarray:
-        """Dense bool mask (True = alive) for a segment's doc_id range."""
+        """Dense bool mask (True = alive) for a segment's doc_id range.
+
+        Reads are lock-free by design: snapshot the tombstone set with a
+        GIL-atomic `set.copy()` before iterating — the python-level
+        generator below yields between items, so iterating the LIVE set
+        races concurrent `mark()` ('Set changed size during iteration',
+        caught by the concurrency hammer)."""
         mask = np.ones(count, dtype=bool)
         if self._deleted:
+            snap = self._deleted.copy()
             ids = np.fromiter(
-                (d - start for d in self._deleted if start <= d < start + count),
+                (d - start for d in snap if start <= d < start + count),
                 dtype=np.int64,
             )
             if ids.size:
@@ -62,11 +69,13 @@ class DeleteStore:
         return mask
 
     def deleted_in_range(self, start: int, count: int) -> int:
-        return sum(1 for d in self._deleted if start <= d < start + count)
+        snap = self._deleted.copy()  # GIL-atomic; see alive_mask
+        return sum(1 for d in snap if start <= d < start + count)
 
     # ---- snapshots ----
     def snapshot(self, path: str) -> None:
-        arr = np.fromiter(self._deleted, dtype=np.int64, count=len(self._deleted))
+        snap = self._deleted.copy()  # GIL-atomic; see alive_mask
+        arr = np.fromiter(snap, dtype=np.int64, count=len(snap))
         arr.sort()
         tmp = path + ".tmp"
         np.save(tmp, arr, allow_pickle=False)
