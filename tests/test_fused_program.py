@@ -164,3 +164,43 @@ def test_fused_hnsw_dense_engages_and_matches(tmp_path):
     d2 = ((X - qd) ** 2).sum(1)
     want = str(np.argsort(np.where(np.arange(N) >= 1000, d2, np.inf))[0])
     assert any(d.id == want for d in res_f)
+
+
+def test_packed_transfer_buffers_are_integer():
+    """The single-buffer result transfers must pack into INT lanes.
+
+    Regression for a silent TPU-only corruption: ids bitcast into f32
+    lanes are subnormal bit patterns for every id < 2**23, and the TPU
+    D2H path flushes subnormals to zero — at 10M rows ~84% of returned
+    ids became 0 (scores exact, ids gone; recall@10 collapsed
+    0.95 -> 0.47 while every CPU test stayed green). Integer lanes have
+    no subnormals/NaNs, so no transfer canonicalization can touch them.
+    CPU can't reproduce the flush, so this pins the layout instead."""
+    import jax.numpy as jnp
+
+    from zvec_tpu.ops.fused import _pack, unpack_fused
+    from zvec_tpu.ops.topk import pack_topk, unpack_topk
+
+    rng = np.random.default_rng(7)
+    sims = rng.standard_normal((4, 8)).astype(np.float32)
+    # ids straddling the f32-subnormal boundary (2**23) and -1 padding
+    ids = np.array(
+        [[0, 1, 17, 1000, 2**23 - 1, 2**23, 9_999_999, -1]] * 4, np.int32
+    )
+
+    packed = pack_topk(jnp.asarray(sims), jnp.asarray(ids))
+    assert jnp.issubdtype(packed.dtype, jnp.integer), packed.dtype
+    out_s, out_i = unpack_topk(packed)
+    np.testing.assert_array_equal(out_s, sims)
+    np.testing.assert_array_equal(out_i, ids.astype(np.int64))
+
+    fused = _pack(
+        jnp.asarray(sims), jnp.asarray(ids),
+        jnp.asarray(sims * 2.0), jnp.asarray(ids + 3),
+    )
+    assert jnp.issubdtype(fused.dtype, jnp.integer), fused.dtype
+    (d_s, d_i), (s_s, s_i) = unpack_fused(fused, sims.shape[1])
+    np.testing.assert_array_equal(d_s, sims)
+    np.testing.assert_array_equal(d_i, ids.astype(np.int64))
+    np.testing.assert_array_equal(s_s, sims * 2.0)
+    np.testing.assert_array_equal(s_i, (ids + 3).astype(np.int64))

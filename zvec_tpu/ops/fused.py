@@ -7,9 +7,12 @@ the axon tunnel every dispatch costs a round trip, so per-field programs —
 even overlapped — pay twice. This module compiles BOTH fields' exact scans
 into ONE XLA program per (dense-shape, sparse-shape, topk) combination:
 one dispatch, and the four result arrays are packed into a SINGLE
-transfer array (indices bitcast to f32 lanes) — each D2H fetch through
-the tunnel is its own round trip, so one packed array halves the
-finalize latency vs separate score/index fetches.
+int32 transfer array (sims bitcast into int lanes) — each D2H fetch
+through the tunnel is its own round trip, so one packed array halves the
+finalize latency vs separate score/index fetches. The packed buffer must
+be INT, never float: ids bitcast to f32 are subnormal bit patterns below
+2**23 and the TPU D2H path flushes subnormals to zero (see
+`ops/topk.py::pack_topk`).
 
 Semantics are identical to running `blockwise_topk_search` (dense) and
 `sparse_ip_topk` (sparse) separately — both are traced inline into the
@@ -36,26 +39,30 @@ __all__ = [
 
 
 def _pack(d_s, d_i, s_s, s_i):
-    """Pack both fields' (sims, ids) into ONE f32 array:
-    [d_s | s_s | bitcast(d_i) | bitcast(s_i)] along axis 1."""
-    ids = jnp.concatenate(
-        [d_i.astype(jnp.int32), s_i.astype(jnp.int32)], axis=1
-    )
+    """Pack both fields' (sims, ids) into ONE int32 array:
+    [bitcast(d_s) | bitcast(s_s) | d_i | s_i] along axis 1 (int lanes are
+    immune to the D2H subnormal flush — see `ops/topk.py::pack_topk`)."""
+    sims = jnp.concatenate([d_s, s_s], axis=1)
     return jnp.concatenate(
-        [d_s, s_s, jax.lax.bitcast_convert_type(ids, jnp.float32)], axis=1
+        [
+            jax.lax.bitcast_convert_type(sims, jnp.int32),
+            d_i.astype(jnp.int32),
+            s_i.astype(jnp.int32),
+        ],
+        axis=1,
     )
 
 
 def unpack_fused(packed: "jax.Array", k: int):
     """Host-side unpack of `_pack` output (one D2H fetch): returns
-    ((d_s, d_i), (s_s, s_i)) numpy arrays, ids int64."""
+    ((d_s, d_i), (s_s, s_i)) numpy arrays, sims f32, ids int64."""
     import numpy as np
 
     arr = np.asarray(packed)
-    d_s, s_s = arr[:, :k], arr[:, k : 2 * k]
-    ids = np.ascontiguousarray(arr[:, 2 * k :]).view(np.int32)
-    d_i = ids[:, :k].astype(np.int64)
-    s_i = ids[:, k : 2 * k].astype(np.int64)
+    sims = np.ascontiguousarray(arr[:, : 2 * k]).view(np.float32)
+    d_s, s_s = sims[:, :k], sims[:, k : 2 * k]
+    d_i = arr[:, 2 * k : 3 * k].astype(np.int64)
+    s_i = arr[:, 3 * k :].astype(np.int64)
     return (d_s, d_i), (s_s, s_i)
 
 

@@ -155,15 +155,24 @@ def merge_topk(sims_list, idx_list, topk: int):
 
 
 def pack_topk(sims: jax.Array, idx: jax.Array) -> jax.Array:
-    """Pack (sims f32, idx int) into ONE f32 array [sims | bitcast(idx)].
+    """Pack (sims f32, idx int) into ONE int32 array [bitcast(sims) | idx].
 
     Each D2H fetch through the axon tunnel is its own round trip; fetching
     one packed buffer instead of two halves the finalize latency on the
     host-bound side of the pipeline. Unpack with `unpack_topk`. Must be
     called INSIDE a jitted program (an eager call would itself cost
-    dispatches)."""
+    dispatches).
+
+    The buffer is INT, not float, and that is load-bearing: the original
+    f32 packing bitcast the int32 ids into float lanes, and every id
+    < 2**23 is a subnormal f32 bit pattern — the TPU D2H path flushes
+    subnormals to zero, so at 10M rows ~84% of returned ids silently
+    became 0 (scores exact, ids gone; measured recall@10 collapsed
+    0.95 -> 0.47). Integer lanes have no subnormals/NaNs, so no transfer
+    canonicalization can touch them; f32 sim bit patterns ride int lanes
+    unharmed."""
     return jnp.concatenate(
-        [sims, jax.lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.float32)],
+        [jax.lax.bitcast_convert_type(sims, jnp.int32), idx.astype(jnp.int32)],
         axis=1,
     )
 
@@ -177,8 +186,9 @@ def unpack_topk(packed, nq: int | None = None):
     if nq is not None:
         arr = arr[:nq]
     k = arr.shape[1] // 2
-    idx = np.ascontiguousarray(arr[:, k:]).view(np.int32).astype(np.int64)
-    return arr[:, :k], idx
+    sims = np.ascontiguousarray(arr[:, :k]).view(np.float32)
+    idx = arr[:, k:].astype(np.int64)
+    return sims, idx
 
 
 @partial(
