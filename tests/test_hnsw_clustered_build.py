@@ -35,3 +35,24 @@ def test_clustered_build_recall(rng, monkeypatch):
         for i in range(40)
     )
     assert hits / 400 >= 0.9, hits / 400
+
+
+def test_assign_top2_chunked_matches_oracle(rng):
+    """The fixed-shape chunked dispatch path (n > 2*block*chunk, overlapped
+    tail through ONE compiled program) must assign the same top-2 centroids
+    as a brute-force oracle. block=64 forces the chunked path at small n."""
+    import jax.numpy as jnp
+
+    from zvec_tpu.ops.hnsw import assign_top2_blocked
+
+    n, k, d = 10_000, 37, 8  # step = 64*64 = 4096; chunked path + overlap
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    cents = rng.standard_normal((k, d)).astype(np.float32)
+    got = np.asarray(assign_top2_blocked(jnp.asarray(data), jnp.asarray(cents), block=64))
+    d2 = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(d2, axis=1, kind="stable")[:, :2]
+    assert got.shape == (n, 2)
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])
+    # top-2 may tie-break differently only on exact distance ties (none at
+    # float random data): require exact agreement
+    np.testing.assert_array_equal(got[:, 1], want[:, 1])

@@ -685,12 +685,22 @@ class HnswEngine(VectorIndexEngine):
                 )
             from ..ops.hnsw import merge_prune_batch_out
 
+            # dispatch-chunk width: each call through the tunnel pays ~1s of
+            # dispatch+fetch latency on top of compute, so wider chunks
+            # amortize it — but program length scales with the chunk and
+            # long programs both compile slower (minutes, remote) and can
+            # crash the tunneled worker (CLAUDE.md). 32 was the r2 balance;
+            # override to A/B via ZVEC_HNSW_DISPATCH_CHUNK.
+            dchunk = int(
+                _os.environ.get("ZVEC_HNSW_DISPATCH_CHUNK", "32")
+            )
             fwd = np.full((n, max_out), -1, np.int32)
-            for lo in range(0, nb, 32):
-                rm = rows_mat[lo : lo + 32]
-                if rm.shape[0] < 32:  # pad tail: ONE compile of the program
+            pending = None  # (rm, device handle): fetch one behind dispatch
+            for lo in range(0, nb, dchunk):
+                rm = rows_mat[lo : lo + dchunk]
+                if rm.shape[0] < dchunk:  # pad tail: ONE program compile
                     rm = np.concatenate(
-                        [rm, np.broadcast_to(rm[-1], (32 - rm.shape[0], B))],
+                        [rm, np.broadcast_to(rm[-1], (dchunk - rm.shape[0], B))],
                         axis=0,
                     )
                 out = merge_prune_batch_out(
@@ -698,8 +708,14 @@ class HnswEngine(VectorIndexEngine):
                     metric=metric, max_out=max_out, alpha=self.prune_alpha,
                         backfill_alpha=self.backfill_alpha,
                 )
-                out_np = np.asarray(out).reshape(-1, max_out)
-                fwd[rm.reshape(-1)] = out_np  # padded repeats rewrite a row
+                if pending is not None:
+                    prm, ph = pending
+                    # padded repeats rewrite a row with identical output
+                    fwd[prm.reshape(-1)] = np.asarray(ph).reshape(-1, max_out)
+                pending = (rm, out)
+            if pending is not None:
+                prm, ph = pending
+                fwd[prm.reshape(-1)] = np.asarray(ph).reshape(-1, max_out)
             del cand_dev
             if _log:
                 print(
@@ -716,6 +732,7 @@ class HnswEngine(VectorIndexEngine):
             expand = max(1, min(4, 256 // max_out))
             from ..ops.hnsw import nn_descent_round
 
+            dchunk = int(_os.environ.get("ZVEC_HNSW_DISPATCH_CHUNK", "32"))
             for rd in range(rounds):
                 _t1 = _time.perf_counter()
                 fwd_dev = jnp.asarray(
@@ -724,11 +741,12 @@ class HnswEngine(VectorIndexEngine):
                     )
                 )
                 new_fwd = np.full_like(fwd, -1)
-                for lo in range(0, nb, 32):
-                    rm = rows_mat[lo : lo + 32]
-                    if rm.shape[0] < 32:
+                pending = None  # fetch one behind dispatch (latency overlap)
+                for lo in range(0, nb, dchunk):
+                    rm = rows_mat[lo : lo + dchunk]
+                    if rm.shape[0] < dchunk:
                         rm = np.concatenate(
-                            [rm, np.broadcast_to(rm[-1], (32 - rm.shape[0], B))],
+                            [rm, np.broadcast_to(rm[-1], (dchunk - rm.shape[0], B))],
                             axis=0,
                         )
                     out = nn_descent_round(
@@ -737,7 +755,15 @@ class HnswEngine(VectorIndexEngine):
                         alpha=self.prune_alpha,
                         backfill_alpha=self.backfill_alpha,
                     )
-                    new_fwd[rm.reshape(-1)] = np.asarray(out).reshape(-1, max_out)
+                    if pending is not None:
+                        prm, ph = pending
+                        new_fwd[prm.reshape(-1)] = np.asarray(ph).reshape(
+                            -1, max_out
+                        )
+                    pending = (rm, out)
+                if pending is not None:
+                    prm, ph = pending
+                    new_fwd[prm.reshape(-1)] = np.asarray(ph).reshape(-1, max_out)
                 fwd = new_fwd
                 del fwd_dev
                 if _log:

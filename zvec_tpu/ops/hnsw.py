@@ -1411,20 +1411,57 @@ def _assign_top2_scan(data: jax.Array, cents: jax.Array, *, block: int):
     return out.reshape(nb * block, 2)
 
 
+@partial(jax.jit, static_argnames=("block", "chunk"))
+def _assign_top2_chunk(data, lo, cents, *, block: int, chunk: int):
+    """One fixed-shape chunk of `chunk` blocks starting at row `lo` (traced
+    scalar, so every chunk reuses ONE compiled program).
+    `dynamic_slice` clamps an out-of-range start, so the caller overlaps the
+    final chunk backwards instead of compiling a tail-shaped program."""
+    x = jax.lax.dynamic_slice_in_dim(data, lo, block * chunk, axis=0)
+    return _assign_top2_scan(x, cents, block=block)
+
+
 def assign_top2_blocked(data: jax.Array, cents: jax.Array, block: int = 16384):
     """Two nearest centroids per row, blocked over N so the (N, K) distance
     matrix never materializes; a non-divisible N runs its remainder as one
     smaller block (the old whole-N fallback compiled an (N, K) matrix —
-    320GB at 10M x 8000). Returns (N, 2) int32."""
+    320GB at 10M x 8000). Returns (N, 2) int32.
+
+    Large N dispatches fixed-shape chunks of `chunk` blocks through ONE
+    compiled program instead of one monolithic N-step scan: the 10M build's
+    assign phase measured 380s of which the double-argmin scan itself is
+    ~7s (11 ms/step at (16384, 8000), benchmarks/profile_assign.py) — the
+    rest was the remote compile of the 611-step program. The final chunk
+    starts at n-step (overlapping rows recompute identically), so every
+    dispatch shares one executable."""
+    import numpy as np
+
     n = data.shape[0]
     block = min(block, n)
-    cut = (n // block) * block
-    parts = []
-    if cut:
-        parts.append(_assign_top2_scan(data[:cut], cents, block=block))
-    if n - cut:
-        parts.append(_assign_top2_scan(data[cut:], cents, block=n - cut))
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    chunk = 64
+    step = block * chunk
+    if n <= 2 * step:  # small N: the scan program is small; compile it once
+        cut = (n // block) * block
+        parts = []
+        if cut:
+            parts.append(_assign_top2_scan(data[:cut], cents, block=block))
+        if n - cut:
+            parts.append(_assign_top2_scan(data[cut:], cents, block=n - cut))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+    # overlap D2H fetch of chunk i with device compute of chunk i+1:
+    # dispatch all chunks (async), then fetch in order
+    starts = list(range(0, n - step + 1, step))
+    if starts[-1] + step < n:
+        starts.append(n - step)  # overlapped tail, same program
+    handles = [
+        _assign_top2_chunk(data, lo, cents, block=block, chunk=chunk)
+        for lo in starts
+    ]
+    out = np.empty((n, 2), np.int32)
+    for lo, h in zip(starts, handles):
+        out[lo : lo + step] = np.asarray(h)
+    return out  # callers take np.asarray(...) — already host-side
 
 
 @partial(jax.jit, static_argnames=("alpha", "backfill_alpha", "metric", "max_out"))
