@@ -289,8 +289,24 @@ class IvfEngine(VectorIndexEngine):
         # so HBM stays O(N*D + K*B*D). The probe's top-k over centroids then
         # naturally spends extra probes on heavy clusters (the reference
         # instead scans variable-length list blocks, `ivf_entity.cc:587-734`).
+        # hard bucket cap 4096: the average list at 10M (SOAR: 2N entries /
+        # 1024 lists ~ 19.5k rows) would otherwise set bucket ~ 39k, which
+        # (a) pads K x bucket ~ 23GB of resident waste and (b) makes the
+        # probe's per-step (Q, lmax, D) gather 15GB at Q=1024 — both OOM
+        # the 15.75G HBM. 4096 keeps the 1M-scale layout (bucket ~ 3.9k)
+        # unchanged while 10M splits heavy lists into ~5 virtual sublists.
         bucket = int(
-            np.ceil(max(8, min(counts.max(initial=1), 2 * n_entries / max(k, 1) + 8)) / 8)
+            np.ceil(
+                max(
+                    8,
+                    min(
+                        counts.max(initial=1),
+                        2 * n_entries / max(k, 1) + 8,
+                        4096,
+                    ),
+                )
+                / 8
+            )
             * 8
         )
         n_chunks = np.maximum(1, -(-counts // bucket))  # ceil_div, >=1
