@@ -56,3 +56,47 @@ def test_assign_top2_chunked_matches_oracle(rng):
     # top-2 may tie-break differently only on exact distance ties (none at
     # float random data): require exact agreement
     np.testing.assert_array_equal(got[:, 1], want[:, 1])
+
+
+def test_int8_resident_build_recall(rng, monkeypatch):
+    """ZVEC_BUILD_INT8=1 routes the clustered build over SYMMETRIC int8
+    codes (the HBM tier for 10M x 768d where even bf16 residency exceeds
+    device memory). Code-space sims are rank-equivalent at one uniform
+    scale, so recall on clustered cosine data must hold vs the exact oracle
+    — and the search path (int8 storage codes + refine) stays fp32-exact."""
+    monkeypatch.setenv("ZVEC_HNSW_CLUSTERED", "1")
+    monkeypatch.setenv("ZVEC_BUILD_INT8", "1")
+    from zvec_tpu.core.hnsw import HnswEngine
+    from zvec_tpu.model.param.param import HnswIndexParam, HnswQueryParam
+    from zvec_tpu.typing import MetricType, QuantizeType
+
+    n, d = 6000, 32
+    centers = rng.standard_normal((30, d)).astype(np.float32) * 4
+    X = (centers[rng.integers(0, 30, n)] + rng.standard_normal((n, d))).astype(
+        np.float32
+    )
+    Q = (centers[rng.integers(0, 30, 40)] + rng.standard_normal((40, d))).astype(
+        np.float32
+    )
+    eng = HnswEngine(
+        MetricType.COSINE,
+        d,
+        HnswIndexParam(
+            MetricType.COSINE,
+            m=16,
+            ef_construction=200,
+            quantize_type=QuantizeType.INT8,
+        ),
+    )
+    eng.bind_data(lambda: X, lambda: 1)
+    # symmetric quantizer: bias must be exactly 0 on the storage codes
+    sims, idx = eng.search(Q, 10, param=HnswQueryParam(ef=80))
+    assert eng._qparams is not None and eng._qparams.bias == 0.0
+    xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    exp = np.argsort(-(qn @ xn.T), axis=1)[:, :10]
+    hits = sum(
+        len(set(idx[i][idx[i] >= 0].tolist()) & set(exp[i].tolist()))
+        for i in range(40)
+    )
+    assert hits / 400 >= 0.9, hits / 400

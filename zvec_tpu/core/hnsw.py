@@ -58,6 +58,20 @@ _PRUNE_CAND_CAP = 128  # pairwise-prune candidate cap (device memory bound)
 _ROW_ALIGN = 128
 
 
+def _dispatch_chunk(env) -> int:
+    """ZVEC_HNSW_DISPATCH_CHUNK, validated at knob-read time: a 0/negative
+    or non-numeric value must fail HERE with a clear message, not as a
+    range-step ValueError deep inside the build loop."""
+    raw = env.get("ZVEC_HNSW_DISPATCH_CHUNK", "32")
+    try:
+        val = int(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"ZVEC_HNSW_DISPATCH_CHUNK={raw!r} is not an integer"
+        ) from exc
+    return max(1, val)
+
+
 class _Graph:
     """Host-side adjacency being built; device copies derived on demand."""
 
@@ -269,8 +283,9 @@ class HnswEngine(VectorIndexEngine):
     def _storage_codes_host(self, data: np.ndarray, n_pad: int):
         """Host-side (codes (n_pad, Dc) in storage dtype, norms (n_pad,) f32).
         Sets _bf16_search/_qparams/_dequant/_int4_packed as side effects.
-        Storage codes: the graph builds on fp32; search scores quantized codes
-        with dequant fused (quantized converter/reformer semantics)."""
+        Storage codes: the graph builds on fp32/bf16 (or directly on int8 at
+        HBM-bound scale, `_knn_layer` build_int8); search scores quantized
+        codes with dequant fused (quantized converter/reformer semantics)."""
         if self.quantize == QuantizeType.UNDEFINED:
             padded = np.zeros((n_pad, data.shape[1]), np.float32)
             padded[: self._n] = data
@@ -289,23 +304,55 @@ class HnswEngine(VectorIndexEngine):
 
                 padded = padded.astype(ml_dtypes.bfloat16)
             return padded, norms
-        store = data
-        if self._search_metric == MetricType.COSINE:
-            nrm = np.linalg.norm(store, axis=1, keepdims=True)
-            store = np.where(nrm > 0, store / np.where(nrm > 0, nrm, 1.0), store)
+        # Chunked normalize/train/encode: the old whole-array flow
+        # materialized several (n, D) fp32 temporaries (normalized store,
+        # codes, full dequant for norms) — 3 x 30GB at 10M x 768d — and
+        # np.quantile sorted a full copy. Train on a bounded subsample
+        # (statistically identical range fit), then stream 1M-row chunks.
+        cosine = self._search_metric == MetricType.COSINE
+
+        def _norm_rows(blk: np.ndarray) -> np.ndarray:
+            if not cosine:
+                return blk
+            nrm = np.linalg.norm(blk, axis=1, keepdims=True)
+            return blk / np.where(nrm > 0, nrm, 1.0)
+
+        CH = 1 << 20
         if self.quantize in (QuantizeType.INT8, QuantizeType.INT4):
-            self._qparams = train_quantizer(store, self.quantize)
-            codes = encode(store, self.quantize, self._qparams)
+            step = max(1, self._n // 1_000_000)
+            sample = _norm_rows(
+                np.ascontiguousarray(data[: self._n : step]).astype(np.float32)
+            )
+            # cosine+int8 trains SYMMETRIC (bias=0): code-space sims are then
+            # rank-equivalent at one uniform scale, which lets the graph
+            # build itself run over these codes when fp32/bf16 residency
+            # exceeds HBM (see `_knn_layer` build_int8)
+            self._qparams = train_quantizer(
+                sample, self.quantize,
+                symmetric=cosine and self.quantize == QuantizeType.INT8,
+            )
+            del sample
             self._dequant = (
                 jnp.float32(self._qparams.scale),
                 jnp.float32(self._qparams.bias),
             )
+            padded_c = np.zeros((n_pad, data.shape[1]), np.int8)
+            norms = np.zeros(n_pad, np.float32)
+            for lo in range(0, self._n, CH):
+                hi = min(lo + CH, self._n)
+                blk = _norm_rows(data[lo:hi].astype(np.float32))
+                padded_c[lo:hi] = encode(blk, self.quantize, self._qparams)
+                deq = decode(padded_c[lo:hi], self._qparams)
+                norms[lo:hi] = np.einsum("ij,ij->i", deq, deq)
         else:
-            codes = store.astype(np.float16)
-        padded_c = np.zeros((n_pad, codes.shape[1]), dtype=codes.dtype)
-        padded_c[: self._n] = codes
-        deq = decode(padded_c, self._qparams)
-        norms = (deq.astype(np.float32) ** 2).sum(1)
+            padded_c = np.zeros((n_pad, data.shape[1]), np.float16)
+            norms = np.zeros(n_pad, np.float32)
+            for lo in range(0, self._n, CH):
+                hi = min(lo + CH, self._n)
+                blk = _norm_rows(data[lo:hi].astype(np.float32))
+                padded_c[lo:hi] = blk.astype(np.float16)
+                deq = padded_c[lo:hi].astype(np.float32)
+                norms[lo:hi] = np.einsum("ij,ij->i", deq, deq)
         if self.quantize == QuantizeType.INT4:
             # nibble-packed HBM residency: halves gather + scan bandwidth
             # vs int8 (`integer_quantizer_converter.cc:596-607`)
@@ -614,12 +661,27 @@ class HnswEngine(VectorIndexEngine):
             knn_k = min(knn_k, 127)
         # blockwise scan wants N divisible by its block; Pallas wants 1024
         n_pad = round_up(n, 1024 if (use_pallas or n <= 131072) else 131072)
-        codes_p = np.zeros((n_pad, d), np.float32)
-        codes_p[:n] = data
-        norms_p = np.zeros(n_pad, np.float32)
-        norms_p[:n] = norms2
-        mask_p = np.zeros(n_pad, np.int8)
-        mask_p[:n] = 1
+        _env = __import__("os").environ
+        # int8-RESIDENT build (clustered path only): when the corpus is too
+        # big even for bf16 residency (10M x 768d bf16 = 15.4GB vs 16GB
+        # HBM), stage SYMMETRIC int8 codes (bias=0) instead — 4x smaller
+        # than bf16 and every candidate gather shrinks with it. Code-space
+        # sims are rank-equivalent to dequant space at one uniform scale
+        # (exactly scale-free for cosine), so all prune/merge consumers run
+        # unchanged on the int8 MXU path (`ops/hnsw._exact_dots`). This is
+        # the TPU tier for the reference's converter-built indexes (the
+        # CosineInt8Converter graph is likewise built over int8 codes,
+        # `cosine_converter.cc:383-399` + `tools/core/README.md:95-131`).
+        # ZVEC_BUILD_INT8=1 forces it (tests); =0 disables the auto.
+        build_int8 = clustered and (
+            _env.get("ZVEC_BUILD_INT8") == "1"
+            or (
+                self.quantize == QuantizeType.INT8
+                and is_tpu()
+                and n * d * 2 > 6_000_000_000
+                and _env.get("ZVEC_BUILD_INT8") != "0"
+            )
+        )
         # >2M rows: store the build codes as bf16 on device — halves the
         # biggest HBM buffer (5.4GB -> 2.7GB at 10M) and halves candidate-
         # gather traffic in every prune phase. All consumers gather rows and
@@ -627,20 +689,55 @@ class HnswEngine(VectorIndexEngine):
         # candidate RANKING during construction (search-time scoring never
         # touches these buffers). ZVEC_BUILD_FP32=1 restores fp32;
         # ZVEC_BUILD_BF16=1 forces it at small n (tests).
-        _env = __import__("os").environ
-        build_bf16 = (
+        build_bf16 = not build_int8 and (
             _env.get("ZVEC_BUILD_BF16") == "1"
             or (is_tpu() and n > 2_000_000 and _env.get("ZVEC_BUILD_FP32") != "1")
         )
-        codes_dev = (
-            jnp.asarray(codes_p, dtype=jnp.bfloat16)
-            if build_bf16
-            else jnp.asarray(codes_p)
-        )
+        if build_int8:
+            from ..ops.quantize import encode as q_encode
+
+            cosine = self._search_metric == MetricType.COSINE
+            step = max(1, n // 1_000_000)
+            sample = np.ascontiguousarray(data[::step]).astype(np.float32)
+            if cosine:
+                snrm = np.linalg.norm(sample, axis=1, keepdims=True)
+                sample /= np.where(snrm > 0, snrm, 1.0)
+            bqp = train_quantizer(sample, QuantizeType.INT8, symmetric=True)
+            del sample
+            codes_p = np.zeros((n_pad, d), np.int8)
+            norms_p = np.zeros(n_pad, np.float32)
+            CH = 1 << 20
+            for lo in range(0, n, CH):
+                hi = min(lo + CH, n)
+                blk = data[lo:hi].astype(np.float32)
+                if cosine:
+                    bn = np.linalg.norm(blk, axis=1, keepdims=True)
+                    blk /= np.where(bn > 0, bn, 1.0)
+                codes_p[lo:hi] = q_encode(blk, QuantizeType.INT8, bqp)
+                c32 = codes_p[lo:hi].astype(np.float32)
+                norms_p[lo:hi] = np.einsum("ij,ij->i", c32, c32)
+            codes_dev = jnp.asarray(codes_p)
+        else:
+            codes_p = np.zeros((n_pad, d), np.float32)
+            codes_p[:n] = data
+            norms_p = np.zeros(n_pad, np.float32)
+            norms_p[:n] = norms2
+            codes_dev = (
+                jnp.asarray(codes_p, dtype=jnp.bfloat16)
+                if build_bf16
+                else jnp.asarray(codes_p)
+            )
+        mask_p = np.zeros(n_pad, np.int8)
+        mask_p[:n] = 1
         norms_dev = jnp.asarray(norms_p)
         mask_dev = jnp.asarray(mask_p)
 
         B = 2048 if knn_k <= 255 else 1024  # bound the (B, C, C) prune buffer
+        if d >= 512:
+            # high-dim gathers: the (B, C, D) candidate buffers grow with D
+            # (2048 x 228 x 768 f32 = 1.4GB); halve the batch to keep the
+            # prune programs' transients inside HBM next to the code table
+            B = min(B, 1024)
         metric = self._search_metric
 
         nb = (n + B - 1) // B
@@ -674,8 +771,14 @@ class HnswEngine(VectorIndexEngine):
             # fetched them to host (~5GB D2H at 10M) and re-staged windows
             # per dispatch (~5GB H2D); the fused path gathers candidate
             # lanes in-program and only pruned ids cross the tunnel.
+            kc_cand = int(_env.get("ZVEC_HNSW_KC", "0")) or max(
+                32, min(64, max_out)
+            )
             cand_dev = self._clustered_candidates(
-                data, codes_dev, norms_dev, n, kc=max(32, min(64, max_out))
+                # int8 build: sample/seed k-means from CODE space so the
+                # centroids live where assign_top2 scores them
+                codes_p[:n] if build_int8 else data,
+                codes_dev, norms_dev, n, kc=kc_cand,
             )
             if _log:
                 print(
@@ -691,9 +794,7 @@ class HnswEngine(VectorIndexEngine):
             # long programs both compile slower (minutes, remote) and can
             # crash the tunneled worker (CLAUDE.md). 32 was the r2 balance;
             # override to A/B via ZVEC_HNSW_DISPATCH_CHUNK.
-            dchunk = int(
-                _os.environ.get("ZVEC_HNSW_DISPATCH_CHUNK", "32")
-            )
+            dchunk = _dispatch_chunk(_os.environ)
             fwd = np.full((n, max_out), -1, np.int32)
             pending = None  # (rm, device handle): fetch one behind dispatch
             for lo in range(0, nb, dchunk):
@@ -732,7 +833,7 @@ class HnswEngine(VectorIndexEngine):
             expand = max(1, min(4, 256 // max_out))
             from ..ops.hnsw import nn_descent_round
 
-            dchunk = int(_os.environ.get("ZVEC_HNSW_DISPATCH_CHUNK", "32"))
+            dchunk = _dispatch_chunk(_os.environ)
             for rd in range(rounds):
                 _t1 = _time.perf_counter()
                 fwd_dev = jnp.asarray(

@@ -349,6 +349,19 @@ class IvfEngine(VectorIndexEngine):
         # rank adjacently) — widen the probe count by the worst split so
         # "nprobe lists" keeps the reference's full-list-scan semantics.
         self._extra_probes = int(n_chunks.max(initial=1)) - 1
+        if self._extra_probes > 8:
+            # one pathological 400k-row list widens EVERY query's effective
+            # nprobe by ~98 — surface the skew instead of silently paying it
+            import logging
+
+            logging.getLogger("zvec_tpu").warning(
+                "ivf: worst list splits into %d chunks of %d rows; every "
+                "query's effective nprobe widens by %d — consider more "
+                "centroids (num_centroids) for this distribution",
+                self._extra_probes + 1,
+                bucket,
+                self._extra_probes,
+            )
 
         v_centroids = v_centroids.astype(np.float32)
         mesh = self._mesh()

@@ -278,12 +278,23 @@ class ForwardStore:
         """(N, W) matrix in raw storage form (INT4 stays nibble-packed)."""
         if name in self._dense:
             return self._dense[name][: self._count]
-        # sealed: reconstruct from arrow fixed-size-list
+        # sealed: reconstruct from arrow fixed-size-list ONCE and cache.
+        # The store is immutable here, and the refiner re-reads this matrix
+        # on EVERY quantized query batch (`core/refiner.py::refine`) — at
+        # 10M x 768d the reconstruction is a 30GB combine+reshape per batch
+        # without the cache.
+        cache = getattr(self, "_sealed_matrix_cache", None)
+        if cache is None:
+            cache = self._sealed_matrix_cache = {}
+        if name in cache:
+            return cache[name]
         vs = self.schema.vector(name)
         col = self._table.column(name).combine_chunks()
         dt = _VECTOR_NUMPY[vs.data_type]
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(dt, copy=False)
-        return flat.reshape(self._count, storage_width(vs))
+        mat = flat.reshape(self._count, storage_width(vs))
+        cache[name] = mat
+        return mat
 
     def dense_matrix(self, name: str) -> np.ndarray:
         """(N, D) matrix of a dense vector column in its storage dtype

@@ -135,9 +135,11 @@ def fused_dense_sparse_topk(
     vocab: int,
     int4_packed: bool = False,
 ):
-    """Returns ONE packed (Q, 4*topk) f32 array (see `_pack`/`unpack_fused`):
-    dense sims | sparse sims | bitcast dense ids | bitcast sparse ids —
-    the host fetches a single array, one tunnel round trip."""
+    """Returns ONE packed (Q, 4*topk) int32 array (see `_pack`/`unpack_fused`):
+    bitcast dense sims | bitcast sparse sims | dense ids | sparse ids —
+    the host fetches a single array, one tunnel round trip. Int32 lanes, not
+    f32: ids bitcast into f32 lanes are subnormal bit patterns the TPU D2H
+    path flushes to zero."""
     d_s, d_i = blockwise_topk_search(
         dq,
         codes,

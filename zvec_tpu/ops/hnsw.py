@@ -54,6 +54,15 @@ def _exact_dots(subscripts, a, b):
     bf16 halves — two passes, exact to the bf16 operand's precision.
     f32 x f32: Precision.HIGHEST (fp32 parity with host oracles, CLAUDE.md).
     """
+    if a.dtype == jnp.int8 and b.dtype == jnp.int8:
+        # int8 x int8 accumulated in int32: EXACT (and f32-representable —
+        # |dot| <= D * 127^2 < 2^24 up to D=1024), native MXU int8 path.
+        # The int8-resident graph build (symmetric codes, bias=0) scores
+        # every candidate this way: code-space sims are rank-equivalent to
+        # dequant space at one uniform scale.
+        return jnp.einsum(
+            subscripts, a, b, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
     if a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16:
         return jnp.einsum(subscripts, a, b, preferred_element_type=jnp.float32)
     if b.dtype == jnp.bfloat16:
@@ -642,8 +651,10 @@ def hnsw_search_packed(
     visited_bytes: bool = False, approx_merge: bool = False,
     done_frac: float = 1.0,
 ):
-    """`hnsw_search` with (sims, ids) packed into ONE f32 transfer array
-    (`ops/topk.py::pack_topk`) — finalize pays one D2H round trip."""
+    """`hnsw_search` with (sims, ids) packed into ONE int32 transfer array
+    (`ops/topk.py::pack_topk`, sims bitcast into int32 lanes — f32 lanes
+    lose ids to the TPU D2H subnormal flush) — finalize pays one D2H round
+    trip."""
     from .topk import pack_topk
 
     return pack_topk(
@@ -1394,7 +1405,11 @@ def _assign_top2_scan(data: jax.Array, cents: jax.Array, *, block: int):
     def body(_, x):
         # rank-equivalent distance: ||x||^2 is constant per row, so assign by
         # ||c||^2 - 2 x.c. Pass-minimal dots (bf16 codes: 2 passes) — the
-        # 6-pass HIGHEST f32 matmul was 90% of the assign phase at 2.5M
+        # 6-pass HIGHEST f32 matmul was 90% of the assign phase at 2.5M.
+        # int8 rows (int8-resident build): bf16 holds int8 exactly and the
+        # f32 centroid side hi/lo-splits, so assignment stays exact-to-bf16
+        if x.dtype == jnp.int8:
+            x = x.astype(jnp.bfloat16)
         score = cnorm2[None, :] - 2.0 * _exact_dots("nd,kd->nk", x, cents)
         # double argmin instead of lax.top_k(k=2): top_k lowers to a full
         # lane sort (measured 0.52s/step at 16384x2000 — far above the

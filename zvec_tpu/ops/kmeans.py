@@ -152,14 +152,20 @@ def assign(data: jax.Array, centroids: jax.Array) -> jax.Array:
     return jnp.argmin(squared_l2_matrix(data, centroids), axis=1)
 
 
-def assign_top2(data: jax.Array, centroids: jax.Array) -> jax.Array:
+def assign_top2(data: jax.Array, centroids: jax.Array):
     """Two nearest centroids per point (N, 2) — the spilled assignment behind
     the reference's `use_soar` option (`index_params.h:252-258`).
 
     Delegates to the HNSW build's blocked top-2 kernel: the old whole-N
     `squared_l2_matrix` materialized an (N, K) matrix — 41GB at 10M x 1024,
     an AOT-compile OOM through the tunnel. The blocked path never holds more
-    than (16384, K) and reuses one compiled chunk program."""
+    than (16384, K) and reuses one compiled chunk program.
+
+    Return residency differs by size: small N stays a device `jax.Array`;
+    the large-N chunked path assembles on HOST and returns `np.ndarray`
+    (the chunks are fetched anyway to overlap D2H with compute — callers
+    wanting device arrays would re-upload through the ~0.5s-latency
+    tunnel, so don't chain device ops on this result at scale)."""
     from .hnsw import assign_top2_blocked
 
     return assign_top2_blocked(data, centroids, block=16384)

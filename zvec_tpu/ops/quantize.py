@@ -73,20 +73,34 @@ def storage_dtype(qtype: QuantizeType):
 
 
 def train_quantizer(
-    data: np.ndarray, qtype: QuantizeType, clip_quantile: float = 0.999
+    data: np.ndarray,
+    qtype: QuantizeType,
+    clip_quantile: float = 0.999,
+    symmetric: bool = False,
 ) -> Optional[QuantParams]:
     """Fit the global (scale, bias) on corpus values (quantile-clipped range,
-    the role of the reference's entropy histogram training)."""
+    the role of the reference's entropy histogram training).
+
+    `symmetric=True` pins bias=0 (scale from the |x| quantile): code-space
+    dot products are then EXACTLY rank-equivalent to dequant-space ones at
+    one uniform scale (and scale-free for cosine), which lets the graph
+    build run directly over int8 codes — the HBM tier for corpora whose
+    fp32/bf16 form exceeds device memory (10M x 768d)."""
     qtype = QuantizeType(qtype)
     if qtype not in _RANGES:
         return None
+    qlo, qhi = _RANGES[qtype]
+    if symmetric:
+        hi = float(np.quantile(np.abs(data.astype(np.float32)), clip_quantile))
+        if hi <= 0:
+            hi = 1e-6
+        return QuantParams(hi / qhi, 0.0, int(qtype))
     lo_q, hi_q = np.quantile(
         data.astype(np.float32), [1.0 - clip_quantile, clip_quantile]
     )
     lo, hi = float(lo_q), float(hi_q)
     if hi <= lo:
         hi = lo + 1e-6
-    qlo, qhi = _RANGES[qtype]
     scale = (hi - lo) / (qhi - qlo)
     bias = (hi + lo) / 2.0  # center so codes are symmetric around 0
     return QuantParams(scale, bias, int(qtype))
