@@ -99,8 +99,21 @@ def _compact_result(result):
                     "recall_at_10": row.get("recall_at_10"),
                     "qps_pipelined": qps,
                 }
+                if row.get("batch_p99_ms") is not None:
+                    best["batch_p99_ms"] = row["batch_p99_ms"]
         if best:
             cd["hnsw_10M_north_star"] = best
+    # canonical 768d workload: surface recall@10 + qps at the reference's
+    # own ef=250 operating point
+    c10 = d.get("cohere_10M_768d")
+    if isinstance(c10, dict) and c10.get("n", 0) >= 10_000_000:
+        row = (c10.get("ef") or {}).get("250") or (c10.get("ef") or {}).get(250)
+        if isinstance(row, dict):
+            cd["cohere768_ef250"] = {
+                "recall_at_10": row.get("recall_at_10"),
+                "qps_pipelined": row.get("qps_pipelined", row.get("qps")),
+                "p99_ms": (row.get("batch_latency") or {}).get("p99_ms"),
+            }
     cd["full_detail"] = "benchmarks/last_bench.json"
     compact = {
         "metric": result.get("metric"),
@@ -519,6 +532,25 @@ def main():
     if os.path.exists(hnsw10m):
         try:
             detail["hnsw_10M_collection_api"] = json.load(open(hnsw10m))
+        except Exception:
+            pass
+    # 10M x 768d cosine int8+refine (benchmarks/bench_cohere10m.py) — the
+    # reference's canonical workload shape (Cohere-10M config,
+    # tools/core/README.md:95-131), measured through the public API
+    committed_c10m = os.path.join(_HERE, "benchmarks", "cohere10m_results.json")
+    cands = [
+        p
+        for p in (
+            os.environ.get("C10M_DIR", "/tmp/cohere10m") + "/results.json",
+            committed_c10m,
+        )
+        if os.path.exists(p)
+    ]
+    if cands:
+        try:
+            detail["cohere_10M_768d"] = json.load(
+                open(max(cands, key=os.path.getmtime))
+            )
         except Exception:
             pass
     # suite results (benchmarks/bench_suite.py): BASELINE configs #3/#4/#5

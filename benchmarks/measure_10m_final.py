@@ -64,13 +64,20 @@ def main():
     results["qblock"] = qblock
     reps = -(-qblock // NQ)  # ceil: a non-multiple qblock must still be full
     QB = np.concatenate([Q] * reps, axis=0)[:qblock]
+    REPS = int(os.environ.get("FINAL_REPS", "12"))
     for ef in EFS:
         p = HnswQueryParam(ef=ef, **KNOBS)
         col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
         col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
-        t0 = time.perf_counter()
-        docs = col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
-        dt = time.perf_counter() - t0
+        # repeated timed batches -> per-batch latency percentiles (the
+        # driver metric asks for p99; a batch IS the latency every query
+        # in it observes — reference bench_result.h:81-95 percentiles)
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            docs = col.batch_query("vec", Q, topk=K, output_fields=[], param=p)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
         blocks = max(2, 8192 // qblock)
         col.batch_query_many("vec", [QB] * 2, topk=K, output_fields=[], param=p)
         t0 = time.perf_counter()
@@ -81,10 +88,14 @@ def main():
         for i in range(GT_Q):
             got = {int(d.id) for d in docs[i]}
             hits += len(got & set(gt[i].tolist()))
+        ta = np.asarray(times) * 1e3
         row = {
             "recall_at_10": round(hits / (GT_Q * K), 4),
             "qps": round(NQ / dt, 1),
             "qps_pipelined": round(NQ / dt_p, 1),
+            "batch_p50_ms": round(float(np.percentile(ta, 50)), 1),
+            "batch_p95_ms": round(float(np.percentile(ta, 95)), 1),
+            "batch_p99_ms": round(float(np.percentile(ta, 99)), 1),
         }
         results["ef"][ef] = row
         print(json.dumps({"ef": ef, **row}), flush=True)

@@ -127,3 +127,75 @@ def test_sparse_hnsw_filtered_disjoint_region(rng):
     assert len(got) == 5, got
     assert set(got) <= set(np.flatnonzero(mask)), "filter violated"
     assert sims[0][0] == pytest.approx(scores[exp[0]], rel=1e-4)
+
+
+def test_clustered_signature_build_recall(monkeypatch):
+    """ZVEC_SPARSE_CLUSTERED=1 routes the build through feature-hash
+    signatures + k-means buckets + exact sparse rescore (the 1M-scale path,
+    forced small). On topic-clustered data — the regime that strands random
+    entry probes in the wrong graph component — the per-cluster medoid
+    entries must hold recall, and they must survive dump/load."""
+    import numpy as np
+
+    monkeypatch.setenv("ZVEC_SPARSE_CLUSTERED", "1")
+    from zvec_tpu.core.hnsw_sparse import SparseHnswEngine
+    from zvec_tpu.model.param.param import HnswIndexParam, HnswQueryParam
+    from zvec_tpu.typing import MetricType
+
+    rng = np.random.default_rng(3)
+    n, v, topics, nnz = 6000, 20000, 30, 24
+    pools = [rng.choice(v, 200, replace=False) for _ in range(topics)]
+
+    def make_row(t):
+        terms = rng.choice(pools[t], nnz, replace=False)
+        return dict(
+            zip(terms.tolist(), (rng.random(nnz) + 0.2).astype(float).tolist())
+        )
+
+    rows = [make_row(t) for t in rng.integers(0, topics, n)]
+    qrows = [make_row(t) for t in rng.integers(0, topics, 25)]
+    eng = SparseHnswEngine(
+        MetricType.IP, 0, HnswIndexParam(MetricType.IP, m=16, ef_construction=200)
+    )
+    eng.bind_data(lambda: rows, lambda: 1)
+    sims, idx = eng.search(qrows, 10, param=HnswQueryParam(ef=80))
+
+    dense = np.zeros((n, v), np.float32)
+    for i, r in enumerate(rows):
+        for kk, vv in r.items():
+            dense[i, kk] = vv
+    qd = np.zeros((len(qrows), v), np.float32)
+    for i, r in enumerate(qrows):
+        for kk, vv in r.items():
+            qd[i, kk] = vv
+    exp = np.argsort(-(qd @ dense.T), axis=1)[:, :10]
+    rec = sum(
+        len(
+            set(np.asarray(idx[i])[np.asarray(idx[i]) >= 0].tolist())
+            & set(exp[i].tolist())
+        )
+        for i in range(len(qrows))
+    ) / (10 * len(qrows))
+    assert rec >= 0.9, rec
+
+    # dump/load must preserve the medoid entry probes
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        desc = eng.dump_aux(d, "f")
+        eng2 = SparseHnswEngine(
+            MetricType.IP,
+            0,
+            HnswIndexParam(MetricType.IP, m=16, ef_construction=200),
+        )
+        eng2.bind_data(lambda: rows, lambda: 1)
+        eng2.load_aux(d, desc)
+        _, idx2 = eng2.search(qrows, 10, param=HnswQueryParam(ef=80))
+        rec2 = sum(
+            len(
+                set(np.asarray(idx2[i])[np.asarray(idx2[i]) >= 0].tolist())
+                & set(exp[i].tolist())
+            )
+            for i in range(len(qrows))
+        ) / (10 * len(qrows))
+        assert rec2 >= 0.9, rec2

@@ -957,9 +957,13 @@ class HnswEngine(VectorIndexEngine):
             from ..ops.hnsw import merge_prune_chunk_out
 
             c2 = cand.shape[1]
-            nb_chunk = max(1, min(32, int(2e9 // (B * c2 * 4))))
+            # half the r4 staging budget per chunk: the pipelined loop keeps
+            # TWO chunks' candidate uploads live on device (prev fetching,
+            # next computing)
+            nb_chunk = max(1, min(32, int(1e9 // (B * c2 * 4))))
             out = np.full((n, max_out), -1, np.int32)
             t_prep = t_disp = t_fetch = 0.0
+            pending = None  # (rm, device handle): fetch one behind dispatch
             for lo in range(0, nb, nb_chunk):
                 _tp = _time.perf_counter()
                 rm = rows_mat[lo : lo + nb_chunk]
@@ -977,16 +981,23 @@ class HnswEngine(VectorIndexEngine):
                         backfill_alpha=self.backfill_alpha,
                 )
                 _tf = _time.perf_counter()
-                # padded repeats rewrite the same rows with identical output
-                out[rm.reshape(-1)] = np.asarray(got).reshape(-1, max_out)
+                if pending is not None:
+                    # overlap D2H of chunk i with device compute of i+1
+                    prm, ph = pending
+                    # padded repeats rewrite rows with identical output
+                    out[prm.reshape(-1)] = np.asarray(ph).reshape(-1, max_out)
                 _te = _time.perf_counter()
+                pending = (rm, got)
                 t_prep += _td - _tp
                 t_disp += _tf - _td
                 t_fetch += _te - _tf
+            if pending is not None:
+                prm, ph = pending
+                out[prm.reshape(-1)] = np.asarray(ph).reshape(-1, max_out)
             if _log:
                 print(
                     f"[knn-build]   merge split: prep {t_prep:.1f}s, "
-                    f"upload+dispatch {t_disp:.1f}s, compute+fetch "
+                    f"upload+dispatch {t_disp:.1f}s, fetch-behind "
                     f"{t_fetch:.1f}s over {(nb + nb_chunk - 1) // nb_chunk} "
                     f"chunks",
                     flush=True,

@@ -103,12 +103,22 @@ class SparseHnswEngine(SparseFlatEngine):
         pl0 = np.full((n_pad, m0), -1, dtype=np.int32)
         pl0[: self._n] = l0
         self._l0 = jnp.asarray(pl0)
-        rng = np.random.default_rng(0xBEEF + self._n)
-        self._entries = jnp.asarray(
-            rng.choice(self._n, min(_ENTRY_PROBES, self._n), replace=False).astype(
-                np.int32
+        hint = getattr(self, "_entry_hint", None)
+        if hint is None and self._loaded_aux is not None:
+            ent = self._loaded_aux.get("entries")
+            if ent is not None and "shards" not in self._loaded_aux:
+                hint = np.asarray(ent)
+        if hint is not None and len(hint):
+            # clustered build: probe per-cluster medoids (coverage of every
+            # topic component) instead of random rows
+            self._entries = jnp.asarray(hint.astype(np.int32))
+        else:
+            rng = np.random.default_rng(0xBEEF + self._n)
+            self._entries = jnp.asarray(
+                rng.choice(
+                    self._n, min(_ENTRY_PROBES, self._n), replace=False
+                ).astype(np.int32)
             )
-        )
         self._aux_l0 = l0
 
     def _rebuild_sharded_graph(self) -> None:
@@ -191,8 +201,20 @@ class SparseHnswEngine(SparseFlatEngine):
     def _build_graph(self, rows) -> np.ndarray:
         """Batched kNN-graph build: forward exact top-(m0+1) per node (one
         compiled corpus-scan program, fixed batch shape), then symmetric
-        reverse edges + per-node top-m0 merge, all host-vectorized."""
+        reverse edges + per-node top-m0 merge, all host-vectorized.
+
+        Past ~200k docs the full-corpus scan is quadratic with NO MXU path
+        (gather-based sparse scoring rides the VPU) — the clustered
+        signature build takes over (`_build_graph_clustered`);
+        ZVEC_SPARSE_CLUSTERED=1/0 forces/disables."""
         n = self._n
+        env = os.environ
+        forced = env.get("ZVEC_SPARSE_CLUSTERED")
+        if forced == "1" or (
+            n >= int(env.get("ZVEC_SPARSE_CLUSTERED_N", "200000"))
+            and forced != "0"
+        ):
+            return self._build_graph_clustered()
         m0 = 2 * self.m
         k = min(m0 + 1, n)  # +1: self lands in its own top-k
         B = 512
@@ -221,6 +243,212 @@ class SparseHnswEngine(SparseFlatEngine):
             fwd_s[lo:hi] = np.asarray(sims)[: hi - lo]
 
         return _reverse_merge_l0(fwd_i, fwd_s, n, m0)
+
+    def _build_graph_clustered(self) -> np.ndarray:
+        """Scalable kNN-graph candidates for 1M+ docs: every doc gets a
+        dense MXU-friendly twin via feature-hash signatures
+        (`ops/sparse.sparse_signatures`, sig(a).sig(b) ~= a.b), and the
+        DENSE engine's clustered machinery is reused verbatim on them —
+        k-means buckets + top-2 spilled assignment (`assign_top2_blocked`)
+        + per-bucket exact scoring (`bucket_knn_all`). Proposed candidates
+        are re-scored with EXACT sparse dots, expanded one
+        neighbor-of-neighbor round (NN-descent repair of signature noise
+        and bucket-boundary misses), and reverse-merged.
+
+        Replaces the O(N^2) full-corpus scan, which has no MXU path
+        (gather-based scoring is VPU-bound: ~10h at 1M docs vs minutes
+        here). Reference analog: the hnsw_sparse builder's posting-driven
+        candidate generation (`src/core/algorithm/hnsw_sparse/`,
+        streamer_entity ~1001)."""
+        from ..ops.hnsw import assign_top2_blocked, bucket_knn_all
+        from ..ops.kmeans import lloyd
+        from ..ops.sparse import sparse_signatures
+
+        n, m0 = self._n, 2 * self.m
+        k = min(m0 + 1, n)
+        log = os.environ.get("ZVEC_BUILD_LOG") == "1"
+        t0 = _time.perf_counter()
+
+        SIG = 256
+        sig = sparse_signatures(self._doc_idx, self._doc_val, SIG)[:n]
+        sig_dev = jnp.asarray(sig)
+        norms_dev = jnp.asarray(np.einsum("ij,ij->i", sig, sig))
+        if log:
+            print(
+                f"[sparse-build] signatures in {_time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
+
+        rng = np.random.default_rng(0x5BA5)
+        K = int(min(16384, max(64, n // 1250), n // 4))
+        sub_n = min(262_144, n)
+        sub = sig[rng.choice(n, sub_n, replace=False)]
+        seeds = sig[rng.choice(n, K, replace=False)]
+        cents, _ = lloyd(
+            jnp.asarray(sub), jnp.asarray(seeds), iters=6,
+            block=min(16384, sub_n),
+        )
+        asn = np.asarray(assign_top2_blocked(sig_dev, cents, block=16384))[:n]
+        if log:
+            print(
+                f"[sparse-build] kmeans+assign (K={K}) in "
+                f"{_time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
+
+        # bucket pack (host): primary + spill members, like the dense path
+        sizes = np.bincount(asn[:, 0], minlength=K) + np.bincount(
+            asn[:, 1], minlength=K
+        )
+        mp = int(
+            min(8192, max(256, -(-int(np.percentile(sizes, 98)) // 128) * 128))
+        )
+        rows_bkt = np.full((K, mp), -1, np.int32)
+        slot_bkt = np.zeros((K, mp), np.int32)
+        fill = np.zeros(K, np.int64)
+        for s in (0, 1):
+            order = np.argsort(asn[:, s], kind="stable")
+            clusters = asn[order, s]
+            bounds = np.searchsorted(clusters, np.arange(K + 1))
+            for c in range(K):
+                lo, hi = bounds[c], bounds[c + 1]
+                take = min(hi - lo, mp - fill[c])
+                if take <= 0:
+                    continue
+                rows_bkt[c, fill[c] : fill[c] + take] = order[lo : lo + take]
+                slot_bkt[c, fill[c] : fill[c] + take] = s
+                fill[c] += take
+
+        kc = max(32, min(64, m0))
+        cand = jnp.full((n + 1, 2 * kc), -1, jnp.int32)
+        CH = 1024
+        for lo in range(0, K, CH):
+            cand = bucket_knn_all(
+                jnp.asarray(rows_bkt[lo : lo + CH]),
+                jnp.asarray(slot_bkt[lo : lo + CH]),
+                cand,
+                sig_dev,
+                norms_dev,
+                metric=MetricType.IP,
+                kc=kc,
+            )
+        cand_host = np.asarray(cand)[:n]
+        del cand, sig_dev, norms_dev
+        if log:
+            print(
+                f"[sparse-build] bucket candidates in "
+                f"{_time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
+
+        # exact sparse rescore of the signature-proposed candidates, then
+        # one neighbor-of-neighbor expansion round re-scored the same way
+        fwd_i, fwd_s = self._rescore_topk_batched(cand_host, k)
+        rounds = int(os.environ.get("ZVEC_SPARSE_NND", "1"))
+        expand = min(2, fwd_i.shape[1])
+        for _ in range(rounds):
+            # candidates = own edges U edges of the `expand` best neighbors
+            nn2 = [
+                np.where(
+                    fwd_i[:, e : e + 1] >= 0,
+                    fwd_i[np.clip(fwd_i[:, e], 0, None)],
+                    -1,
+                )
+                for e in range(expand)
+            ]
+            ext = np.concatenate([fwd_i] + nn2, axis=1)
+            fwd_i, fwd_s = self._rescore_topk_batched(ext, k)
+        if log:
+            print(
+                f"[sparse-build] exact rescore+expand in "
+                f"{_time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
+        l0 = _reverse_merge_l0(fwd_i, fwd_s, n, m0)
+
+        # Entry coverage: a kNN graph over well-separated topic clusters is
+        # DISCONNECTED, and random entry probes miss whole clusters
+        # (P(no entry in a 1/T-mass cluster) = (1-1/T)^probes — measured
+        # recall 0.4 at T=40 with 32 random entries vs 0.93 graph-edge
+        # recall). Stash per-cluster medoids (member with the highest
+        # signature dot to its primary centroid) as the entry hint; _rebuild
+        # probes these instead of random rows. Teleport edges in the last 2
+        # slots give the beam an escape hatch (dense-build recipe).
+        cents_h = np.asarray(cents)
+        ce = cents_h[asn[:, 0]]
+        med_score = np.einsum("ij,ij->i", sig, ce)
+        order = np.argsort(asn[:, 0], kind="stable")
+        bounds = np.searchsorted(asn[order, 0], np.arange(K + 1))
+        medoids = []
+        csizes = []
+        for c in range(K):
+            lo, hi = bounds[c], bounds[c + 1]
+            if hi <= lo:
+                continue
+            members = order[lo:hi]
+            medoids.append(members[np.argmax(med_score[members])])
+            csizes.append(hi - lo)
+        med = np.asarray(medoids, np.int32)
+        # biggest clusters first; cap the probe set
+        med = med[np.argsort(-np.asarray(csizes))][: max(_ENTRY_PROBES, 128)]
+        self._entry_hint = med
+        if n > 2048 and m0 >= 8 and l0.shape[1] >= 4:
+            rng_t = np.random.default_rng(0x5BA6)
+            rand = (
+                np.arange(n, dtype=np.int64)[:, None]
+                + rng_t.integers(1, n, (n, 2))
+            ) % n
+            l0[:, -2:] = rand.astype(np.int32)
+        return l0
+
+    def _rescore_topk_batched(self, cand_host: np.ndarray, k: int):
+        """EXACT sparse top-k over proposed candidates, batched on device:
+        (n, C) candidate ids -> (fwd_i (n, k), fwd_s (n, k)), dup/self
+        masked. Pads the node-batch tail by repeating the last row (one
+        compiled program)."""
+        import jax
+
+        from ..ops.hnsw import _dup_mask
+        from ..ops.sparse import sparse_ip_rows
+
+        n = cand_host.shape[0]
+        B = 1024
+        fwd_i = np.full((n, k), -1, np.int32)
+        fwd_s = np.full((n, k), NEG_INF, np.float32)
+        doc_idx, doc_val, vocab = self._doc_idx, self._doc_val, self._vocab
+
+        @jax.jit
+        def rescore(node_ids, cand_ids):
+            qi = doc_idx[node_ids]
+            qv = doc_val[node_ids]
+            safe = jnp.clip(cand_ids, 0, None)
+            sims = sparse_ip_rows(
+                qi, qv, doc_idx[safe], doc_val[safe], vocab=vocab
+            )
+            valid = (cand_ids >= 0) & (cand_ids != node_ids[:, None])
+            sims = jnp.where(valid, sims, NEG_INF)
+            order = jnp.argsort(-sims, axis=1)
+            ids_o = jnp.take_along_axis(cand_ids, order, 1)
+            sims_o = jnp.take_along_axis(sims, order, 1)
+            keep = sims_o > NEG_INF / 2
+            keep = keep & ~_dup_mask(ids_o)
+            sims_o = jnp.where(keep, sims_o, NEG_INF)
+            ids_o = jnp.where(keep, ids_o, -1)
+            # kept-first re-compaction: duplicates were voided above, so the
+            # top-k slice must skip them, not count them
+            rank = jnp.argsort(~keep, axis=1, stable=True)
+            ids_c = jnp.take_along_axis(ids_o, rank, 1)[:, :k]
+            sims_c = jnp.take_along_axis(sims_o, rank, 1)[:, :k]
+            return sims_c, ids_c
+
+        for lo in range(0, n, B):
+            rows = np.arange(lo, lo + B, dtype=np.int32)
+            rows = np.minimum(rows, n - 1)
+            s, i = rescore(jnp.asarray(rows), jnp.asarray(cand_host[rows]))
+            hi = min(lo + B, n)
+            fwd_i[lo:hi] = np.asarray(i)[: hi - lo]
+            fwd_s[lo:hi] = np.asarray(s)[: hi - lo]
+        return fwd_i, fwd_s
 
     def _queries_from_rows(self, rows):
         from ..ops.runtime import bucket_queries
@@ -350,6 +578,11 @@ class SparseHnswEngine(SparseFlatEngine):
             return {}
         fname = f"hnsw_sparse_{prefix}.npz"
         payload = {"n": np.int64(self._n), "l0": self._aux_l0}
+        hint = getattr(self, "_entry_hint", None)
+        if hint is not None and len(hint) and self._smesh is None:
+            # clustered-build medoid entries must survive reopen: random
+            # re-probes on a topic-clustered graph lose whole components
+            payload["entries"] = np.asarray(hint, np.int32)
         if self._smesh is not None:
             # sharded layout: l0 holds per-shard LOCAL ids over the padded
             # row space; a reopen with a different mesh rebuilds instead

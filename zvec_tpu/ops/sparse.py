@@ -163,3 +163,44 @@ def sparse_ip_rows(
     ).reshape(safe.shape)
     contrib = w * jnp.where(doc_idx >= 0, doc_val, 0.0)
     return contrib.sum(-1)
+
+
+@partial(jax.jit, static_argnames=("sig_dims",))
+def _signature_chunk(doc_idx, doc_val, *, sig_dims: int):
+    """(B, P) sparse rows -> (B, S) feature-hash signatures (scatter-add of
+    sign-hashed values). The hash kernel (Weinberger et al., ICML'09) is an
+    unbiased estimator of the sparse dot: sig(a).sig(b) ~= a.b."""
+    h = doc_idx.astype(jnp.uint32) * jnp.uint32(2654435761)
+    slot = (h >> jnp.uint32(7)) & jnp.uint32(sig_dims - 1)
+    sign = jnp.where((h & jnp.uint32(1 << 6)) != 0, 1.0, -1.0).astype(
+        jnp.float32
+    )
+    vals = jnp.where(doc_idx >= 0, doc_val * sign, 0.0)
+    b = doc_idx.shape[0]
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    out = jnp.zeros((b, sig_dims), jnp.float32)
+    return out.at[rows, slot.astype(jnp.int32)].add(vals)
+
+
+def sparse_signatures(doc_idx, doc_val, sig_dims: int = 256, chunk: int = 1 << 17):
+    """Device (N, P) sparse rows -> HOST (N, S) f32 signature matrix, chunked.
+
+    The dense twin of the sparse corpus: k-means bucketing and per-bucket
+    MXU candidate scoring run on signatures (`core/hnsw_sparse.py`
+    clustered build), with exact sparse rescoring after — the scalable
+    replacement for the O(N^2) full-corpus kNN at 1M+ docs."""
+    import numpy as np
+
+    n = doc_idx.shape[0]
+    out = np.empty((n, sig_dims), np.float32)
+    lo = 0
+    while lo < n:
+        hi = min(lo + chunk, n)
+        # fixed-shape dispatch: slice a full chunk ending at n when possible
+        s = max(0, hi - chunk)
+        got = _signature_chunk(
+            doc_idx[s:hi], doc_val[s:hi], sig_dims=sig_dims
+        )
+        out[s:hi] = np.asarray(got)
+        lo = hi
+    return out
