@@ -88,16 +88,27 @@ def _centers() -> np.ndarray:
     return (rng.standard_normal((NCENTERS, D)) * 2.0).astype(np.float32)
 
 
+GEN_BLOCK = 1 << 16
+
+
 def gen_chunk(centers: np.ndarray, lo: int, hi: int) -> np.ndarray:
-    """Rows [lo, hi) of the unit-norm corpus — deterministic per chunk
-    (seeded by the chunk index), so any stage can regenerate any window."""
-    rng = np.random.default_rng(SEED + 1 + lo // GEN_CHUNK)
-    m = hi - lo
-    x = centers[rng.integers(0, NCENTERS, m)] + rng.standard_normal(
-        (m, D), dtype=np.float32
-    )
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    return x
+    """Rows [lo, hi) of the unit-norm corpus. Deterministic per FIXED
+    GEN_BLOCK-aligned sub-block (each seeded by its block index and drawn
+    whole), so ANY caller window regenerates identical rows — the first
+    version seeded by the caller's own window start, and insert (1M-row
+    windows) vs GT (256k windows) silently generated two different corpora
+    (recall@10 read 0.027 against a GT for data that was never inserted)."""
+    out = np.empty((hi - lo, D), np.float32)
+    for b in range(lo // GEN_BLOCK, (hi - 1) // GEN_BLOCK + 1):
+        rng = np.random.default_rng(SEED + 1 + b)
+        blo, bhi = b * GEN_BLOCK, (b + 1) * GEN_BLOCK
+        x = centers[rng.integers(0, NCENTERS, GEN_BLOCK)] + rng.standard_normal(
+            (GEN_BLOCK, D), dtype=np.float32
+        )
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        s, e = max(lo, blo), min(hi, bhi)
+        out[s - lo : e - lo] = x[s - blo : e - blo]
+    return out
 
 
 def queries() -> np.ndarray:
@@ -341,11 +352,11 @@ def stage_measure(col=None):
     p = HnswQueryParam(ef=250)
     from zvec_tpu import VectorQuery
 
-    col.query(VectorQuery("vec", vector=Q[0]), topk=K)
+    col.query(VectorQuery("vec", vector=Q[0], param=p), topk=K)
     lat = []
     for i in range(32):
         t0 = time.perf_counter()
-        col.query(VectorQuery("vec", vector=Q[i % NQ]), topk=K, param=p)
+        col.query(VectorQuery("vec", vector=Q[i % NQ], param=p), topk=K)
         lat.append(time.perf_counter() - t0)
     results["single_query_latency"] = _percentiles(lat)
     results["hbm"] = hbm_note

@@ -118,6 +118,9 @@ def stage_insert():
         fields=[
             FieldSchema("tag", DataType.STRING, index_param=InvertIndexParam()),
             FieldSchema("price", DataType.DOUBLE),
+            # high-cardinality group key for the 10M grouped-search leg
+            # (bench_filtered10m.py builds an HNSW index on this collection)
+            FieldSchema("gid", DataType.INT32),
         ],
         vectors=[
             VectorSchema(
@@ -140,6 +143,7 @@ def stage_insert():
                     fields={
                         "tag": f"t{tags[lo + i]}",
                         "price": float(price[lo + i]),
+                        "gid": int((lo + i) % 997),
                     },
                     vectors={"vec": block[i]},
                 )
