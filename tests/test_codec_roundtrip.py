@@ -152,3 +152,29 @@ def test_full_record_mixed_branches():
         np.asarray(v["dense"], np.float32), vectors["dense"]
     )
     assert {int(k): float(x) for k, x in v["sparse"].items()} == {1: -2.0, 3: 0.5}
+
+
+def test_arrow_writer_chunked_rows(tmp_path, monkeypatch):
+    """The IPC writer must chunk rows (int32 child-length cap: a 10M x 768
+    fp32 column overflows a single record batch). Force a 3-row cap and
+    verify the file carries multiple batches and round-trips exactly."""
+    import numpy as np
+    import pyarrow as pa
+    from pyarrow import ipc
+
+    from zvec_tpu.db.forward_store import write_arrow
+
+    monkeypatch.setenv("ZVEC_ARROW_CHUNK_ROWS", "3")
+    flat = pa.array(np.arange(10 * 4, dtype=np.float32))
+    col = pa.FixedSizeListArray.from_arrays(flat, 4)
+    table = pa.table({"pk": pa.array([str(i) for i in range(10)]), "v": col})
+    path = str(tmp_path / "f.arrow")
+    write_arrow(table, path, file_format="arrow")
+    with pa.memory_map(path) as src:
+        rf = ipc.open_file(src)
+        assert rf.num_record_batches >= 4, rf.num_record_batches
+        got = rf.read_all()
+    back = np.asarray(
+        got.column("v").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(10, 4)
+    np.testing.assert_array_equal(back, np.arange(40, dtype=np.float32).reshape(10, 4))

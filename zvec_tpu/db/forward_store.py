@@ -39,8 +39,22 @@ def write_arrow(table: "pa.Table", path: str, file_format: str = None) -> None:
 
         pq.write_table(table, tmp)
     else:
+        # IPC record batches bound child-array lengths to int32: a
+        # whole-table write of a (10M, 768) fp32 column is a 7.7e9-element
+        # flat child and raises ArrowCapacityError. Chunk rows so the
+        # widest fixed-size-list column stays under 2^30 elements per batch
+        # (2M-row floor guards variable-length sparse columns).
+        maxw = 1
+        for field in table.schema:
+            if pa.types.is_fixed_size_list(field.type):
+                maxw = max(maxw, int(field.type.list_size))
+        cap = int(
+            os.environ.get(
+                "ZVEC_ARROW_CHUNK_ROWS", min((1 << 30) // maxw, 2_000_000)
+            )
+        )
         with ipc.new_file(tmp, table.schema) as writer:
-            writer.write_table(table)
+            writer.write_table(table, max_chunksize=max(1, cap))
     os.replace(tmp, path)
 
 
