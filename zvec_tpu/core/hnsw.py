@@ -834,8 +834,67 @@ class HnswEngine(VectorIndexEngine):
             from ..ops.hnsw import nn_descent_round
 
             dchunk = _dispatch_chunk(_os.environ)
+            from ..ops.hnsw import merge_prune_chunk_out
+
             for rd in range(rounds):
                 _t1 = _time.perf_counter()
+                if build_int8:
+                    # HBM-bound regime: the device-resident (n+1, max_out)
+                    # adjacency tile-pads 100 lanes to 128 (~5.1GB at 10M)
+                    # and OOMed next to the 7.7GB int8 code table (10M x
+                    # 768d measured 16.28G vs 15.75G). Assemble each
+                    # chunk's expanded candidate lists (own edges U edges
+                    # of the strided `expand` best neighbors) on HOST and
+                    # run them through merge_prune_chunk_out — device
+                    # footprint stays codes + one chunk.
+                    fwd1 = np.concatenate(
+                        [fwd, np.full((1, max_out), -1, np.int32)], axis=0
+                    )
+                    stride = max(1, max_out // expand)
+                    new_fwd = np.full_like(fwd, -1)
+                    pending = None
+                    for lo in range(0, nb, dchunk):
+                        rm = rows_mat[lo : lo + dchunk]
+                        if rm.shape[0] < dchunk:
+                            rm = np.concatenate(
+                                [rm, np.broadcast_to(
+                                    rm[-1], (dchunk - rm.shape[0], B)
+                                )],
+                                axis=0,
+                            )
+                        own = fwd1[rm]  # (dc, B, m0)
+                        sel = own[:, :, ::stride][:, :, :expand]
+                        sel_safe = np.where(sel >= 0, sel, n)
+                        nn2 = fwd1[sel_safe]  # (dc, B, expand, m0)
+                        ext = np.concatenate(
+                            [own, nn2.reshape(*own.shape[:2], -1)], axis=2
+                        )
+                        out = merge_prune_chunk_out(
+                            jnp.asarray(rm), jnp.asarray(ext), codes_dev,
+                            norms_dev, metric=metric, max_out=max_out,
+                            alpha=self.prune_alpha,
+                            backfill_alpha=self.backfill_alpha,
+                        )
+                        if pending is not None:
+                            prm, ph = pending
+                            new_fwd[prm.reshape(-1)] = np.asarray(ph).reshape(
+                                -1, max_out
+                            )
+                        pending = (rm, out)
+                    if pending is not None:
+                        prm, ph = pending
+                        new_fwd[prm.reshape(-1)] = np.asarray(ph).reshape(
+                            -1, max_out
+                        )
+                    fwd = new_fwd
+                    if _log:
+                        print(
+                            f"[knn-build]   nn-descent round {rd + 1}/{rounds} "
+                            f"(expand={expand}, host-staged) in "
+                            f"{_time.perf_counter() - _t1:.1f}s",
+                            flush=True,
+                        )
+                    continue
                 fwd_dev = jnp.asarray(
                     np.concatenate(
                         [fwd, np.full((1, max_out), -1, np.int32)], axis=0

@@ -110,6 +110,19 @@ def _batched_sims(q, vecs, metric, norms=None, dequant=None, int4_packed=False):
             )
         return _sims_from_dots(q, dots, metric, norms)
     if dequant is not None:
+        if vecs.dtype == jnp.int8:
+            # fold dequant into the dots epilogue (the int4 path's
+            # identity: dot(q, s*c + b*1) = s*dot(q, c) + b*sum(q)) —
+            # int8 is EXACT in bf16, so the f32-q hi/lo split scores at
+            # ~f32 precision in 2 MXU passes without materializing a
+            # (Q, M, D) f32 dequant buffer (1.26GB per beam step at
+            # Q=1024, F*m0=400, D=768 — half the 10M x 768d search's
+            # HBM headroom)
+            dots = _exact_dots("qd,qmd->qm", q, vecs.astype(jnp.bfloat16))
+            dots = dequant[0] * dots + dequant[1] * jnp.sum(
+                q, axis=-1, keepdims=True
+            )
+            return _sims_from_dots(q, dots, metric, norms)
         vecs = vecs.astype(jnp.float32) * dequant[0] + dequant[1]
     elif vecs.dtype not in (jnp.float32, jnp.bfloat16):
         vecs = vecs.astype(jnp.float32)
