@@ -503,8 +503,22 @@ class HnswEngine(VectorIndexEngine):
         entry_rows[0] = max(g.entry_point, 0)
         for lvl in range(len(g.upper_ids)):
             entry_rows[lvl + 1] = g.row_of[lvl].get(int(g.entry_point), 0)
+        from ..ops.runtime import is_tpu
+
+        l0 = g.l0
+        if is_tpu() and l0.shape[1] % 128:
+            # pad the adjacency minor dim to a full 128-lane tile: XLA
+            # otherwise materializes a second whole-array copy of the
+            # parameter inside EVERY search program (measured: (2M, 100)
+            # s32 -> 0.96GiB HLO temp `copy(l0_nbrs)`; (2M, 128) -> 0.00.
+            # At 10M x 100 that copy is 4.77GiB — the 132MB search-staging
+            # OOM next to the 7.7GB int8 code table). The physical tiled
+            # footprint is identical (lanes pad to 128 either way); the -1
+            # lanes are masked invalid like any short neighbor list.
+            pad = 128 - (l0.shape[1] % 128)
+            l0 = np.pad(l0, ((0, 0), (0, pad)), constant_values=-1)
         return {
-            "l0": jnp.asarray(g.l0),
+            "l0": jnp.asarray(l0),
             "upper_ids": tuple(upper_ids),
             "upper_nbrs": tuple(upper_nbrs),
             "upper_down": tuple(upper_down),

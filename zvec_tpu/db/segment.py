@@ -312,20 +312,17 @@ class Segment:
                 lambda f=field: self.store.sparse_rows(f),
                 lambda: self._write_version,
             )
-            engine.search([{}], 1)  # force build
         else:
             engine = create_engine(params, vs.dimension)
             engine.bind_data(
                 lambda f=field: self.store.dense_matrix(f),
                 lambda: self._write_version,
             )
-            if vs.data_type in (DataType.VECTOR_BINARY32, DataType.VECTOR_BINARY64):
-                from .forward_store import storage_width
-
-                probe = np.zeros((1, storage_width(vs)), self.store.dense_matrix(field).dtype)
-            else:
-                probe = np.zeros((1, vs.dimension), np.float32)
-            engine.search(probe, 1)  # force build
+        # force the build WITHOUT a probe search: a multi-hour 10M graph
+        # must reach dump_aux below even if the first search program fails
+        # (a search-staging OOM after a completed 768d build lost the whole
+        # graph — the probe ran inside the build-forcing call)
+        engine._ensure_fresh()
         aux = engine.dump_aux(self.directory, f"{field}")
         self._engines[field] = engine
         self._built_index_params[field] = params
