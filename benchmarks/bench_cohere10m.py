@@ -301,6 +301,12 @@ def stage_measure(col=None):
         "refine_ab": {},
     }
 
+    def _flush():
+        # incremental flush: the host OOM-killed one measure run mid-leg
+        # (RSS crept to 130GB); every completed leg must survive
+        with open(os.path.join(WORK, "results.json"), "w") as fh:
+            json.dump(results, fh, indent=1)
+
     REPS = int(os.environ.get("C10M_REPS", "12"))
     for ef in (64, 96, 128, 250):
         p = HnswQueryParam(ef=ef)
@@ -324,6 +330,7 @@ def stage_measure(col=None):
         }
         results["ef"][ef] = row
         print(json.dumps({"ef": ef, **row}), flush=True)
+        _flush()
 
     # reference recall table shape: TopK 1/10/50/100 at ef=250
     p250 = HnswQueryParam(ef=250)
@@ -331,6 +338,7 @@ def stage_measure(col=None):
         docs = col.batch_query("vec", Q, topk=tk, output_fields=[], param=p250)
         results["topk_at_ef250"][tk] = round(_recall(docs, gt, tk), 4)
     print(json.dumps({"topk_at_ef250": results["topk_at_ef250"]}), flush=True)
+    _flush()
 
     # refine A/B: raw int8 scores vs fp32 host re-rank (the refiner tier)
     for ef in (96, 250):
@@ -347,6 +355,7 @@ def stage_measure(col=None):
             }
         results["refine_ab"][ef] = row
         print(json.dumps({"refine_ab_ef": ef, **row}), flush=True)
+        _flush()
 
     # true interactive latency (single query through the tunnel)
     p = HnswQueryParam(ef=250)

@@ -303,10 +303,29 @@ class ForwardStore:
         if name in cache:
             return cache[name]
         vs = self.schema.vector(name)
-        col = self._table.column(name).combine_chunks()
         dt = _VECTOR_NUMPY[vs.data_type]
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(dt, copy=False)
-        mat = flat.reshape(self._count, storage_width(vs))
+        w = storage_width(vs)
+        col = self._table.column(name)
+        if col.num_chunks > 1:
+            # assemble per chunk into ONE preallocated matrix:
+            # combine_chunks on a 30GB chunk-written column (the 10M x 768d
+            # IPC writer chunks rows) materializes a second whole-column
+            # copy before the reshape
+            mat = np.empty((self._count, w), dt)
+            row = 0
+            for ch in col.chunks:
+                flat = ch.flatten().to_numpy(zero_copy_only=False)
+                cnt = len(ch)
+                mat[row : row + cnt] = flat.reshape(cnt, w).astype(dt, copy=False)
+                row += cnt
+        else:
+            flat = (
+                col.combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(dt, copy=False)
+            )
+            mat = flat.reshape(self._count, w)
         cache[name] = mat
         return mat
 
