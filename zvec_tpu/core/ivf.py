@@ -521,20 +521,38 @@ class IvfEngine(VectorIndexEngine):
                 max_scan=max_scan,
             )
         else:
-            sims, idx = _ivf_probe(
-                jnp.asarray(qpad),
-                self._centroids,
-                self._lists_codes,
-                self._lists_norms,
-                self._lists_ids,
-                dmask,
-                self._dequant,
-                metric=self.metric,
-                nprobe=nprobe,
-                topk=scan_k,
-                int4_packed=getattr(self, "_int4_packed", False),
-                max_scan=max_scan,
+            # Query-block cap at 10M-scale lists: each probe step gathers a
+            # (Q, lmax, D) block — at Q=1024, lmax=4096, D=128 that is two
+            # live 2.1GB buffers next to the 5.3GB resident lists (measured
+            # OOM: 18.14G of 15.75G). 512-query blocks keep the probe
+            # program under ~8GB; blocks dispatch async and fetch in order.
+            lists_bytes = (
+                self._lists_codes.size * self._lists_codes.dtype.itemsize
             )
+            qb = nq_pad if lists_bytes < 3_000_000_000 else min(nq_pad, 512)
+            handles = []
+            for lo in range(0, nq_pad, qb):
+                handles.append(
+                    _ivf_probe(
+                        jnp.asarray(qpad[lo : lo + qb]),
+                        self._centroids,
+                        self._lists_codes,
+                        self._lists_norms,
+                        self._lists_ids,
+                        dmask,
+                        self._dequant,
+                        metric=self.metric,
+                        nprobe=nprobe,
+                        topk=scan_k,
+                        int4_packed=getattr(self, "_int4_packed", False),
+                        max_scan=max_scan,
+                    )
+                )
+            if len(handles) == 1:
+                sims, idx = handles[0]
+            else:
+                sims = np.concatenate([np.asarray(h[0]) for h in handles])
+                idx = np.concatenate([np.asarray(h[1]) for h in handles])
         sims, idx = np.asarray(sims), np.asarray(idx).astype(np.int64)
         if self.use_soar:
             sims, idx = _dedupe_topk(sims, idx, topk)
