@@ -241,8 +241,33 @@ class IvfEngine(VectorIndexEngine):
                 from ..ops.kmeans import assign_top2
 
                 a2 = np.asarray(assign_top2(jnp.asarray(data), jnp.asarray(centroids)))
-                assign_rows = np.concatenate([np.arange(self._n), np.arange(self._n)])
-                assign_lists = np.concatenate([a2[:, 0], a2[:, 1]])
+                # Spill-ratio gate (the boundary condition real SOAR carries,
+                # `index_params.h:252-258` / ScaNN's spilling): only points
+                # whose second centroid is within tau of the first spill a
+                # secondary copy. Unconditional top-2 degenerates on
+                # clustered corpora — a centroid near the global mean is
+                # never anyone's FIRST choice but everyone's second: at 10M
+                # measured 3.96M secondaries in ONE list (968 virtual
+                # sublists, every query's nprobe widened by 967) while 773
+                # lists got zero.
+                tau2 = 1.44  # (d2/d1)^2 <= 1.44, i.e. d2 <= 1.2*d1
+                d1 = np.empty(self._n, np.float32)
+                d2 = np.empty(self._n, np.float32)
+                CH = 1 << 20
+                for lo in range(0, self._n, CH):
+                    hi = min(lo + CH, self._n)
+                    x = data[lo:hi]
+                    for dst, ci in ((d1, a2[lo:hi, 0]), (d2, a2[lo:hi, 1])):
+                        c = centroids[ci]
+                        dst[lo:hi] = (
+                            np.einsum("ij,ij->i", x, x)
+                            - 2.0 * np.einsum("ij,ij->i", x, c)
+                            + np.einsum("ij,ij->i", c, c)
+                        )
+                spill = d2 <= tau2 * np.maximum(d1, 1e-12)
+                rows = np.arange(self._n)
+                assign_rows = np.concatenate([rows, rows[spill]])
+                assign_lists = np.concatenate([a2[:, 0], a2[spill, 1]])
             else:
                 assign_rows = np.arange(self._n)
                 assign_lists = assign1
