@@ -105,17 +105,24 @@ def main():
     results["int8_qps"] = round(qps8, 1)
     results["int8_top10_overlap_vs_fp32"] = round(float(overlap), 4)
 
-    # int8 + host fp32 re-rank of top-100 (refine tier)
-    qps8_100, ids8_100 = bench(codes8, norms8, dq, "int8-top100", 100)
+    # int8 + host fp32 re-rank of top-100 (refine tier). Top-100 via the
+    # blockwise approx_max_k+exact-rerank scan — the Pallas kernel's
+    # 100-lane unrolled extraction at the 10M shape SIGKILLs the remote
+    # compile helper (the known >=1M exact-path limit; the engine routes
+    # k>127-ish scans the same way)
+    from zvec_tpu.ops.topk import blockwise_topk_search
+
+    def scan100(qd):
+        return blockwise_topk_search(
+            qd, codes8, MetricType.L2, 100, mask=dm != 0,
+            x_sq_norms=norms8, mode="fast", dequant=dq,
+        )
 
     def refine_pass(iters):
         t0 = time.perf_counter()
         for it in range(iters):
             qd = dqs[it % 4]
-            s, i = flat_scan_topk(
-                qd, codes8, norms8, dm, metric=MetricType.L2, topk=100,
-                dequant=dq,
-            )
+            s, i = scan100(qd)
             idx = np.asarray(i)
             qh = queries[it % 4]
             cand = corpus[np.clip(idx, 0, None)]
@@ -131,9 +138,7 @@ def main():
     refine_pass(1)
     dt = refine_pass(3)
     # recall of refined vs fp32 exact
-    s, i = flat_scan_topk(
-        dqs[0], codes8, norms8, dm, metric=MetricType.L2, topk=100, dequant=dq
-    )
+    s, i = scan100(dqs[0])
     idx = np.asarray(i)
     cand = corpus[np.clip(idx, 0, None)]
     qh = queries[0]

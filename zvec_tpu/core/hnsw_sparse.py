@@ -441,13 +441,23 @@ class SparseHnswEngine(SparseFlatEngine):
             sims_c = jnp.take_along_axis(sims_o, rank, 1)[:, :k]
             return sims_c, ids_c
 
+        # fetch one batch behind dispatch: the tunnel charges ~1s latency
+        # per synchronous round trip — 977 batches at 1M would serialize
+        # into ~16 min of pure latency otherwise
+        pending = None
         for lo in range(0, n, B):
             rows = np.arange(lo, lo + B, dtype=np.int32)
             rows = np.minimum(rows, n - 1)
-            s, i = rescore(jnp.asarray(rows), jnp.asarray(cand_host[rows]))
-            hi = min(lo + B, n)
-            fwd_i[lo:hi] = np.asarray(i)[: hi - lo]
-            fwd_s[lo:hi] = np.asarray(s)[: hi - lo]
+            out = rescore(jnp.asarray(rows), jnp.asarray(cand_host[rows]))
+            if pending is not None:
+                plo, phi, (ps, pi) = pending
+                fwd_i[plo:phi] = np.asarray(pi)[: phi - plo]
+                fwd_s[plo:phi] = np.asarray(ps)[: phi - plo]
+            pending = (lo, min(lo + B, n), out)
+        if pending is not None:
+            plo, phi, (ps, pi) = pending
+            fwd_i[plo:phi] = np.asarray(pi)[: phi - plo]
+            fwd_s[plo:phi] = np.asarray(ps)[: phi - plo]
         return fwd_i, fwd_s
 
     def _queries_from_rows(self, rows):
