@@ -507,16 +507,25 @@ class HnswEngine(VectorIndexEngine):
 
         l0 = g.l0
         if is_tpu() and l0.shape[1] % 128:
-            # pad the adjacency minor dim to a full 128-lane tile: XLA
-            # otherwise materializes a second whole-array copy of the
-            # parameter inside EVERY search program (measured: (2M, 100)
-            # s32 -> 0.96GiB HLO temp `copy(l0_nbrs)`; (2M, 128) -> 0.00.
-            # At 10M x 100 that copy is 4.77GiB — the 132MB search-staging
-            # OOM next to the 7.7GB int8 code table). The physical tiled
-            # footprint is identical (lanes pad to 128 either way); the -1
-            # lanes are masked invalid like any short neighbor list.
-            pad = 128 - (l0.shape[1] % 128)
-            l0 = np.pad(l0, ((0, 0), (0, pad)), constant_values=-1)
+            # XLA materializes a second whole-array copy of the adjacency
+            # parameter inside EVERY search program when its minor dim is
+            # not a full 128-lane tile (probed: (2M, 100) s32 -> 0.96GiB
+            # HLO temp `copy(l0_nbrs)`; (2M, 128) -> 0.00). Whether to pad
+            # is a BUDGET decision: padding widens every beam step's
+            # scored-lane count ~28% (measured -22% qps at 10M x 128d,
+            # where codes 5GB + l0 4.8GB x2 still fit), while NOT padding
+            # OOMs when the copy can't coexist with the code table
+            # (10M x 768d int8: 7.15 + 2 x 4.77 = 16.7 vs 15.75GB). Pad
+            # only when codes + two adjacency copies would exceed HBM.
+            lanes_tiled = -(-l0.shape[1] // 128) * 128
+            l0_tiled_bytes = l0.shape[0] * lanes_tiled * 4
+            itemsize = 1 if self.quantize in (
+                QuantizeType.INT8, QuantizeType.INT4
+            ) else (2 if self._bf16_search else 4)
+            codes_bytes = l0.shape[0] * self.dimension * itemsize
+            if codes_bytes + 2 * l0_tiled_bytes > 14_000_000_000:
+                pad = 128 - (l0.shape[1] % 128)
+                l0 = np.pad(l0, ((0, 0), (0, pad)), constant_values=-1)
         return {
             "l0": jnp.asarray(l0),
             "upper_ids": tuple(upper_ids),
